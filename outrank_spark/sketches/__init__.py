@@ -1,0 +1,46 @@
+"""Mergeable sketch kernels (pure numpy, zero Spark dependency).
+
+Every sketch follows the same mergeable-accumulator contract, which is
+what lets the Spark layer (``outrank_spark.operators.sketch_build``)
+build per-partition state in a single ``mapInPandas`` pass and merge it
+associatively with ``treeReduce``/grouped reduction:
+
+    update(values)            -- absorb a 1-D array (vectorized)
+    merge(other) -> self      -- associative + commutative combine
+    to_bytes() / from_bytes() -- stable wire format for shuffle/driver
+    estimate()/query(...)     -- finalizer
+
+Re-expressed from scratch against the behavior of the reference's
+sketches (``/root/reference/outrank/algorithms/sketches/``) plus the
+published algorithms for the north-rule additions (KLL: Karnin, Lang,
+Liberty FOCS'16; t-digest: Dunning & Ertl 2019; Bloom 1970; HLL:
+Flajolet et al. 2007).
+"""
+from __future__ import annotations
+
+from outrank_spark.sketches.hll import HyperLogLog, ParityHyperLogLog
+from outrank_spark.sketches.cms import CountMinSketch
+from outrank_spark.sketches.bloom import BloomFilter
+from outrank_spark.sketches.kll import KLLSketch
+from outrank_spark.sketches.tdigest import TDigest
+from outrank_spark.sketches.counters import BoundedCounter
+
+SKETCH_REGISTRY = {
+    "hll": HyperLogLog,
+    "parity_hll": ParityHyperLogLog,
+    "cms": CountMinSketch,
+    "bloom": BloomFilter,
+    "kll": KLLSketch,
+    "tdigest": TDigest,
+    "counter": BoundedCounter,
+}
+
+
+def sketch_from_bytes(kind: str, blob: bytes):
+    return SKETCH_REGISTRY[kind].from_bytes(blob)
+
+__all__ = [
+    "HyperLogLog", "ParityHyperLogLog", "CountMinSketch", "BloomFilter",
+    "KLLSketch", "TDigest", "BoundedCounter", "SKETCH_REGISTRY",
+    "sketch_from_bytes",
+]

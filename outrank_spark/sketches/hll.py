@@ -1,0 +1,230 @@
+"""HyperLogLog cardinality sketches (mergeable, vectorized).
+
+Two modes, per SURVEY.md §7.4:
+
+* :class:`HyperLogLog` — standard HLL (Flajolet, Fusy, Gandouet,
+  Meunier 2007) over a 64-bit hash with linear-counting small-range
+  correction.  Carries the published error bound sigma ~= 1.04/sqrt(m)
+  the north rule requires.  Register merge is elementwise ``max`` —
+  associative, commutative, idempotent — so any merge order yields
+  bitwise-identical registers and estimates.
+
+* :class:`ParityHyperLogLog` — reproduces the *behavioral* semantics of
+  the reference's ``HyperLogLogWCache``
+  (``counting_ultiloglog.py:10-59``): exact set ("warmup") until m/2 =
+  262,144 distinct values, then a 2^19-bucket array queried with the
+  linear-counting estimator ``ceil(m * ln(m / V)) - 1`` (V = empty
+  buckets), capped at 2^p.  Because the reference estimator only ever
+  looks at *which buckets are occupied* (never register values), the
+  parity sketch keeps a bucket-occupancy bitmap.  The reference hashes
+  with xxh32 (unavailable here); we hash with the package hash family —
+  reference tests assert warmup exactness and ~1% error at 10k
+  distinct, both of which are hash-agnostic.  Unlike the reference
+  (whose global-dict state cannot merge), warmup sets merge by union
+  and bitmaps by OR, making the parity sketch a true mergeable UDAF.
+"""
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from outrank_spark.hashing import hash_values
+
+__all__ = ["HyperLogLog", "ParityHyperLogLog"]
+
+_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _alpha(m: int) -> float:
+    return _ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
+
+
+class HyperLogLog:
+    """Standard HLL with 2^p uint8 registers (p in [4, 18], default 14).
+
+    m = 2^14 registers -> sigma ~= 1.04/sqrt(16384) = 0.81% relative
+    standard error; 16 KiB per column, cheap to shuffle even for
+    hundreds of derived features.
+    """
+
+    kind = "hll"
+
+    def __init__(self, p: int = 14, registers: np.ndarray | None = None):
+        if not 4 <= p <= 18:
+            raise ValueError(f"p must be in [4,18], got {p}")
+        self.p = p
+        self.m = 1 << p
+        self.registers = (
+            registers if registers is not None
+            else np.zeros(self.m, dtype=np.uint8)
+        )
+
+    # -- build ---------------------------------------------------------
+    def update(self, values) -> "HyperLogLog":
+        return self.update_hashes(hash_values(values))
+
+    def update_hashes(self, h: np.ndarray) -> "HyperLogLog":
+        """Vectorized register update from pre-hashed uint64 values."""
+        if h.size == 0:
+            return self
+        p = np.uint64(self.p)
+        j = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        # Remaining 64-p bits; sentinel bit bounds rho at 64-p+1 so a
+        # zero remainder is well-defined.
+        w = (h << p) | np.uint64(1 << (self.p - 1) if self.p >= 1 else 1)
+        # rho = 1 + count of leading zeros of w. The lowest set bit of
+        # bit-reversed w would work too; we use exact float log2 on the
+        # isolated *highest* set bit (powers of two are exact in f64).
+        # Isolate highest set bit via bit-smearing (6 shifts).
+        v = w.copy()
+        for s in (1, 2, 4, 8, 16, 32):
+            v |= v >> np.uint64(s)
+        v = (v >> np.uint64(1)) + np.uint64(1)  # highest power of two <= w
+        msb = np.log2(v.astype(np.float64)).astype(np.int64)  # exact
+        rho = (64 - msb).astype(np.uint8)  # leading zeros + 1
+        np.maximum.at(self.registers, j, rho)
+        return self
+
+    # -- merge ---------------------------------------------------------
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        if other.p != self.p:
+            raise ValueError("cannot merge HLLs with different precision")
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    # -- finalize ------------------------------------------------------
+    def estimate(self) -> int:
+        m = self.m
+        inv = np.ldexp(1.0, -self.registers.astype(np.int64))
+        raw = _alpha(m) * m * m / inv.sum()
+        if raw <= 2.5 * m:
+            zeros = int(np.count_nonzero(self.registers == 0))
+            if zeros:
+                return int(round(m * np.log(m / zeros)))
+        return int(round(raw))
+
+    def __len__(self) -> int:
+        return self.estimate()
+
+    @property
+    def relative_error(self) -> float:
+        return 1.04 / np.sqrt(self.m)
+
+    # -- wire ----------------------------------------------------------
+    def to_bytes(self) -> bytes:
+        return struct.pack("<BB", 1, self.p) + self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "HyperLogLog":
+        ver, p = struct.unpack_from("<BB", blob)
+        regs = np.frombuffer(blob, dtype=np.uint8, offset=2).copy()
+        return cls(p=p, registers=regs)
+
+
+class ParityHyperLogLog:
+    """Reference-semantics cardinality sketch (warmup + linear counting).
+
+    Mirrors ``HyperLogLogWCache`` (counting_ultiloglog.py:10-59):
+    p = 19 fixed, exact until m/2 distincts, then linear counting
+    ``ceil(m * ln(m / V)) - 1`` capped at 2^p.  The ``error_rate`` ctor
+    argument is accepted and ignored exactly like the reference.
+
+    Mergeable upgrade: warmup stores uint64 value-hashes (set union on
+    merge); bucket occupancy is a packed bitmap (OR on merge).  All
+    merge orders give identical serialized state -> identical
+    estimates (north-rule bitwise order-independence).
+    """
+
+    kind = "parity_hll"
+    P = 19
+
+    def __init__(self, error_rate: float = 0.005):
+        self.p = self.P
+        self.m = 1 << self.p
+        self.warmup_limit = self.m // 2
+        self.warmup: set[int] | None = set()
+        self.bitmap: np.ndarray | None = None  # uint8[m/8] packed
+
+    # -- internals -----------------------------------------------------
+    def _buckets_of(self, h: np.ndarray) -> np.ndarray:
+        return (h & np.uint64(self.m - 1)).astype(np.int64)
+
+    def _set_buckets(self, buckets: np.ndarray) -> None:
+        byte_idx = buckets >> 3
+        bit = np.left_shift(1, (buckets & 7)).astype(np.uint8)
+        np.bitwise_or.at(self.bitmap, byte_idx, bit)
+
+    def _to_registers(self) -> None:
+        """Exit warmup: hash every warmup value into the bitmap."""
+        self.bitmap = np.zeros(self.m // 8, dtype=np.uint8)
+        if self.warmup:
+            h = np.fromiter(self.warmup, dtype=np.uint64, count=len(self.warmup))
+            self._set_buckets(self._buckets_of(h))
+        self.warmup = None
+
+    # -- build ---------------------------------------------------------
+    def update(self, values) -> "ParityHyperLogLog":
+        return self.update_hashes(hash_values(values))
+
+    def update_hashes(self, h: np.ndarray) -> "ParityHyperLogLog":
+        if h.size == 0:
+            return self
+        if self.warmup is not None:
+            self.warmup.update(h.tolist())
+            if len(self.warmup) >= self.warmup_limit:
+                self._to_registers()
+        else:
+            self._set_buckets(self._buckets_of(np.asarray(h, dtype=np.uint64)))
+        return self
+
+    # -- merge ---------------------------------------------------------
+    def merge(self, other: "ParityHyperLogLog") -> "ParityHyperLogLog":
+        if self.warmup is not None and other.warmup is not None:
+            self.warmup |= other.warmup
+            if len(self.warmup) >= self.warmup_limit:
+                self._to_registers()
+            return self
+        if self.warmup is not None:
+            self._to_registers()
+        if other.warmup is not None:
+            h = np.fromiter(other.warmup, dtype=np.uint64, count=len(other.warmup))
+            if h.size:
+                self._set_buckets(self._buckets_of(h))
+        else:
+            np.bitwise_or(self.bitmap, other.bitmap, out=self.bitmap)
+        return self
+
+    # -- finalize ------------------------------------------------------
+    def estimate(self) -> int:
+        if self.warmup is not None:
+            return len(self.warmup)
+        occupied = int(np.unpackbits(self.bitmap).sum())
+        empty = self.m - occupied
+        if empty == 0:
+            return 1 << self.p
+        basis = np.ceil(self.m * np.log(self.m / empty))
+        return int(basis) - 1
+
+    def __len__(self) -> int:
+        return self.estimate()
+
+    # -- wire ----------------------------------------------------------
+    def to_bytes(self) -> bytes:
+        if self.warmup is not None:
+            arr = np.fromiter(
+                sorted(self.warmup), dtype=np.uint64, count=len(self.warmup),
+            )
+            return struct.pack("<BB", 1, 0) + arr.tobytes()
+        return struct.pack("<BB", 1, 1) + self.bitmap.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "ParityHyperLogLog":
+        ver, phase = struct.unpack_from("<BB", blob)
+        out = cls()
+        if phase == 0:
+            out.warmup = set(np.frombuffer(blob, dtype=np.uint64, offset=2).tolist())
+        else:
+            out.warmup = None
+            out.bitmap = np.frombuffer(blob, dtype=np.uint8, offset=2).copy()
+        return out

@@ -1,0 +1,351 @@
+"""Sketch kernel tests.
+
+Ports the reference's assertions (tests/hll_test.py, tests/cms_test.py)
+onto the rebuilt kernels, plus the north-rule requirements: merge
+associativity/commutativity to bitwise-equal serialized state for the
+max/or/add sketches, and published error bounds (HLL 1.04/sqrt(m), CMS
+eps-delta, KLL rank error, Bloom FPR).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from outrank_spark.sketches import (
+    BloomFilter,
+    BoundedCounter,
+    CountMinSketch,
+    HyperLogLog,
+    KLLSketch,
+    ParityHyperLogLog,
+    TDigest,
+    sketch_from_bytes,
+)
+
+
+def _split_shuffled(values, parts, seed):
+    rng = np.random.default_rng(seed)
+    idx = rng.permutation(len(values))
+    return [np.asarray(values)[s] for s in np.array_split(idx, parts)]
+
+
+# ---------------------------------------------------------------- HLL
+class TestParityHLL:
+    # ref tests/hll_test.py:13-26 — exact while in warmup
+    def test_update_exact_warmup(self):
+        h = ParityHyperLogLog(0.01)
+        h.update([123, 123])
+        assert len(h) == 1
+        h.update([1232])
+        assert len(h) == 2
+        h.update(np.arange(100) + 1232)
+        assert len(h) == 101
+
+    # ref tests/hll_test.py:28-37
+    def test_stress_multi_feature(self):
+        store = {j: ParityHyperLogLog(0.01) for j in range(10)}
+        vals = np.arange(1000) + 1232
+        for s in store.values():
+            s.update(vals)
+        assert all(len(s) == 1000 for s in store.values())
+
+    # ref tests/hll_test.py:39-52 — 1% tolerance at 10k distinct
+    def test_stress_high_card(self):
+        h = ParityHyperLogLog(0.01)
+        h.update(np.arange(10000) + 1232)
+        assert abs(len(h) - 10000) < 100
+
+    def test_post_warmup_estimator(self):
+        h = ParityHyperLogLog()
+        n = 400_000  # beyond warmup_limit = 262,144
+        h.update(np.arange(n))
+        assert h.warmup is None
+        assert abs(len(h) - n) / n < 0.02  # HYPERLL_ERROR_BOUND
+
+    def test_merge_matches_single_pass_bitwise(self):
+        vals = np.arange(300_000)
+        single = ParityHyperLogLog().update(vals)
+        for parts in (2, 4, 8):
+            chunks = _split_shuffled(vals, parts, seed=parts)
+            merged = ParityHyperLogLog()
+            for c in chunks:
+                merged.merge(ParityHyperLogLog().update(c))
+            assert merged.to_bytes() == single.to_bytes()
+            assert len(merged) == len(single)
+
+    def test_warmup_merge_stays_exact(self):
+        a = ParityHyperLogLog().update(np.arange(100))
+        b = ParityHyperLogLog().update(np.arange(50, 200))
+        assert len(a.merge(b)) == 200
+
+    def test_roundtrip(self):
+        h = ParityHyperLogLog().update(np.arange(1000))
+        assert len(sketch_from_bytes("parity_hll", h.to_bytes())) == 1000
+
+
+class TestStandardHLL:
+    def test_small_range_near_exact(self):
+        h = HyperLogLog(p=14).update(np.arange(100))
+        assert abs(len(h) - 100) <= 2
+
+    @pytest.mark.parametrize("n", [10_000, 100_000, 1_000_000])
+    def test_published_bound(self, n):
+        h = HyperLogLog(p=14)
+        h.update(np.arange(n).astype(np.int64))
+        rel = abs(h.estimate() - n) / n
+        assert rel < 4 * h.relative_error  # 4 sigma of 1.04/sqrt(m)
+
+    def test_string_values(self):
+        h = HyperLogLog(p=14)
+        h.update(np.array([f"user_{i}" for i in range(50_000)], dtype=object))
+        assert abs(h.estimate() - 50_000) / 50_000 < 4 * h.relative_error
+
+    def test_merge_bitwise_order_independent(self):
+        vals = np.arange(200_000)
+        single = HyperLogLog(p=12).update(vals)
+        for parts in (2, 3, 8, 16):
+            merged = HyperLogLog(p=12)
+            for c in _split_shuffled(vals, parts, seed=parts * 7):
+                merged.merge(HyperLogLog(p=12).update(c))
+            assert merged.to_bytes() == single.to_bytes()
+
+    def test_merge_commutative(self):
+        a = HyperLogLog(p=12).update(np.arange(1000))
+        b = HyperLogLog(p=12).update(np.arange(500, 2000))
+        ab = HyperLogLog(p=12).merge(a).merge(b)
+        ba = HyperLogLog(p=12).merge(b).merge(a)
+        assert ab.to_bytes() == ba.to_bytes()
+
+    def test_idempotent_union(self):
+        a = HyperLogLog(p=12).update(np.arange(5000))
+        est = a.estimate()
+        a.merge(HyperLogLog(p=12).update(np.arange(5000)))
+        assert a.estimate() == est
+
+    def test_roundtrip(self):
+        h = HyperLogLog(p=12).update(np.arange(7777))
+        h2 = sketch_from_bytes("hll", h.to_bytes())
+        assert h2.estimate() == h.estimate()
+
+
+# ---------------------------------------------------------------- CMS
+class TestCMS:
+    def setup_method(self):
+        self.cms = CountMinSketch(depth=6, width=2 ** 10)
+
+    # ref tests/cms_test.py:25-47
+    def test_add_and_query(self):
+        self.cms.add("test_element")
+        assert self.cms.query("test_element") >= 1
+        for e in ["foo", "bar", "baz", "qux", "quux"]:
+            self.cms.add(e)
+        for e in ["foo", "bar", "baz", "qux", "quux"]:
+            assert self.cms.query(e) >= 1
+
+    # ref tests/cms_test.py:185-200 — accuracy on known frequencies
+    def test_accuracy_known_frequencies(self):
+        elements = (["a"] * 100 + ["b"] * 50 + ["c"] * 25 + ["d"] * 10)
+        self.cms.update(np.array(elements, dtype=object))
+        assert self.cms.query("a") >= 100
+        assert self.cms.query("b") >= 50
+        assert self.cms.query("c") >= 25
+        assert self.cms.query("d") >= 10
+        assert self.cms.query("a") <= 200
+        assert self.cms.query("b") <= 100
+
+    def test_query_nonexistent_zero(self):
+        assert self.cms.query("never_added") == 0
+
+    def test_weighted_update_fast_path(self):
+        vals = np.array(["x", "y"], dtype=object)
+        self.cms.update(vals, counts=np.array([7, 3]))
+        assert self.cms.query("x") >= 7
+        assert self.cms.query("y") >= 3
+
+    def test_epsilon_delta_bound(self):
+        # eps*N overestimate with prob >= 1-delta, on a Zipfian stream.
+        rng = np.random.default_rng(42)
+        vals = rng.zipf(1.3, size=100_000)
+        vals = vals[vals < 10_000]
+        cms = CountMinSketch(depth=6, width=2 ** 15)
+        cms.update(vals)
+        uniq, true_counts = np.unique(vals, return_counts=True)
+        est = cms.query_many(uniq)
+        assert (est >= true_counts).all()  # never underestimates
+        overs = est - true_counts
+        bound = cms.epsilon * len(vals)
+        assert (overs <= bound).mean() >= 1 - cms.delta
+
+    def test_merge_bitwise_order_independent(self):
+        rng = np.random.default_rng(0)
+        vals = rng.integers(0, 5000, size=100_000)
+        single = CountMinSketch(depth=4, width=2 ** 12).update(vals)
+        for parts in (2, 5, 16):
+            merged = CountMinSketch(depth=4, width=2 ** 12)
+            for c in _split_shuffled(vals, parts, seed=parts):
+                merged.merge(CountMinSketch(depth=4, width=2 ** 12).update(c))
+            assert merged.to_bytes() == single.to_bytes()
+
+    def test_deterministic_seeds_across_instances(self):
+        a = CountMinSketch().update(np.arange(100))
+        b = CountMinSketch().update(np.arange(100))
+        assert a.to_bytes() == b.to_bytes()
+
+    def test_roundtrip(self):
+        c = CountMinSketch(depth=3, width=64).update(np.arange(1000) % 7)
+        c2 = sketch_from_bytes("cms", c.to_bytes())
+        assert c2.query(3) == c.query(3)
+
+
+# -------------------------------------------------------------- Bloom
+class TestBloom:
+    def test_no_false_negatives(self):
+        bf = BloomFilter(capacity=10_000, fpr=0.01)
+        vals = np.array([f"k{i}" for i in range(10_000)], dtype=object)
+        bf.update(vals)
+        assert bf.contains(vals).all()
+
+    def test_fpr_bound(self):
+        bf = BloomFilter(capacity=10_000, fpr=0.01)
+        bf.update(np.array([f"k{i}" for i in range(10_000)], dtype=object))
+        probes = np.array([f"absent{i}" for i in range(20_000)], dtype=object)
+        fpr = bf.contains(probes).mean()
+        assert fpr < 0.02  # 2x target
+
+    def test_merge_bitwise_order_independent(self):
+        vals = np.array([f"k{i}" for i in range(20_000)], dtype=object)
+        single = BloomFilter(capacity=30_000).update(vals)
+        for parts in (2, 4, 8):
+            merged = BloomFilter(capacity=30_000)
+            for c in _split_shuffled(vals, parts, seed=parts):
+                merged.merge(BloomFilter(capacity=30_000).update(c))
+            assert merged.to_bytes() == single.to_bytes()
+
+    def test_roundtrip(self):
+        bf = BloomFilter(capacity=100).update(np.array(["a", "b"], dtype=object))
+        bf2 = sketch_from_bytes("bloom", bf.to_bytes())
+        assert "a" in bf2 and "b" in bf2
+
+
+# ---------------------------------------------------------------- KLL
+class TestKLL:
+    def test_exact_when_small(self):
+        k = KLLSketch(k=200)
+        k.update(np.arange(100, dtype=np.float64))
+        assert k.quantile(0.5) == pytest.approx(50, abs=1)
+
+    @pytest.mark.parametrize("dist", ["uniform", "lognormal", "zipfy"])
+    def test_rank_error_bound(self, dist):
+        rng = np.random.default_rng(7)
+        n = 200_000
+        if dist == "uniform":
+            data = rng.uniform(0, 1, n)
+        elif dist == "lognormal":
+            data = rng.lognormal(5, 1, n)
+        else:
+            data = rng.zipf(1.5, n).astype(np.float64)
+        sk = KLLSketch(k=200)
+        sk.update(data)
+        data_sorted = np.sort(data)
+        eps = 3 * sk.rank_error
+        for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+            est = sk.quantile(q)
+            # value-domain check robust to atoms/ties: the estimate must
+            # lie between the exact values at ranks q +- eps
+            lo = data_sorted[max(0, int(np.floor((q - eps) * n)))]
+            hi = data_sorted[min(n - 1, int(np.ceil((q + eps) * n)))]
+            assert lo <= est <= hi
+
+    def test_merge_rank_error_bound(self):
+        rng = np.random.default_rng(11)
+        data = rng.normal(0, 1, 100_000)
+        merged = KLLSketch(k=200)
+        for c in _split_shuffled(data, 8, seed=3):
+            merged.merge(KLLSketch(k=200).update(c))
+        assert merged.n == 100_000
+        data_sorted = np.sort(data)
+        for q in (0.1, 0.5, 0.9):
+            est = merged.quantile(q)
+            true_rank = np.searchsorted(data_sorted, est, side="right") / len(data)
+            assert abs(true_rank - q) < 4 * merged.rank_error
+
+    def test_roundtrip(self):
+        sk = KLLSketch().update(np.arange(10_000, dtype=np.float64))
+        sk2 = sketch_from_bytes("kll", sk.to_bytes())
+        assert sk2.quantile(0.5) == sk.quantile(0.5)
+        assert sk2.n == sk.n
+
+
+# ------------------------------------------------------------ TDigest
+class TestTDigest:
+    def test_quantiles_uniform(self):
+        rng = np.random.default_rng(5)
+        data = rng.uniform(0, 100, 100_000)
+        td = TDigest(delta=200).update(data)
+        for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+            assert td.quantile(q) == pytest.approx(100 * q, abs=1.0)
+
+    def test_tail_accuracy(self):
+        rng = np.random.default_rng(6)
+        data = rng.lognormal(0, 2, 200_000)
+        td = TDigest(delta=200).update(data)
+        data_sorted = np.sort(data)
+        for q in (0.001, 0.999):
+            est = td.quantile(q)
+            true_rank = np.searchsorted(data_sorted, est, side="right") / len(data)
+            assert abs(true_rank - q) < 0.005
+
+    def test_merge_within_bound(self):
+        rng = np.random.default_rng(8)
+        data = rng.normal(50, 10, 100_000)
+        merged = TDigest(delta=200)
+        for c in _split_shuffled(data, 10, seed=2):
+            merged.merge(TDigest(delta=200).update(c))
+        data_sorted = np.sort(data)
+        for q in (0.1, 0.5, 0.9):
+            est = merged.quantile(q)
+            true_rank = np.searchsorted(data_sorted, est, side="right") / len(data)
+            assert abs(true_rank - q) < 0.02
+
+    def test_min_max_exact(self):
+        td = TDigest().update(np.array([3.0, 1.0, 9.0]))
+        assert td.quantile(0.0) == 1.0
+        assert td.quantile(1.0) == 9.0
+
+    def test_roundtrip(self):
+        td = TDigest().update(np.arange(5000, dtype=np.float64))
+        td2 = sketch_from_bytes("tdigest", td.to_bytes())
+        assert td2.quantile(0.5) == pytest.approx(td.quantile(0.5), rel=1e-9)
+
+
+# ------------------------------------------------------ BoundedCounter
+class TestBoundedCounter:
+    def test_exact_until_bound(self):
+        c = BoundedCounter(bound=100)
+        c.update(np.array(["a"] * 5 + ["b"] * 3, dtype=object))
+        assert c.query("a") == 5 and c.query("b") == 3
+
+    def test_freeze_at_bound(self):
+        c = BoundedCounter(bound=10)
+        c.update(np.array([f"v{i}" for i in range(10)], dtype=object))
+        assert c.frozen
+        c.update(np.array(["new_value"], dtype=object))
+        assert c.query("new_value") == 0  # frozen, ref counting_counters_ordinary.py:15-21
+
+    def test_merge_sums(self):
+        a = BoundedCounter(bound=100).update(np.array(["x", "x"], dtype=object))
+        b = BoundedCounter(bound=100).update(np.array(["x", "y"], dtype=object))
+        a.merge(b)
+        assert a.query("x") == 3 and a.query("y") == 1
+
+    def test_merge_truncates_deterministically(self):
+        a = BoundedCounter(bound=2).update(np.array(["a"] * 5 + ["b"] * 4, dtype=object))
+        b = BoundedCounter(bound=2)
+        b.counts.update({"c": 3, "d": 9})
+        a.merge(b)
+        assert set(a.counts) == {"a", "d"}  # top-2 by count
+
+    def test_roundtrip(self):
+        c = BoundedCounter(bound=5).update(np.array(["q"] * 3, dtype=object))
+        c2 = sketch_from_bytes("counter", c.to_bytes())
+        assert c2.query("q") == 3
