@@ -1,0 +1,68 @@
+"""Derived web features over the pages table (north-rule additions).
+
+SURVEY.md §2.3 (last row): url host/TLD, text length, token counts,
+timestamp buckets, token n-gram hashes — all as *built-in* Spark
+column expressions so they stay inside WholeStageCodegen and Catalyst
+can prune/push down around them.  No Python runs per row anywhere
+here; the only UDF-shaped thing (html -> text extraction check) is
+also a built-in regexp.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "with_web_features",
+    "extract_text_from_html",
+    "WEB_FEATURE_COLS",
+]
+
+WEB_FEATURE_COLS = [
+    "host", "tld", "text_len", "n_token", "ts_hour", "ts_day",
+]
+
+
+def with_web_features(pages: DataFrame) -> DataFrame:
+    """host, tld, text_len, n_token, hour/day buckets as F.* exprs."""
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    return (
+        pages
+        .withColumn("host", host)
+        # everything after the first label ("site0000.co.uk" -> "co.uk")
+        .withColumn("tld", F.regexp_replace(F.col("host"), r"^[^.]+\.", ""))
+        .withColumn("text_len", F.length("text"))
+        .withColumn("n_token", F.size(F.split(F.col("text"), " ")))
+        .withColumn("ts_hour", F.date_trunc("hour", F.col("warc_ts")))
+        .withColumn("ts_day", F.date_trunc("day", F.col("warc_ts")))
+    )
+
+
+def with_token_ngram_hashes(pages: DataFrame, n: int = 3,
+                            col: str = "text",
+                            out: str = "ngram_hashes") -> DataFrame:
+    """Array of xxhash64 values of token n-grams (shingles), fully
+    JVM-side: split -> sliding slices -> xxhash64.  Explode downstream
+    to sketch shingle cardinality / feed MinHash."""
+    toks = F.split(F.col(col), " ")
+    expr = (
+        f"transform(sequence(0, greatest(size(split({col}, ' ')) - {n}, -1)), "
+        f"i -> xxhash64(concat_ws(' ', slice(split({col}, ' '), i + 1, {n}))))"
+    )
+    return pages.withColumn(out, F.expr(expr)).withColumn(
+        out, F.when(F.size(toks) >= n, F.col(out)).otherwise(F.array()),
+    )
+
+
+def extract_text_from_html(pages: DataFrame,
+                           out: str = "extracted_text") -> DataFrame:
+    """Deterministic text extractor over the binary html column.
+
+    The fixture html wraps text as <body>...</body>; the north-rule
+    per-row invariant is that this extraction equals the stored
+    ``text`` byte-identically (BASELINE.json input_hint).
+    """
+    return pages.withColumn(
+        out,
+        F.regexp_extract(F.decode(F.col("html"), "UTF-8"),
+                         "<body>(.*)</body>", 1),
+    )

@@ -1,0 +1,232 @@
+"""Distributed sketch building: the engine's core aggregation operator.
+
+The reference accumulates its sketches in module-level dicts mutated
+batch-by-batch on one process (core_ranking.py:41-44, 439-462).  Here
+the same state is a *mergeable UDAF* executed in three stages
+(SURVEY.md §3.1 "Spark lifecycle equivalent"):
+
+  stage 1  ``mapInPandas`` over only the requested columns (Catalyst
+           prunes the scan to exactly those) — each partition builds
+           one local sketch per (column, kind) in a single vectorized
+           pass and emits it as a serialized blob row;
+  stage 2  associative merge of the blobs, either
+           * ``grouped``: ``groupBy(column, kind)`` + ``applyInPandas``
+             reduce — merges all columns' partials in parallel across
+             the cluster (one small shuffle of P x C x K blob rows), or
+           * ``tree``: ``RDD.treeAggregate`` of {key -> blob} dicts
+             with logarithmic depth — the north-rule treeReduce path,
+             best when C x K is small and P is huge;
+  stage 3  tiny final collect -> :class:`SketchCollection` on the
+           driver.
+
+Because every kernel's merge is associative + commutative (max / or /
+add), any partitioning or merge order produces identical final state —
+tested bitwise in tests/test_spark_sketch_build.py.
+
+Skewed *grouped* sketches (per-host etc.) are handled in
+:func:`build_grouped_sketches` by salting the hot keys before a
+two-level merge — sketches are mergeable, so salting is exact.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from outrank_spark.sketches import SKETCH_REGISTRY, sketch_from_bytes
+
+__all__ = ["SketchPlan", "SketchCollection", "build_sketches",
+           "build_grouped_sketches"]
+
+_NUMERIC_ONLY = {"kll", "tdigest"}
+_BLOB_SCHEMA = "column string, kind string, blob binary"
+
+
+@dataclass
+class SketchPlan:
+    """Which sketches to build, with parameters, per column class.
+
+    ``sketches``: kind -> ctor kwargs.  Numeric-only kinds (kll,
+    tdigest) are applied just to ``numeric_columns``.
+    """
+
+    columns: list[str]
+    numeric_columns: list[str] = field(default_factory=list)
+    sketches: dict[str, dict] = field(
+        default_factory=lambda: {"hll": {"p": 14}},
+    )
+
+    def keys(self) -> list[tuple[str, str]]:
+        out = []
+        for col in self.columns:
+            for kind in self.sketches:
+                if kind in _NUMERIC_ONLY and col not in self.numeric_columns:
+                    continue
+                out.append((col, kind))
+        return out
+
+    def make(self, kind: str):
+        return SKETCH_REGISTRY[kind](**self.sketches[kind])
+
+
+class SketchCollection(dict):
+    """{(column, kind) -> sketch} with a summary finalizer."""
+
+    def summary(self) -> pd.DataFrame:
+        rows = []
+        for (col, kind), sk in sorted(self.items()):
+            row = {"column": col, "kind": kind}
+            if kind in ("hll", "parity_hll"):
+                row["estimate"] = sk.estimate()
+            elif kind == "cms":
+                row["estimate"] = sk.total
+            elif kind == "bloom":
+                row["estimate"] = sk.estimated_fpr()
+            elif kind in ("kll", "tdigest"):
+                row["estimate"] = sk.quantile(0.5)
+            elif kind == "counter":
+                row["estimate"] = len(sk)
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    def cardinality(self, col: str) -> int:
+        for kind in ("hll", "parity_hll"):
+            if (col, kind) in self:
+                return self[(col, kind)].estimate()
+        raise KeyError(f"no cardinality sketch for {col}")
+
+
+def _build_partition(plan: SketchPlan):
+    """Stage-1 worker: one pass over the partition's Arrow batches."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = {key: plan.make(kind) for key in plan.keys()
+                 for kind in [key[1]]}
+        saw = False
+        for pdf in batches:
+            saw = True
+            for (col, kind), sk in local.items():
+                vals = pdf[col]
+                if kind in _NUMERIC_ONLY:
+                    sk.update(pd.to_numeric(vals, errors="coerce").to_numpy())
+                else:
+                    sk.update(vals.dropna().to_numpy())
+        if saw:
+            yield pd.DataFrame(
+                {
+                    "column": [c for c, _ in local],
+                    "kind": [k for _, k in local],
+                    "blob": [sk.to_bytes() for sk in local.values()],
+                },
+            )
+
+    return fn
+
+
+def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Stage-2 grouped reducer: fold a group's partial blobs."""
+    acc = None
+    kind = pdf["kind"].iloc[0]
+    for blob in pdf["blob"]:
+        sk = sketch_from_bytes(kind, bytes(blob))
+        acc = sk if acc is None else acc.merge(sk)
+    return pd.DataFrame(
+        {"column": [pdf["column"].iloc[0]], "kind": [kind],
+         "blob": [acc.to_bytes()]},
+    )
+
+
+def build_sketches(df, plan: SketchPlan,
+                   merge: str = "grouped") -> SketchCollection:
+    """Build all sketches in ``plan`` over ``df`` in one scan."""
+    cols = list(dict.fromkeys(plan.columns))
+    pruned = df.select(*cols)  # column pruning reaches the scan
+    blobs = pruned.mapInPandas(_build_partition(plan), schema=_BLOB_SCHEMA)
+
+    if merge == "grouped":
+        merged = (
+            blobs.groupBy("column", "kind")
+            .applyInPandas(_merge_group, schema=_BLOB_SCHEMA)
+            .collect()
+        )
+        out = SketchCollection()
+        for row in merged:
+            out[(row["column"], row["kind"])] = sketch_from_bytes(
+                row["kind"], bytes(row["blob"]),
+            )
+        return out
+
+    if merge == "tree":
+        rdd = blobs.rdd.map(
+            lambda r: {(r["column"], r["kind"]): bytes(r["blob"])},
+        )
+        n_parts = max(rdd.getNumPartitions(), 2)
+        depth = max(2, int(math.ceil(math.log(n_parts, 4))))
+
+        def seq_comb(a: dict, b: dict) -> dict:
+            for key, blob in b.items():
+                if key in a:
+                    merged_sk = sketch_from_bytes(key[1], a[key]).merge(
+                        sketch_from_bytes(key[1], blob),
+                    )
+                    a[key] = merged_sk.to_bytes()
+                else:
+                    a[key] = blob
+            return a
+
+        final = rdd.treeAggregate({}, seq_comb, seq_comb, depth=depth)
+        return SketchCollection(
+            {key: sketch_from_bytes(key[1], blob)
+             for key, blob in final.items()},
+        )
+
+    raise ValueError(f"unknown merge strategy {merge!r}")
+
+
+def build_grouped_sketches(df, key_col: str, value_col: str,
+                           kind: str = "hll", params: dict | None = None,
+                           salt: int = 8):
+    """Per-key sketches (e.g. distinct urls per host) with salted
+    two-level merge to defuse head-key skew (Zipfian hosts).
+
+    Returns a Spark DataFrame ``(key, blob)`` — stays distributed; the
+    caller finalizes only the keys it needs.  Exact despite salting
+    because sketch merge is associative.
+    """
+    from pyspark.sql import functions as F
+
+    params = params or {}
+    salted = df.select(
+        F.col(key_col).alias("key"), F.col(value_col).alias("val"),
+    ).withColumn("salt", F.pmod(F.xxhash64(F.col("val")), F.lit(salt)))
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = SKETCH_REGISTRY[kind](**params)
+        sk.update(pdf["val"].dropna().to_numpy())
+        return pd.DataFrame({"key": [pdf["key"].iloc[0]],
+                             "kind": [kind], "blob": [sk.to_bytes()]})
+
+    partials = salted.groupBy("key", "salt").applyInPandas(
+        partial, schema="key string, kind string, blob binary",
+    )
+    final = partials.groupBy("key").applyInPandas(
+        lambda pdf: pd.DataFrame(
+            {
+                "key": [pdf["key"].iloc[0]],
+                "blob": [_fold_blobs(kind, pdf["blob"])],
+            },
+        ),
+        schema="key string, blob binary",
+    )
+    return final
+
+
+def _fold_blobs(kind: str, blobs: Iterable[bytes]) -> bytes:
+    acc = None
+    for b in blobs:
+        sk = sketch_from_bytes(kind, bytes(b))
+        acc = sk if acc is None else acc.merge(sk)
+    return acc.to_bytes()

@@ -1,0 +1,188 @@
+"""End-to-end Spark tests: pages fixture -> derived features -> sketch
+build/merge (the SURVEY.md §7.5 minimum slice).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from outrank_spark.operators.derived import (
+    extract_text_from_html,
+    with_web_features,
+)
+from outrank_spark.operators.sketch_build import (
+    SketchPlan,
+    build_grouped_sketches,
+    build_sketches,
+)
+from outrank_spark.sketches import sketch_from_bytes
+from outrank_spark.sources import generate_pages
+
+N = 4000
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = generate_pages(spark, N, seed=42, partitions=8).cache()
+    df.count()
+    return df
+
+
+class TestPagesFixture:
+    def test_row_count_and_schema(self, pages):
+        assert pages.count() == N
+        assert [f.name for f in pages.schema.fields] == [
+            "url", "warc_ts", "html", "text", "lang",
+        ]
+
+    def test_partitioning_invariance(self, spark):
+        a = generate_pages(spark, 500, seed=42, partitions=2)
+        b = generate_pages(spark, 500, seed=42, partitions=7)
+        rows_a = sorted(a.select("url", "text", "lang").collect())
+        rows_b = sorted(b.select("url", "text", "lang").collect())
+        assert rows_a == rows_b
+
+    def test_text_extraction_byte_identical(self, pages):
+        # the north-rule per-row invariant (BASELINE.json input_hint)
+        bad = (
+            extract_text_from_html(pages)
+            .filter(F.col("extracted_text") != F.col("text"))
+            .count()
+        )
+        assert bad == 0
+
+    def test_host_skew_is_zipfian(self, pages):
+        feats = with_web_features(pages)
+        top = (
+            feats.groupBy("host").count()
+            .orderBy(F.desc("count")).first()
+        )
+        assert top["host"] == "site0000.com"
+        assert top["count"] / N > 0.03  # head domain holds a real share
+
+    def test_lang_distribution(self, pages):
+        langs = dict(
+            pages.groupBy("lang").count().collect()
+            and [(r["lang"], r["count"]) for r in pages.groupBy("lang").count().collect()],
+        )
+        assert langs["en"] / N == pytest.approx(0.5, abs=0.05)
+
+
+class TestWebFeatures:
+    def test_feature_values(self, pages):
+        row = (
+            with_web_features(pages)
+            .select("url", "host", "tld", "text_len", "n_token")
+            .first()
+        )
+        assert row["url"].startswith("https://" + row["host"] + "/")
+        assert row["host"].endswith("." + row["tld"])
+        assert row["text_len"] > 0
+        assert row["n_token"] >= 3
+
+    def test_multi_label_tld(self, pages):
+        tlds = {
+            r["tld"]
+            for r in with_web_features(pages).select("tld").distinct().collect()
+        }
+        assert "co.uk" in tlds  # multi-label TLD preserved
+
+    def test_plan_stays_jvm_side(self, pages):
+        # derived features must not introduce Python eval nodes
+        plan = with_web_features(pages)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
+class TestBuildSketches:
+    @pytest.fixture(scope="class")
+    def feats(self, pages):
+        df = with_web_features(pages).cache()
+        df.count()
+        return df
+
+    def test_hll_matches_exact_within_bound(self, feats):
+        plan = SketchPlan(
+            columns=["host", "tld", "lang", "url"],
+            sketches={"hll": {"p": 14}},
+        )
+        skc = build_sketches(feats, plan)
+        for col in ["host", "tld", "lang", "url"]:
+            exact = feats.select(F.countDistinct(col)).first()[0]
+            est = skc.cardinality(col)
+            assert abs(est - exact) / max(exact, 1) < 4 * 1.04 / np.sqrt(2 ** 14), col
+
+    def test_grouped_equals_tree_bitwise(self, feats):
+        plan = SketchPlan(
+            columns=["host", "lang"],
+            sketches={"hll": {"p": 12}, "cms": {"depth": 4, "width": 2 ** 12}},
+        )
+        a = build_sketches(feats, plan, merge="grouped")
+        b = build_sketches(feats, plan, merge="tree")
+        assert set(a) == set(b)
+        for key in a:
+            assert a[key].to_bytes() == b[key].to_bytes(), key
+
+    def test_repartition_invariance_bitwise(self, feats):
+        plan = SketchPlan(columns=["host"], sketches={"hll": {"p": 12}})
+        a = build_sketches(feats.repartition(3), plan)
+        b = build_sketches(feats.repartition(16), plan)
+        assert a[("host", "hll")].to_bytes() == b[("host", "hll")].to_bytes()
+
+    def test_numeric_sketches(self, feats):
+        plan = SketchPlan(
+            columns=["text_len"],
+            numeric_columns=["text_len"],
+            sketches={"kll": {"k": 200}, "tdigest": {"delta": 200}},
+        )
+        skc = build_sketches(feats, plan)
+        exact_median = feats.selectExpr("percentile(text_len, 0.5)").first()[0]
+        assert skc[("text_len", "kll")].quantile(0.5) == pytest.approx(
+            exact_median, rel=0.1,
+        )
+        assert skc[("text_len", "tdigest")].quantile(0.5) == pytest.approx(
+            exact_median, rel=0.05,
+        )
+
+    def test_cms_frequencies(self, feats):
+        plan = SketchPlan(
+            columns=["lang"], sketches={"cms": {"depth": 6, "width": 2 ** 12}},
+        )
+        skc = build_sketches(feats, plan)
+        cms = skc[("lang", "cms")]
+        exact = dict(
+            (r["lang"], r["count"])
+            for r in feats.groupBy("lang").count().collect()
+        )
+        for lang, cnt in exact.items():
+            assert cms.query(lang) >= cnt
+            assert cms.query(lang) <= cnt + cms.epsilon * N
+
+    def test_summary_frame(self, feats):
+        plan = SketchPlan(columns=["lang"], sketches={"hll": {"p": 12}})
+        df = build_sketches(feats, plan).summary()
+        assert set(df.columns) == {"column", "kind", "estimate"}
+        assert len(df) == 1
+
+
+class TestGroupedSketches:
+    def test_per_host_distinct_urls(self, pages, spark):
+        feats = with_web_features(pages)
+        per_host = build_grouped_sketches(
+            feats, "host", "url", kind="hll", params={"p": 12}, salt=4,
+        ).collect()
+        est = {
+            r["key"]: sketch_from_bytes("hll", bytes(r["blob"])).estimate()
+            for r in per_host
+        }
+        exact = {
+            r["host"]: r["cnt"]
+            for r in feats.groupBy("host")
+            .agg(F.countDistinct("url").alias("cnt"))
+            .collect()
+        }
+        # head host (skewed) plus a tail host must both be within bound
+        top = max(exact, key=exact.get)
+        for host in [top, min(exact, key=exact.get)]:
+            assert abs(est[host] - exact[host]) / max(exact[host], 1) < 0.1
