@@ -1,0 +1,152 @@
+"""Pluggable pairwise scoring heuristics.
+
+Counterpart of the reference's dispatcher
+(``importance_estimator.py:92-122`` ``conduct_feature_ranking``).
+Every heuristic consumes two batch-local int32 code vectors (pandas
+category codes — core_ranking.py:108-117) and returns a float score.
+
+Supported here (no sklearn/scipy in this environment):
+  MI                    exact plug-in mutual information from the
+                        contingency table — numerically what
+                        ``mutual_info_classif(discrete_features=True)``
+                        computes for discrete pairs
+  MI-numba              entropy-difference estimator (no correction)
+  MI-numba-randomized   + cardinality-noise correction (default)
+  MI-numba-3mr          scored like MI-numba-randomized; the 3MR
+                        post-processing consumes the triplets
+  AMI                   adjusted mutual information (expected-MI
+                        correction under the permutation model,
+                        Vinh et al. 2010) — exact, vectorized
+  correlation-Pearson   plain Pearson r (np.corrcoef)
+  max-value-coverage    share of the most frequent value pair
+  Constant              0.0 (rare-value / transformer-summary tasks)
+
+``surrogate-*`` model-fit heuristics need sklearn and raise
+NotImplementedError with a clear message (documented divergence).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from outrank_spark.functions.coverage import max_pair_coverage
+from outrank_spark.functions.mi import densify, mutual_info_estimator
+
+__all__ = ["score_pair", "exact_mi", "adjusted_mi", "HEURISTICS"]
+
+
+def _contingency(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    x = densify(x)
+    y = densify(y)
+    nx = int(x.max()) + 1 if x.size else 0
+    ny = int(y.max()) + 1 if y.size else 0
+    return np.bincount(
+        x.astype(np.int64) * ny + y, minlength=nx * ny,
+    ).reshape(nx, ny)
+
+
+def exact_mi(x: np.ndarray, y: np.ndarray) -> float:
+    """Plug-in MI in nats from the exact contingency table."""
+    cont = _contingency(x, y)
+    n = cont.sum()
+    if n == 0:
+        return 0.0
+    pxy = cont / n
+    px = pxy.sum(axis=1, keepdims=True)
+    py = pxy.sum(axis=0, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        term = pxy * np.log(pxy / (px * py))
+    return float(np.nansum(term))
+
+
+def _expected_mi(a: np.ndarray, b: np.ndarray, n: int) -> float:
+    """Exact E[MI] under the hypergeometric permutation model, with the
+    log-factorial table trick (no scipy needed)."""
+    lg = np.zeros(n + 1)
+    lg[1:] = np.cumsum(np.log(np.arange(1, n + 1)))
+
+    def logfact(k):
+        return lg[k]
+
+    emi = 0.0
+    logn = np.log(n)
+    for ai in a:
+        if ai == 0:
+            continue
+        for bj in b:
+            if bj == 0:
+                continue
+            lo = max(1, ai + bj - n)
+            hi = min(ai, bj)
+            if hi < lo:
+                continue
+            nij = np.arange(lo, hi + 1)
+            term1 = (nij / n) * (np.log(nij) + logn - np.log(ai) - np.log(bj))
+            logp = (
+                logfact(ai) + logfact(bj) + logfact(n - ai) + logfact(n - bj)
+                - logfact(n)
+                - lg[nij] - lg[ai - nij] - lg[bj - nij] - lg[n - ai - bj + nij]
+            )
+            emi += float((term1 * np.exp(logp)).sum())
+    return emi
+
+
+def adjusted_mi(x: np.ndarray, y: np.ndarray) -> float:
+    """AMI_max (Vinh, Epps, Bailey JMLR 2010): (MI - E[MI]) / (max(H) - E[MI]),
+    with E[MI] the exact hypergeometric expectation under the
+    permutation model."""
+    cont = _contingency(x, y)
+    n = int(cont.sum())
+    if n == 0:
+        return 0.0
+    a = cont.sum(axis=1)
+    b = cont.sum(axis=0)
+    mi = exact_mi(x, y)
+    pa = a[a > 0] / n
+    pb = b[b > 0] / n
+    ha = float(-(pa * np.log(pa)).sum())
+    hb = float(-(pb * np.log(pb)).sum())
+    if ha == 0.0 and hb == 0.0:
+        return 1.0
+    emi = _expected_mi(a, b, n)
+    denom = max(ha, hb) - emi
+    if denom == 0:
+        return 0.0
+    return float((mi - emi) / denom)
+
+
+def score_pair(first: np.ndarray, second: np.ndarray, heuristic: str,
+               mi_stratified_sampling_ratio: float = 1.0) -> float:
+    if heuristic == "MI":
+        return exact_mi(first, second)
+    if heuristic in ("MI-numba", "MI-numba-3mr"):
+        return float(
+            mutual_info_estimator(first, second, 1.0, False),
+        )
+    if heuristic == "MI-numba-randomized":
+        return float(
+            mutual_info_estimator(
+                first, second,
+                np.float32(mi_stratified_sampling_ratio), True,
+            ),
+        )
+    if heuristic == "AMI":
+        return adjusted_mi(first, second)
+    if heuristic == "correlation-Pearson":
+        with np.errstate(invalid="ignore"):
+            return float(np.corrcoef(first, second)[0, 1])
+    if heuristic == "max-value-coverage":
+        return max_pair_coverage(first, second)
+    if heuristic == "Constant":
+        return 0.0
+    if heuristic.startswith("surrogate-"):
+        raise NotImplementedError(
+            f"{heuristic} requires sklearn, unavailable in this build; "
+            "use MI / MI-numba-randomized / AMI",
+        )
+    raise ValueError(f"unknown heuristic {heuristic!r}")
+
+
+HEURISTICS = [
+    "MI", "MI-numba", "MI-numba-randomized", "MI-numba-3mr", "AMI",
+    "correlation-Pearson", "max-value-coverage", "Constant",
+]

@@ -1,0 +1,146 @@
+"""Distributed pairwise feature scoring.
+
+The reference scores each minibatch's column pairs on a process pool
+(core_ranking.py:139-151).  Spark-first re-expression: minibatches
+become *groups* of a deterministic batch key, and one ``applyInPandas``
+call scores every planned pair inside the group's Arrow batch — batch
+semantics (batch-local category codes, row-order-dependent spoof
+correction) are preserved because each group is sorted by a stable row
+key before encoding.
+
+Scale shape: at 10^12 rows the sampled scoring input is millions of
+minibatches; parallelism is batch-level (each task scores ~|pairs|
+vectorized numpy kernels over <= 2^14-row vectors), which keeps tasks
+uniform and avoids shuffling the full table — only the subsampled
+scoring columns move.  For the inverse regime (one batch, huge pair
+count) ``score_single_batch_distributed`` broadcasts the encoded batch
+and fans out over pairs instead.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from outrank_spark.functions.heuristics import score_pair
+
+__all__ = ["deterministic_subsample", "assign_batches", "score_batches",
+           "score_single_batch_distributed", "symmetrize"]
+
+_TRIPLET_SCHEMA = "batch_id long, feature_a string, feature_b string, score double"
+
+
+def deterministic_subsample(df: DataFrame, every_nth: int,
+                            key_cols: Sequence[str] | None = None) -> DataFrame:
+    """Keep ~1/n of rows, reproducibly and order-free.
+
+    The reference keeps every n-th *line* (core_ranking.py:641-642) —
+    an order-dependent notion that does not survive distribution;
+    SURVEY.md §2.2 maps it to a hash-mod filter on a stable key
+    (xxhash64 of the key columns), which is reproducible across any
+    partitioning and pushes down to the scan.
+    """
+    if every_nth <= 1:
+        return df
+    key = (F.xxhash64(*[F.col(c) for c in key_cols]) if key_cols
+           else F.xxhash64(*[F.col(c) for c in df.columns]))
+    return df.filter(F.pmod(key, F.lit(every_nth)) == 0)
+
+
+def assign_batches(df: DataFrame, n_batches: int,
+                   key_cols: Sequence[str] | None = None) -> DataFrame:
+    """Add ``batch_id`` + stable intra-batch order key ``_rk``."""
+    cols = [F.col(c) for c in (key_cols or df.columns)]
+    key = F.xxhash64(*cols)
+    return (
+        df.withColumn("_rk", key)
+        .withColumn("batch_id", F.pmod(F.col("_rk"), F.lit(n_batches)))
+    )
+
+
+def _encode_codes(pdf: pd.DataFrame, columns: Sequence[str]) -> dict[str, np.ndarray]:
+    """Batch-local dense int32 codes — the reference's scoring value
+    domain (core_ranking.py:108-117)."""
+    return {
+        c: pdf[c].astype("category").cat.codes.to_numpy(np.int32)
+        for c in columns
+    }
+
+
+def _score_block(codes: dict[str, np.ndarray],
+                 pairs: Sequence[tuple[str, str]], heuristic: str,
+                 label_column: str, ratio: float) -> list[tuple[str, str, float]]:
+    out = []
+    for a, b in pairs:
+        f1, f2 = (b, label_column) if a == label_column else (a, b)
+        score = score_pair(codes[f1], codes[f2], heuristic, ratio)
+        out.append((a, b, float(score)))
+    return out
+
+
+def score_batches(df: DataFrame, columns: Sequence[str],
+                  pairs: Sequence[tuple[str, str]], heuristic: str,
+                  label_column: str, n_batches: int,
+                  mi_stratified_sampling_ratio: float = 1.0,
+                  key_cols: Sequence[str] | None = None) -> DataFrame:
+    """Score all planned pairs per minibatch; returns the triplet
+    relation ``(batch_id, feature_a, feature_b, score)``."""
+    pairs = [tuple(p) for p in pairs]
+    batched = assign_batches(df.select(*columns), n_batches,
+                             key_cols=columns if key_cols is None else key_cols)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_rk", kind="stable").reset_index(drop=True)
+        codes = _encode_codes(pdf, columns)
+        triplets = _score_block(codes, pairs, heuristic, label_column,
+                                mi_stratified_sampling_ratio)
+        bid = int(pdf["batch_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "batch_id": bid,
+                "feature_a": [t[0] for t in triplets],
+                "feature_b": [t[1] for t in triplets],
+                "score": [t[2] for t in triplets],
+            },
+        )
+
+    return batched.groupBy("batch_id").applyInPandas(fn, schema=_TRIPLET_SCHEMA)
+
+
+def score_single_batch_distributed(spark, pdf: pd.DataFrame,
+                                   columns: Sequence[str],
+                                   pairs: Sequence[tuple[str, str]],
+                                   heuristic: str, label_column: str,
+                                   mi_stratified_sampling_ratio: float = 1.0,
+                                   parallelism: int | None = None) -> pd.DataFrame:
+    """Pair-level fan-out: broadcast one encoded batch, parallelize the
+    pair list (the reference's process-pool shape, on Spark tasks)."""
+    codes = _encode_codes(pdf, columns)
+    bc = spark.sparkContext.broadcast(codes)
+    pairs = [tuple(p) for p in pairs]
+    n = parallelism or spark.sparkContext.defaultParallelism
+
+    def run(chunk):
+        local = bc.value
+        return _score_block(local, list(chunk), heuristic, label_column,
+                            mi_stratified_sampling_ratio)
+
+    chunks = [pairs[i::n] for i in range(n) if pairs[i::n]]
+    scored = (
+        spark.sparkContext.parallelize(chunks, len(chunks))
+        .flatMap(run).collect()
+    )
+    return pd.DataFrame(scored, columns=["feature_a", "feature_b", "score"])
+
+
+def symmetrize(triplets: DataFrame) -> DataFrame:
+    """Emit both (a,b,s) and (b,a,s) — core_ranking.py:156-165."""
+    swapped = triplets.select(
+        "batch_id",
+        F.col("feature_b").alias("feature_a"),
+        F.col("feature_a").alias("feature_b"),
+        "score",
+    )
+    return triplets.unionByName(swapped)

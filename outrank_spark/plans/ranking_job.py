@@ -1,0 +1,193 @@
+"""End-to-end feature-ranking pipeline (the flagship job).
+
+Spark lifecycle equivalent of the reference's ``--task ranking`` +
+``--task ranking_summary`` (task_ranking.py:37-303, task_summary.py;
+SURVEY.md §3.1):
+
+  1. deterministic subsample of the input (hash-mod, order-free);
+  2. ONE vectorized scan building all per-column sketches
+     (parity-HLL cardinality, bounded counter, CMS) via the mergeable
+     sketch operator + exact one-pass coverage/bounds aggregates;
+  3. minibatch pair scoring: batch assignment -> ``applyInPandas``
+     scoring of the planned pair list -> symmetrized triplets;
+  4. median-of-batches aggregation: ``groupBy(a, b).agg(median)``;
+  5. driver-side finalization: ``name-(card; cov)`` feature renaming
+     (task_ranking.py:247-268), singles summary with min-max
+     normalization for MI heuristics (task_summary.py:33-48),
+     interaction re-aggregation, 3MR post-processing.
+
+Stages 2 and 3 are the only passes over data; both shuffle a tiny
+fraction of the input (sketch blobs / subsampled scoring columns).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from outrank_spark.operators.pair_scoring import (
+    deterministic_subsample,
+    score_batches,
+    symmetrize,
+)
+from outrank_spark.operators.sketch_build import SketchPlan, build_sketches
+from outrank_spark.plans.combinations import CombinationPlanner
+
+__all__ = ["RankingConfig", "RankingResult", "run_ranking",
+           "feature_singles_summary", "aggregate_interactions"]
+
+
+@dataclass
+class RankingConfig:
+    """Mirrors the reference CLI defaults (__main__.py:38-253)."""
+
+    label_column: str = "label"
+    heuristic: str = "MI-numba-randomized"
+    target_ranking_only: bool = True
+    combination_number_upper_bound: int = 2 ** 15
+    minibatch_size: int = 2 ** 14
+    subsampling: int = 1
+    mi_stratified_sampling_ratio: float = 1.0
+    include_cardinality_in_feature_names: bool = True
+    missing_value_symbols: tuple[str, ...] = ("", "{}")
+    feature_columns: list[str] | None = None
+    interaction_order: int = 1
+    max_unique_hist_constraint: int = 30_000
+    seed: int = 123
+    cms_depth: int = 6
+    cms_width: int = 2 ** 15
+
+
+@dataclass
+class RankingResult:
+    pairwise: pd.DataFrame          # FeatureA, FeatureB, Score (asc)
+    singles: pd.DataFrame           # Feature, Score <heuristic>
+    sketches: dict                  # SketchCollection
+    coverage: dict[str, float]      # column -> mean non-missing %
+    cardinalities: dict[str, int]   # column -> HLL estimate
+    planner: CombinationPlanner = field(default=None)
+    triplets_raw: pd.DataFrame = field(default=None)  # pre-rename medians
+
+
+def _coverage_exact(df: DataFrame, columns: list[str],
+                    missing: tuple[str, ...]) -> dict[str, float]:
+    """Exact one-pass coverage: 100 * avg(value not missing) — the
+    whole-data upgrade of the reference's batch-mean
+    (core_ranking.py:375-391; SURVEY.md §2.4)."""
+    aggs = [
+        F.avg(
+            F.when(
+                F.col(c).isNull() | F.col(c).cast("string").isin(*missing),
+                F.lit(0.0),
+            ).otherwise(F.lit(1.0)),
+        ).alias(c)
+        for c in columns
+    ]
+    row = df.agg(*aggs).first()
+    return {c: 100.0 * row[c] for c in columns}
+
+
+def run_ranking(spark, df: DataFrame, cfg: RankingConfig,
+                planner: CombinationPlanner | None = None) -> RankingResult:
+    columns = cfg.feature_columns or list(df.columns)
+    planner = planner or CombinationPlanner(seed=cfg.seed)
+
+    sub = deterministic_subsample(df.select(*columns), cfg.subsampling,
+                                  key_cols=columns)
+    sub = sub.cache()
+    n_rows = sub.count()
+    n_batches = max(1, math.ceil(n_rows / cfg.minibatch_size))
+
+    # --- sketch scan (cardinality + counts) --------------------------
+    plan = SketchPlan(
+        columns=columns,
+        sketches={
+            "parity_hll": {},
+            "counter": {"bound": cfg.max_unique_hist_constraint},
+            "cms": {"depth": cfg.cms_depth, "width": cfg.cms_width},
+        },
+    )
+    sketches = build_sketches(sub, plan)
+    cards = {c: sketches[(c, "parity_hll")].estimate() for c in columns}
+    coverage = _coverage_exact(sub, columns, cfg.missing_value_symbols)
+
+    # --- pair scoring ------------------------------------------------
+    pairs = planner.plan(columns, cfg.label_column, cfg.heuristic,
+                         cfg.target_ranking_only,
+                         cfg.combination_number_upper_bound)
+    triplets = score_batches(
+        sub, columns, pairs, cfg.heuristic, cfg.label_column, n_batches,
+        cfg.mi_stratified_sampling_ratio,
+    )
+    grouped = (
+        symmetrize(triplets)
+        .groupBy("feature_a", "feature_b")
+        .agg(F.median("score").alias("score"))
+        .toPandas()
+    )
+    sub.unpersist()
+
+    # --- finalize (driver-side, small) -------------------------------
+    grouped.columns = ["FeatureA", "FeatureB", "Score"]
+    raw = grouped.copy()
+    if cfg.include_cardinality_in_feature_names:
+        def rename(name: str) -> str:
+            cov = int(round(coverage[name], 1))
+            return f"{name}-({cards[name]}; {cov})"
+
+        grouped["FeatureA"] = grouped["FeatureA"].map(rename)
+        grouped["FeatureB"] = grouped["FeatureB"].map(rename)
+    pairwise = grouped.sort_values(by=["Score"]).reset_index(drop=True)
+
+    singles = feature_singles_summary(pairwise, cfg.label_column,
+                                      cfg.heuristic)
+    return RankingResult(
+        pairwise=pairwise, singles=singles, sketches=sketches,
+        coverage=coverage, cardinalities=cards, planner=planner,
+        triplets_raw=raw,
+    )
+
+
+def feature_singles_summary(pairwise: pd.DataFrame, label_column: str,
+                            heuristic: str) -> pd.DataFrame:
+    """Port of task_summary.py:20-48 — label-touching rows, partner
+    feature extracted, per-feature median, min-max normalized for MI
+    heuristics."""
+    triplets = pairwise.sort_values(by="Score", ascending=False)
+    ranking = []
+    for _, row in triplets.iterrows():
+        fa, fb, score = row["FeatureA"], row["FeatureB"], row["Score"]
+        if label_column == fa.split("-")[0]:
+            ranking.append([fb, score])
+        elif label_column == fb.split("-")[0]:
+            ranking.append([fa, score])
+    col = f"Score {heuristic}"
+    final_df = pd.DataFrame(ranking, columns=["Feature", col])
+    final_df = (
+        final_df.groupby("Feature").median().reset_index()
+        .sort_values(by=col, ascending=False)
+    )
+    if "MI" in heuristic:
+        lo, hi = final_df[col].min(), final_df[col].max()
+        final_df[col] = (final_df[col] - lo) / (hi - lo)
+    return final_df.reset_index(drop=True)
+
+
+def aggregate_interactions(singles: pd.DataFrame, heuristic: str,
+                           interaction_order: int) -> pd.DataFrame:
+    """Port of task_summary.py:63-84 — median of member scores for
+    ``A AND B`` interaction names."""
+    score_col = f"Score {heuristic}"
+    store: dict[str, list[float]] = {}
+    for _, row in singles.iterrows():
+        fname = row["Feature"]
+        if "AND" in fname:
+            for el in fname.split("-")[0].split(" AND "):
+                store.setdefault(el, []).append(row[score_col])
+    out_col = f"Combined score (order: {interaction_order}, {heuristic})"
+    return pd.DataFrame(
+        [{"Feature": k, out_col: float(np.median(v))} for k, v in store.items()],
+    )

@@ -1,0 +1,63 @@
+"""End-to-end ranking goldens — the reference's own acceptance gates.
+
+* selftest (task_selftest.py:19-42): 100k x 100 naive matrix, default
+  config -> exactly 201 pairwise rows; the top-scoring row involves
+  ``label-(2; 100)``.
+* CI needle (benchmarks/generator_naive.py verify +
+  scripts/run_benchmarks.sh CI block): 10k x 100 bench matrix,
+  subsampling 1 -> ``f30-(81; 100)`` directly under the label in the
+  singles ranking.
+"""
+from __future__ import annotations
+
+import pytest
+
+from outrank_spark.plans import RankingConfig, run_ranking
+from outrank_spark.sources import generate_ranking_matrix
+
+
+@pytest.mark.slow
+class TestSelftestGolden:
+    @pytest.fixture(scope="class")
+    def result(self, spark):
+        df = generate_ranking_matrix(
+            spark, num_features=100, size=100_000, variant="naive",
+        )
+        cfg = RankingConfig(subsampling=10)  # reference defaults
+        return run_ranking(spark, df, cfg)
+
+    def test_201_rows(self, result):
+        assert result.pairwise.shape == (201, 3)
+
+    def test_top_feature_is_label(self, result):
+        top = result.pairwise.iloc[-1]  # sorted ascending by Score
+        assert (
+            top["FeatureA"] == "label-(2; 100)"
+            or top["FeatureB"] == "label-(2; 100)"
+        )
+
+    def test_label_cardinality_exact(self, result):
+        assert result.cardinalities["label"] == 2
+        assert result.cardinalities["f30"] == 2  # view side-effect
+
+    def test_coverage_100(self, result):
+        assert all(v == 100.0 for v in result.coverage.values())
+
+    def test_f30_needle_in_singles(self, result):
+        # f30 == label exactly, so it must sit in the top 2 singles
+        top2 = set(result.singles.head(2)["Feature"])
+        assert "f30-(2; 100)" in top2
+
+
+@pytest.mark.slow
+class TestBenchNeedleCI:
+    def test_f30_rank1(self, spark):
+        df = generate_ranking_matrix(
+            spark, num_features=100, size=10_000, variant="bench_naive",
+        )
+        cfg = RankingConfig(subsampling=1)
+        res = run_ranking(spark, df, cfg)
+        # benchmarks/generator_naive.py:66-73: singles iloc[1] (after the
+        # label itself) must be the planted needle
+        assert res.singles.iloc[0]["Feature"] == "label-(81; 100)"
+        assert res.singles.iloc[1]["Feature"] == "f30-(81; 100)"
