@@ -1,0 +1,788 @@
+"""Query suite exposed through ``__spark_entry__.py``.
+
+Each query is (a) an idiomatic DataFrame-API implementation the engine
+runs on Spark and (b) an ANSI-SQL oracle DuckDB runs on the same
+parquet — the driver's correctness gate.  Cross-engine equality rules
+used throughout:
+
+* money sums go through ``decimal(18,2)`` so addition is exact and
+  order-independent (double sums differ in the last ulp between
+  engines/partitionings);
+* float aggregates round the *inputs* to a fixed scale first, then
+  sum as decimals; final outputs are rounded doubles;
+* every result has a deterministic total order (explicit sort keys,
+  unique tiebreaks) or is a pure set compare;
+* column names are aliased identically on both sides.
+
+Sketch-backed queries (HLL cardinalities, KLL quantiles, MinHash...)
+have no SQL equivalent; they're exposed without an oracle (driver
+records a rows-only check) and their accuracy is bound-tested in
+pytest against exact aggregates.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["QUERIES", "ORACLES", "load"]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col, scale=2):
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+# --------------------------------------------------------------------
+# Relational core (scan / filter / project / agg / join / window / sort)
+# --------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: single-pass grouped aggregation with pushed
+    filter; sums exact via decimal."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(
+                    (_dec("l_extendedprice")
+                     * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))),
+                ).cast("double"),
+                2,
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_Q01 = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q02_revenue_topk(spark, sf_dir):
+    """Q3 shape: dimension joins (customer broadcast) + top-k revenue."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING",
+    )
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(
+                    _dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")),
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+ORACLE_Q02 = """
+SELECT l_orderkey,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q03_events_hourly(spark, sf_dir):
+    """Time bucketing (the warc_ts-bucket derived feature shape)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.round(F.col("value"), 3).cast("decimal(18,3)"))
+                .cast("double"),
+                3,
+            ).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+ORACLE_Q03 = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(round(value, 3) AS DECIMAL(18,3))) AS DOUBLE), 3) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+
+def q04_brand_revenue(spark, sf_dir):
+    """Two broadcast dim joins + agg (part, supplier are small dims)."""
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice")).cast("double"), 2)
+            .alias("brand_revenue"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_Q04 = """
+SELECT p_brand,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS brand_revenue,
+       count(DISTINCT s_suppkey) AS n_suppliers
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+def q05_coverage(spark, sf_dir):
+    """The engine's coverage operator as exact SQL: % non-missing per
+    column (missing = '' / '{}' / NULL), documents table."""
+    docs = load(spark, sf_dir, "documents")
+    missing = ("", "{}")
+
+    def cov(c):
+        return F.round(
+            F.avg(
+                F.when(
+                    F.col(c).isNull()
+                    | F.col(c).cast("string").isin(*missing),
+                    F.lit(0.0),
+                ).otherwise(F.lit(1.0)),
+            ) * 100,
+            4,
+        ).alias(f"coverage_{c}")
+
+    return docs.agg(cov("text"), cov("lang"), cov("source"))
+
+
+ORACLE_Q05 = """
+SELECT round(avg(CASE WHEN text IS NULL OR text IN ('', '{}') THEN 0.0 ELSE 1.0 END) * 100, 4) AS coverage_text,
+       round(avg(CASE WHEN lang IS NULL OR lang IN ('', '{}') THEN 0.0 ELSE 1.0 END) * 100, 4) AS coverage_lang,
+       round(avg(CASE WHEN source IS NULL OR source IN ('', '{}') THEN 0.0 ELSE 1.0 END) * 100, 4) AS coverage_source
+FROM documents
+"""
+
+
+def q06_value_histogram(spark, sf_dir):
+    """Bounded-counter shape: exact per-value histogram + share."""
+    docs = load(spark, sf_dir, "documents")
+    total = docs.count()
+    return (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("share", F.round(F.col("n") / F.lit(total), 6))
+        .orderBy("lang")
+    )
+
+
+ORACLE_Q06 = """
+SELECT lang, count(*) AS n,
+       round(count(*) / (SELECT count(*)::DOUBLE FROM documents), 6) AS share
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def q07_rare_values(spark, sf_dir):
+    """Rare-value operator (core_ranking.py:409-436 shape): values of
+    n_chars seen at most twice."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("n_chars")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= 2)
+        .orderBy("n_chars")
+    )
+
+
+ORACLE_Q07 = """
+SELECT n_chars, count(*) AS n
+FROM documents
+GROUP BY n_chars
+HAVING count(*) <= 2
+ORDER BY n_chars
+"""
+
+
+def q08_grouped_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles per group (the KLL/t-digest oracle
+    shape)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_Q08 = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+       round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q09_deterministic_subsample(spark, sf_dir):
+    """Order-free reproducible subsampling via an md5-derived key —
+    the distributed replacement for the reference's every-n-th-line
+    filter (core_ranking.py:641-642), expressed portably."""
+    orders = load(spark, sf_dir, "orders")
+    key = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10).cast("long")
+    return (
+        orders.withColumn("_k", key)
+        .filter(F.pmod(F.col("_k"), F.lit(20)) == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+ORACLE_Q09 = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 20 = 0
+ORDER BY o_orderkey
+"""
+
+
+def q10_interaction_features(spark, sf_dir):
+    """Interaction-feature construction (core_ranking.py:184-234
+    shape): hash of concatenated values, per-combination counts."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn(
+            "interaction",
+            F.md5(F.concat_ws("|", F.col("source"), F.col("lang"))),
+        )
+        .groupBy("interaction")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("interaction")
+    )
+
+
+ORACLE_Q10 = """
+SELECT md5(source || '|' || lang) AS interaction, count(*) AS n
+FROM documents
+GROUP BY 1
+ORDER BY interaction
+"""
+
+
+# --------------------------------------------------------------------
+# Training-data pipeline operators (documents / embeddings)
+# --------------------------------------------------------------------
+
+def q11_exact_dedup(spark, sf_dir):
+    """Exact dedup by content hash: survivors keep min doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("text_hash", F.md5(F.col("text")))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("text_hash")
+    )
+
+
+ORACLE_Q11 = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+FROM documents
+GROUP BY 1
+ORDER BY text_hash
+"""
+
+
+def q12_token_stats(spark, sf_dir):
+    """Token counting + type-token ratio per document."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("n_token"),
+            F.size(F.array_distinct(toks)).alias("n_uniq_token"),
+            F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("ttr"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_Q12 = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_token,
+       len(list_distinct(string_split(text, ' '))) AS n_uniq_token,
+       round(len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))::DOUBLE, 6) AS ttr
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q13_text_quality(spark, sf_dir):
+    """Quality scoring: stopword ratio + mean token length + length
+    gate, the heuristic-filter shape of web-corpus pipelines."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin("a", "the"))) / F.size(toks)
+    mean_tok_len = (F.length(F.col("text")) - (F.size(toks) - 1)) / F.size(toks)
+    return (
+        docs.select(
+            "doc_id",
+            F.round(stop_ratio, 6).alias("stop_ratio"),
+            F.round(mean_tok_len, 6).alias("mean_tok_len"),
+            (F.size(toks) >= 20).alias("len_ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_Q13 = """
+SELECT doc_id,
+       round(len(list_filter(string_split(text, ' '), t -> t IN ('a', 'the')))
+             / len(string_split(text, ' '))::DOUBLE, 6) AS stop_ratio,
+       round((length(text) - (len(string_split(text, ' ')) - 1))
+             / len(string_split(text, ' '))::DOUBLE, 6) AS mean_tok_len,
+       len(string_split(text, ' ')) >= 20 AS len_ok
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q14_ngram_jaccard_pairs(spark, sf_dir):
+    """Near-duplicate candidates by 3-gram shingle Jaccard: explode
+    shingles, self-join, exact set similarity; top-20 deterministic."""
+    docs = load(spark, sf_dir, "documents")
+    sh_expr = (
+        "CASE WHEN size(split(text, ' ')) >= 3 THEN "
+        "array_distinct(transform("
+        "sequence(1, size(split(text, ' ')) - 2), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))) "
+        "ELSE array() END"
+    )
+    shingles = docs.select(
+        "doc_id", F.explode(F.expr(sh_expr)).alias("shingle"),
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+ORACLE_Q14 = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct([
+      array_to_string(t[i:i+2], ' ')
+      FOR i IN range(1, greatest(len(t) - 1, 1))
+  ])) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter / (sa.sz + sb.sz - inter)::DOUBLE, 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+ORDER BY jaccard DESC, doc_a, doc_b
+LIMIT 20
+"""
+
+
+def q15_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline over array<float>
+    embeddings, pure JVM array algebra (zip_with + aggregate)."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"),
+    )
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("embedding"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x),
+    )
+    sim = dot / (norm(F.col("qv")) * norm(F.col("embedding")))
+    from pyspark.sql.window import Window
+
+    scored = (
+        F.broadcast(probes).crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(sim, 4))
+        .select("query_id", "vec_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("vec_id"),
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_Q15 = """
+WITH probes AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT query_id, e.vec_id,
+         round(list_dot_product(qv::DOUBLE[], e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 4) AS cosine
+  FROM probes, embeddings e
+  WHERE e.vec_id != query_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def q16_embedding_norms(spark, sf_dir):
+    """Per-vector L2 norm + per-label aggregates (array math)."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"),
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x * x,
+        ),
+    )
+    return (
+        emb.withColumn("l2", F.round(norm, 4))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l2").cast("decimal(18,4)")).cast("double"), 4,
+            ).alias("sum_l2"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_Q16 = """
+SELECT label, count(*) AS n,
+       round(CAST(sum(CAST(round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_l2
+FROM embeddings
+GROUP BY label
+ORDER BY label
+"""
+
+
+def q17_doc_fingerprint(spark, sf_dir):
+    """Canonical document fingerprint: md5 over the sorted distinct
+    token set — the exact-canonicalization dedup key."""
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " ",
+        ),
+    )
+    return (
+        docs.select("doc_id", fp.alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_Q17 = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q18_user_sessions(spark, sf_dir):
+    """Sessionization via window functions: a session starts after a
+    >30 min gap; exercises lag / partitioned windows."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    with_flag = ev.withColumn("prev_ts", prev).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL '30' MINUTE")),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        with_flag.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("new_session").alias("n_sessions"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_Q18 = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, count(*) AS n_events, CAST(sum(new_session) AS BIGINT) AS n_sessions
+FROM flagged
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def q19_json_props(spark, sf_dir):
+    """Semi-structured extraction: pull k out of the JSON props."""
+    ev = load(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(F.col("k").cast("decimal(18,0)")).cast("double"), 0,
+            ).alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_Q19 = """
+SELECT event_type,
+       round(CAST(sum(CAST(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE), 0) AS sum_k,
+       max(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q20_top_order_per_customer(spark, sf_dir):
+    """row_number window: each customer's highest-value order."""
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey"),
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey", "o_orderkey",
+            F.round(F.col("o_totalprice"), 2).alias("top_price"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+ORACLE_Q20 = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS top_price FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn = 1
+ORDER BY o_custkey
+"""
+
+
+# --------------------------------------------------------------------
+# Sketch-backed / non-SQL-expressible (rows-only checks)
+# --------------------------------------------------------------------
+
+def q21_sketch_cardinalities(spark, sf_dir):
+    """HLL cardinalities of documents columns (bound-checked in
+    pytest against countDistinct; no SQL oracle by nature)."""
+    from outrank_spark.operators.sketch_build import SketchPlan, build_sketches
+
+    docs = load(spark, sf_dir, "documents")
+    plan = SketchPlan(columns=["lang", "source", "text"],
+                      sketches={"hll": {"p": 14}})
+    skc = build_sketches(docs, plan)
+    rows = [(c, int(skc.cardinality(c))) for c in ["lang", "source", "text"]]
+    return spark.createDataFrame(rows, "column string, estimate long")
+
+
+def q22_sketch_quantiles(spark, sf_dir):
+    """KLL + t-digest quantiles of l_extendedprice (bound-checked in
+    pytest)."""
+    from outrank_spark.operators.sketch_build import SketchPlan, build_sketches
+
+    li = load(spark, sf_dir, "lineitem")
+    plan = SketchPlan(
+        columns=["l_extendedprice"], numeric_columns=["l_extendedprice"],
+        sketches={"kll": {"k": 200}, "tdigest": {"delta": 200}},
+    )
+    skc = build_sketches(li, plan)
+    rows = []
+    for kind in ("kll", "tdigest"):
+        sk = skc[("l_extendedprice", kind)]
+        for q in (0.1, 0.5, 0.9):
+            rows.append((kind, float(q), float(sk.quantile(q))))
+    return spark.createDataFrame(rows, "kind string, q double, value double")
+
+
+def q23_ranking_flagship(spark, sf_dir):
+    """Feature ranking over documents (label = lang): the engine's
+    flagship operator; scores have no SQL equivalent."""
+    from outrank_spark.plans.ranking_job import RankingConfig, run_ranking
+
+    docs = load(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.col("source"),
+        F.col("n_chars").cast("string").alias("n_chars"),
+        F.size(F.split(F.col("text"), " ")).cast("string").alias("n_token"),
+        F.substring(F.col("text"), 1, 1).alias("first_char"),
+        F.col("lang").alias("label"),
+    )
+    cfg = RankingConfig(subsampling=1, minibatch_size=2 ** 14)
+    res = run_ranking(spark, feats, cfg)
+    pdf = res.singles.rename(
+        columns={f"Score {cfg.heuristic}": "score"},
+    )
+    pdf["score"] = pdf["score"].round(6)
+    return spark.createDataFrame(pdf[["Feature", "score"]])
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_revenue_topk": q02_revenue_topk,
+    "q03_events_hourly": q03_events_hourly,
+    "q04_brand_revenue": q04_brand_revenue,
+    "q05_coverage": q05_coverage,
+    "q06_value_histogram": q06_value_histogram,
+    "q07_rare_values": q07_rare_values,
+    "q08_grouped_quantiles": q08_grouped_quantiles,
+    "q09_deterministic_subsample": q09_deterministic_subsample,
+    "q10_interaction_features": q10_interaction_features,
+    "q11_exact_dedup": q11_exact_dedup,
+    "q12_token_stats": q12_token_stats,
+    "q13_text_quality": q13_text_quality,
+    "q14_ngram_jaccard_pairs": q14_ngram_jaccard_pairs,
+    "q15_embedding_topk": q15_embedding_topk,
+    "q16_embedding_norms": q16_embedding_norms,
+    "q17_doc_fingerprint": q17_doc_fingerprint,
+    "q18_user_sessions": q18_user_sessions,
+    "q19_json_props": q19_json_props,
+    "q20_top_order_per_customer": q20_top_order_per_customer,
+    "q21_sketch_cardinalities": q21_sketch_cardinalities,
+    "q22_sketch_quantiles": q22_sketch_quantiles,
+    "q23_ranking_flagship": q23_ranking_flagship,
+}
+
+ORACLES = {
+    "q01_pricing_summary": ORACLE_Q01,
+    "q02_revenue_topk": ORACLE_Q02,
+    "q03_events_hourly": ORACLE_Q03,
+    "q04_brand_revenue": ORACLE_Q04,
+    "q05_coverage": ORACLE_Q05,
+    "q06_value_histogram": ORACLE_Q06,
+    "q07_rare_values": ORACLE_Q07,
+    "q08_grouped_quantiles": ORACLE_Q08,
+    "q09_deterministic_subsample": ORACLE_Q09,
+    "q10_interaction_features": ORACLE_Q10,
+    "q11_exact_dedup": ORACLE_Q11,
+    "q12_token_stats": ORACLE_Q12,
+    "q13_text_quality": ORACLE_Q13,
+    "q14_ngram_jaccard_pairs": ORACLE_Q14,
+    "q15_embedding_topk": ORACLE_Q15,
+    "q16_embedding_norms": ORACLE_Q16,
+    "q17_doc_fingerprint": ORACLE_Q17,
+    "q18_user_sessions": ORACLE_Q18,
+    "q19_json_props": ORACLE_Q19,
+    "q20_top_order_per_customer": ORACLE_Q20,
+    # q21-q23: sketch/ranking results — no SQL equivalent (rows-only)
+}
