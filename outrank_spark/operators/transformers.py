@@ -1,0 +1,228 @@
+"""Derived-feature transformer operator — vault application with
+degeneracy gates, in both execution modes.
+
+* :class:`BatchTransformer` — numpy backend inside an Arrow batch,
+  reproducing the reference ``FeatureTransformerGeneric`` semantics
+  exactly (ranking_transformers.py:139-204): string coercion
+  (''->0.0, quote-strip), per-batch gates (cardinality > 1, majority
+  share < 0.80, nan share < 0.75 — computed on the *stringified*
+  output like the reference), names ``{col}{_tr_name}``.
+
+* :func:`enrich_with_transformations` — Spark Column backend for the
+  scalable path: expressions stay in WholeStageCodegen; batch-stat
+  slots (np.max(X), np.mean(X), ...) are computed once as global
+  aggregates (documented upgrade, SURVEY.md §2.3); the same three
+  gates run as two wide aggregate passes over all candidates
+  (approx_count_distinct / nan share / exact majority share via
+  ``mode``) before any column is kept.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from outrank_spark.functions.expr_vault import ExprError, ParsedExpr, parse_expr
+from outrank_spark.functions.vault import resolve_preset
+
+__all__ = ["BatchTransformer", "enrich_with_transformations"]
+
+MAX_MAJORITY_SUPPORT = 0.80
+NAN_PROP_SUPPORT = 0.75
+
+
+def _coerce_numeric_batch(series: pd.Series) -> np.ndarray:
+    """Reference get_vals (ranking_transformers.py:139-145):
+    stringify, strip double quotes, '' -> 0.0, else float."""
+    s = series.astype(str).str.replace('"', "", regex=False)
+    s = s.replace("", "0.0")
+    return pd.to_numeric(s, errors="coerce").to_numpy(dtype=np.float64)
+
+
+class BatchTransformer:
+    """Numpy-mode vault application with batch-local gates."""
+
+    def __init__(self, numeric_column_names, preset: str = "default"):
+        self.collection = resolve_preset(preset)
+        self.parsed: dict[str, ParsedExpr] = {
+            k: parse_expr(v) for k, v in self.collection.items()
+        }
+        self.fns = {k: p.to_numpy() for k, p in self.parsed.items()}
+        self.numeric_column_names = set(numeric_column_names)
+        self.constructed_feature_names: set[str] = set()
+
+    def construct_new_features(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        new_columns = {}
+        constructed = set()
+        for col in self.numeric_column_names:
+            if col not in pdf.columns:
+                continue
+            X = _coerce_numeric_batch(pdf[col])
+            if len(X) == 0:
+                continue
+            for name, fn in self.fns.items():
+                feature_name = f"{col}{name}"
+                try:
+                    transformed = np.asarray(fn(X)).astype(str)
+                except Exception:
+                    continue
+                u, c = np.unique(transformed, return_counts=True)
+                nan_prop = np.count_nonzero(transformed == "nan") / len(transformed)
+                cfreq = np.max(c) / np.sum(c)
+                if (
+                    len(u) > 1
+                    and cfreq < MAX_MAJORITY_SUPPORT
+                    and nan_prop < NAN_PROP_SUPPORT
+                ):
+                    new_columns[feature_name] = transformed
+                    constructed.add(feature_name)
+        self.constructed_feature_names = constructed
+        if new_columns:
+            pdf = pd.concat([pdf, pd.DataFrame(new_columns, index=pdf.index)], axis=1)
+        return pdf
+
+
+def _numeric_col(col: str):
+    """Spark equivalent of the reference's string->float coercion."""
+    cleaned = F.regexp_replace(F.col(col).cast("string"), '"', "")
+    return (
+        F.when(F.length(cleaned) == 0, F.lit(0.0))
+        .otherwise(cleaned.cast("double"))
+    )
+
+
+def enrich_with_transformations(
+    df: DataFrame,
+    numeric_columns,
+    preset: str = "default",
+    gate: bool = True,
+) -> tuple[DataFrame, list[str]]:
+    """Append gated transformer columns; returns (df, new_names)."""
+    collection = resolve_preset(preset)
+    parsed: dict[str, ParsedExpr] = {}
+    for name, src in collection.items():
+        try:
+            p = parse_expr(src)
+            if p.order_dependent:
+                continue  # no distributed column semantics
+            parsed[name] = p
+        except ExprError:
+            continue
+
+    numeric_columns = [c for c in numeric_columns if c in df.columns]
+    if not numeric_columns or not parsed:
+        return df, []
+
+    # ---- stage 0: global stat slots (one aggregate pass) ------------
+    stat_map = {"mean": F.avg, "min": F.min, "max": F.max,
+                "std": F.stddev_pop, "var": F.var_pop}
+    slot_exprs = {}
+    for col in numeric_columns:
+        x = _numeric_col(col)
+        for p in parsed.values():
+            for kind, key in p.stat_slots:
+                slot_key = f"{col}\x1f{key}"
+                if slot_key in slot_exprs:
+                    continue
+                if kind == "median":
+                    slot_exprs[slot_key] = F.expr(
+                        f"percentile({_numeric_sql(col)}, 0.5)",
+                    )
+                elif kind == "percentile":
+                    # np.percentile(X, q) — q is the 2nd literal arg
+                    q = float(key.rsplit(",", 1)[-1].rstrip(")"))
+                    slot_exprs[slot_key] = F.expr(
+                        f"percentile({_numeric_sql(col)}, {q / 100})",
+                    )
+                else:
+                    slot_exprs[slot_key] = stat_map[kind](x)
+    stats_row = (
+        df.agg(*[e.alias(f"s{i}") for i, e in enumerate(slot_exprs.values())])
+        .first()
+        if slot_exprs else None
+    )
+    stats_by_slot = (
+        dict(zip(slot_exprs.keys(),
+                 [stats_row[f"s{i}"] for i in range(len(slot_exprs))]))
+        if stats_row is not None else {}
+    )
+
+    # ---- candidate expressions --------------------------------------
+    candidates = {}
+    for col in numeric_columns:
+        x = _numeric_col(col)
+        for name, p in parsed.items():
+            stats = {
+                key: stats_by_slot[f"{col}\x1f{key}"]
+                for _, key in p.stat_slots
+            }
+            if any(v is None for v in stats.values()):
+                continue
+            try:
+                candidates[f"{col}{name}"] = p.to_spark(x, stats)
+            except ExprError:
+                continue
+
+    if not gate:
+        out = df
+        for fname, expr in candidates.items():
+            out = out.withColumn(fname, expr)
+        return out, list(candidates)
+
+    # ---- gates: two wide aggregate passes ---------------------------
+    names = list(candidates)
+    probe = df.select(
+        *[candidates[n].alias(f"c{i}") for i, n in enumerate(names)],
+    )
+    agg1 = probe.agg(
+        *[F.approx_count_distinct(f"c{i}").alias(f"d{i}") for i in range(len(names))],
+        *[
+            F.avg(
+                F.when(
+                    F.col(f"c{i}").isNull() | F.isnan(F.col(f"c{i}")), 1.0,
+                ).otherwise(0.0),
+            ).alias(f"n{i}")
+            for i in range(len(names))
+        ],
+        *[F.mode(f"c{i}").alias(f"m{i}") for i in range(len(names))],
+    ).first()
+    share_exprs = []
+    for i in range(len(names)):
+        m = agg1[f"m{i}"]
+        if m is None or (isinstance(m, float) and np.isnan(m)):
+            share_exprs.append(
+                F.avg(
+                    F.when(
+                        F.col(f"c{i}").isNull() | F.isnan(F.col(f"c{i}")),
+                        1.0,
+                    ).otherwise(0.0),
+                ).alias(f"f{i}"),
+            )
+        else:
+            share_exprs.append(
+                F.avg(
+                    F.when(F.col(f"c{i}") == F.lit(m), 1.0).otherwise(0.0),
+                ).alias(f"f{i}"),
+            )
+    agg2 = probe.agg(*share_exprs).first()
+
+    def _default(v, dflt):
+        return dflt if v is None else v
+
+    kept = []
+    out = df
+    for i, n in enumerate(names):
+        distinct_ok = _default(agg1[f"d{i}"], 0) > 1
+        nan_ok = _default(agg1[f"n{i}"], 1.0) < NAN_PROP_SUPPORT
+        maj_ok = _default(agg2[f"f{i}"], 1.0) < MAX_MAJORITY_SUPPORT
+        if distinct_ok and nan_ok and maj_ok:
+            out = out.withColumn(n, candidates[n])
+            kept.append(n)
+    return out, kept
+
+
+def _numeric_sql(col: str) -> str:
+    return (
+        f"CASE WHEN length(regexp_replace(CAST(`{col}` AS STRING), '\"', '')) = 0 "
+        f"THEN 0.0 ELSE CAST(regexp_replace(CAST(`{col}` AS STRING), '\"', '') AS DOUBLE) END"
+    )
