@@ -1,0 +1,211 @@
+"""Higher-order derived features: interactions, multivalue explosion,
+subfeatures, noise controls.
+
+Spark-first re-expressions of the reference operators
+(core_ranking.py:184-359, ranking_transformers.py:18-72).  All value
+construction is built-in column expressions (WholeStageCodegen); the
+only driver work is collecting the *distinct-value vocabularies* that
+define the generated column set (bounded by ``max_distinct``).
+
+Interaction hashing: the reference hashes the concatenated string
+values with ``xxhash.xxh64(...).hexdigest()`` (core_ranking.py:219).
+MI-style scores are invariant to the hash function, so the engine
+uses Spark's built-in ``xxhash64`` over the same concatenation —
+same collision structure, JVM-side, no Python in the loop (documented
+divergence: different hash bits than the xxhash library).
+"""
+from __future__ import annotations
+
+import itertools
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "with_interaction_features",
+    "explode_multivalue_features",
+    "with_subfeatures",
+    "with_noise_features",
+]
+
+
+def with_interaction_features(
+    df: DataFrame,
+    label_column: str,
+    interaction_order: int = 2,
+    is_3mr: bool = False,
+    planner=None,
+    upper_bound: int | None = None,
+    columns: Sequence[str] | None = None,
+) -> tuple[DataFrame, list[str]]:
+    """Append hashed interaction columns ``A AND B [AND C ...]``
+    (``A AND_REL B`` for 3MR) — core_ranking.py:184-234."""
+    all_columns = [
+        c for c in (columns or df.columns) if c != label_column
+    ]
+    join_string = " AND_REL " if is_3mr else " AND "
+    order = 2 if is_3mr else interaction_order
+    if order <= 1:
+        return df, []
+    combos = list(itertools.combinations(all_columns, order))
+    if planner is not None and upper_bound:
+        combos = planner.sample(combos, upper_bound)
+    new_names = []
+    out = df
+    for combo in combos:
+        name = join_string.join(combo)
+        concat = F.concat(*[F.col(c).cast("string") for c in combo])
+        out = out.withColumn(
+            name, F.format_string("%016x", F.xxhash64(concat)),
+        )
+        new_names.append(name)
+    return out, new_names
+
+
+def explode_multivalue_features(
+    df: DataFrame,
+    multivalue_features: Sequence[str],
+    missing_value_symbols: Sequence[str] = ("", "{}"),
+    max_distinct: int = 1000,
+) -> tuple[DataFrame, list[str]]:
+    """One-hot presence columns ``MULTIEX-{f}-{v}`` for every distinct
+    member value of each multivalue column (core_ranking.py:237-278;
+    reference splits on ',' normalized to '-')."""
+    out = df
+    new_names = []
+    for feat in multivalue_features:
+        arr = F.split(F.regexp_replace(F.col(feat), ",", "-"), "-")
+        values = [
+            r["v"]
+            for r in df.select(F.explode(arr).alias("v")).distinct()
+            .limit(max_distinct).collect()
+            if r["v"] not in set(missing_value_symbols)
+        ]
+        for v in sorted(values):
+            out = out.withColumn(
+                f"MULTIEX-{feat}-{v}",
+                F.when(F.array_contains(arr, v), F.lit("1")).otherwise(F.lit("")),
+            )
+            new_names.append(f"MULTIEX-{feat}-{v}")
+    return out, new_names
+
+
+def with_subfeatures(
+    df: DataFrame,
+    subfeature_mapping: str,
+    max_distinct: int = 256,
+) -> tuple[DataFrame, list[str]]:
+    """Value-conditional subfeatures (core_ranking.py:281-359).
+
+    ``a->b``  : per distinct v of b, emit ``a_val AND b_val`` where
+                b == v else '' — named ``SUBFEATURE-a&v``.
+    ``a<->b`` : |A| x |B| one-hot mask columns named
+                ``SUBFEATURE|a|b-va&vb``.
+    """
+    out = df
+    new_names = []
+    for seed_pair in subfeature_mapping.split(";"):
+        if "<->" in seed_pair:
+            first, second = seed_pair.split("<->")
+            vals_first = sorted(
+                r[first]
+                for r in df.select(first).distinct().limit(max_distinct).collect()
+            )
+            vals_second = sorted(
+                r[second]
+                for r in df.select(second).distinct().limit(max_distinct).collect()
+            )
+            for vb in vals_second:
+                for va in vals_first:
+                    name = f"SUBFEATURE|{first}|{second}-{va}&{vb}"
+                    out = out.withColumn(
+                        name,
+                        F.when(
+                            (F.col(first) == va) & (F.col(second) == vb),
+                            F.lit("1"),
+                        ).otherwise(F.lit("0")),
+                    )
+                    new_names.append(name)
+        elif "->" in seed_pair:
+            first, second = seed_pair.split("->")
+            vals_second = sorted(
+                r[second]
+                for r in df.select(second).distinct().limit(max_distinct).collect()
+            )
+            for vb in vals_second:
+                name = f"SUBFEATURE-{first}&{vb}"
+                out = out.withColumn(
+                    name,
+                    F.when(
+                        F.col(second) == vb,
+                        F.concat(
+                            F.col(first).cast("string"), F.lit("AND"),
+                            F.col(second).cast("string"),
+                        ),
+                    ).otherwise(F.lit("")),
+                )
+                new_names.append(name)
+        else:
+            raise NotImplementedError(
+                "Please specify a valid subfeature operator (<-> or ->)",
+            )
+    return out, new_names
+
+
+def with_noise_features(
+    df: DataFrame, label_column: str | None = None, seed: int = 123,
+) -> tuple[DataFrame, list[str]]:
+    """Noise/control columns (ranking_transformers.py:18-72):
+    calibration features any sane ranking must place at the bottom.
+    Seeded Spark generators replace the reference's unseeded numpy
+    draws (reproducibility upgrade); the int-sequence control uses
+    ``monotonically_increasing_id`` (a stable per-row ordinal, not a
+    contiguous range — order is undefined for distributed data)."""
+    out = (
+        df.withColumn("CONTROL-constant0", F.lit(0).cast("string"))
+        .withColumn("CONTROL-gaussian", F.randn(seed).cast("string"))
+        .withColumn("CONTROL-uniform", F.rand(seed + 1).cast("string"))
+        .withColumn(
+            "CONTROL-random-binary",
+            (F.rand(seed + 2) * 2).cast("int").cast("string"),
+        )
+        .withColumn(
+            "CONTROL-random-card100",
+            (F.rand(seed + 3) * 101).cast("int").cast("string"),
+        )
+        .withColumn(
+            "CONTROL-random-card2k",
+            (F.rand(seed + 4) * 2001).cast("int").cast("string"),
+        )
+        .withColumn(
+            "CONTROL-random-card10k",
+            (F.rand(seed + 5) * 10001).cast("int").cast("string"),
+        )
+        .withColumn(
+            "CONTROL-random-card50k",
+            (F.rand(seed + 6) * 50001).cast("int").cast("string"),
+        )
+        .withColumn(
+            "CONTROL-int-sequence",
+            F.monotonically_increasing_id().cast("string"),
+        )
+        .withColumn(
+            "CONTROL-volume",
+            F.format_string(
+                "%016x",
+                F.xxhash64(*[F.col(c).cast("string") for c in df.columns]),
+            ),
+        )
+    )
+    names = [
+        "CONTROL-constant0", "CONTROL-gaussian", "CONTROL-uniform",
+        "CONTROL-random-binary", "CONTROL-random-card100",
+        "CONTROL-random-card2k", "CONTROL-random-card10k",
+        "CONTROL-random-card50k", "CONTROL-int-sequence", "CONTROL-volume",
+    ]
+    if label_column and label_column in df.columns:
+        out = out.withColumn(
+            "CONTROL-target", F.col(label_column).cast("string"),
+        )
+        names.append("CONTROL-target")
+    return out, names
