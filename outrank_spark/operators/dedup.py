@@ -1,0 +1,316 @@
+"""Document deduplication operators — the web-corpus cleaning family.
+
+All variants keep the heavy work JVM-side or in vectorized Arrow
+batches, and every approximate method is a *candidate generator*
+followed by an exact verification join (so precision is exact and only
+recall depends on the sketch parameters):
+
+* :func:`exact_dedup` — content-hash groupBy (one shuffle on the hash).
+* :func:`minhash_signatures` / :func:`minhash_lsh_candidates` —
+  shingle -> xxhash64 -> k min-aggregates (pure codegen, no UDF!) ->
+  banded LSH bucket join (Broder 1997; Leskovec et al. MMDS ch.3).
+  With b bands of r rows, P(candidate) = 1 - (1 - s^r)^b.
+* :func:`simhash_signatures` / :func:`simhash_candidates` — 64-bit
+  Charikar fingerprints via vectorized bit-voting in ``mapInPandas``;
+  near-dups share at least one of 4 16-bit chunks (Hamming <= 3 over
+  64 bits implies a shared chunk by pigeonhole).
+* :func:`ngram_jaccard_pairs` — exact shingle-set Jaccard via
+  explode + self-join (the verification primitive, also standalone).
+* :func:`embedding_neardup_candidates` — random-hyperplane LSH over
+  an embedding column, verified by exact cosine.
+
+Scale notes: every join key (shingle, band hash, chunk, hyperplane
+bucket) is a hash — uniformly distributed, so the shuffles are
+skew-free by construction except the shingle join, where stop-shingles
+are capped by ``max_shingle_freq`` (a df filter, the classic
+stop-words-in-LSH mitigation).
+"""
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from outrank_spark.hashing import derive_seeds, hash_with_seed
+
+__all__ = [
+    "exact_dedup", "shingle_df", "minhash_signatures",
+    "minhash_lsh_candidates", "ngram_jaccard_pairs",
+    "simhash_signatures", "simhash_candidates",
+    "embedding_neardup_candidates",
+]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: ``(hash, keeper_id, n_copies)`` — survivors keep
+    the minimum id.  Single shuffle keyed by the content hash."""
+    return (
+        df.withColumn("_h", F.xxhash64(F.col(text_col)))
+        .groupBy("_h")
+        .agg(
+            F.min(id_col).alias("keeper_" + id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .withColumnRenamed("_h", "content_hash")
+    )
+
+
+def shingle_df(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, shingle_hash) pairs: token n-gram shingles hashed JVM-side."""
+    toks = f"split({text_col}, ' ')"
+    expr = (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> xxhash64(concat_ws(' ', slice({toks}, i, {n}))))) "
+        f"ELSE array(xxhash64({text_col})) END"
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.expr(expr)).alias("shingle"),
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       k: int = 128) -> DataFrame:
+    """k-permutation MinHash signature per document, computed as k
+    ``min`` aggregates over re-seeded shingle hashes — pure
+    WholeStageCodegen, one shuffle on the id."""
+    sh = shingle_df(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", n: int = 3,
+                           k: int = 128, bands: int = 32,
+                           verify_threshold: float | None = 0.7) -> DataFrame:
+    """Banded-LSH candidate pairs (id_a < id_b) with the MinHash
+    similarity estimate; when ``verify_threshold`` is set, candidates
+    are verified with *exact* shingle Jaccard and filtered."""
+    rows = k // bands
+    sig = minhash_signatures(df, text_col, id_col, n, k).cache()
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"mh{b * rows + r}") for r in range(rows)],
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    # MinHash similarity estimate: fraction of matching signature slots
+    sig_a = sig.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)],
+    )
+    sig_b = sig.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    est = (
+        cand.join(sig_a, "id_a").join(sig_b, "id_b")
+        .withColumn("minhash_sim", matches / F.lit(float(k)))
+        .select("id_a", "id_b", "minhash_sim")
+    )
+    if verify_threshold is None:
+        return est
+    exact = ngram_jaccard_pairs(
+        df, text_col, id_col, n, candidate_pairs=est,
+    )
+    return exact.filter(F.col("jaccard") >= verify_threshold)
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        candidate_pairs: DataFrame | None = None,
+                        max_shingle_freq: int | None = None) -> DataFrame:
+    """Exact shingle-set Jaccard.  Without ``candidate_pairs`` this is
+    the full explode + self-join (quadratic in near-dup clusters;
+    ``max_shingle_freq`` drops stop-shingles to bound the join).  With
+    candidates it only verifies those pairs."""
+    sh = shingle_df(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
+        sh = sh.join(
+            F.broadcast(freq.filter(F.col("f") <= max_shingle_freq)),
+            "shingle",
+        ).drop("f")
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidate_pairs is not None:
+        inter = inter.join(
+            candidate_pairs.select("id_a", "id_b"), ["id_a", "id_b"],
+        )
+    return (
+        inter
+        .join(sizes.select(F.col(id_col).alias("id_a"),
+                           F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"),
+                           F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------ SimHash
+_SIMHASH_SCHEMA = "id long, simhash long"
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """64-bit Charikar SimHash per document via vectorized bit voting
+    (one Arrow pass; numpy unpackbits over token hashes)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, out = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = pd.Series(str(text).split(" "))
+                counts = toks.value_counts()
+                h = pd.util.hash_array(
+                    counts.index.to_numpy(dtype=object),
+                ).astype(np.uint64)
+                w = counts.to_numpy(dtype=np.int64)
+                bits = np.unpackbits(
+                    h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little",
+                ).astype(np.int64)  # (n_tokens, 64)
+                votes = ((bits * 2 - 1) * w[:, None]).sum(axis=0)
+                sig = np.packbits(
+                    (votes >= 0).astype(np.uint8), bitorder="little",
+                ).view(np.int64)[0]
+                ids.append(int(did))
+                out.append(int(sig))
+            yield pd.DataFrame({"id": ids, "simhash": out})
+
+    return df.select(id_col, text_col).mapInPandas(fn, schema=_SIMHASH_SCHEMA) \
+        .withColumnRenamed("id", id_col)
+
+
+def simhash_candidates(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming, found via
+    4x16-bit chunk buckets (pigeonhole: <=3 differing bits over 64 ->
+    at least one identical chunk)."""
+    sig = simhash_signatures(df, text_col, id_col).cache()
+    chunks = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk"),
+                    F.shiftrightunsigned(F.col("simhash"), i * 16)
+                    .bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                )
+                for i in range(4)
+            ]),
+        ).alias("cc"),
+    ).select(id_col, "simhash", F.col("cc.chunk").alias("chunk"),
+             F.col("cc.cv").alias("cv"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    hamming = F.bit_count(
+        F.col(f"a.simhash").bitwiseXOR(F.col(f"b.simhash")),
+    )
+    return (
+        a.join(b, ["chunk", "cv"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ----------------------------------------------- embedding near-dup
+def embedding_neardup_candidates(df: DataFrame, vec_col: str = "embedding",
+                                 id_col: str = "vec_id", n_planes: int = 16,
+                                 n_tables: int = 4, seed: int = 20141025,
+                                 dim: int | None = None,
+                                 cos_threshold: float = 0.95) -> DataFrame:
+    """Random-hyperplane LSH (Charikar 2002): ``n_tables`` independent
+    ``n_planes``-bit sign buckets; bucket-mates verified with exact
+    cosine.  Plane matrix is derived from the seed, so every executor
+    regenerates it identically — nothing is broadcast."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes = rng.standard_normal((n_tables, n_planes, dim)).astype(np.float64)
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            rows = {"id": np.repeat(ids, n_tables),
+                    "table": np.tile(np.arange(n_tables), len(ids))}
+            sgn = np.einsum("tpd,nd->ntp", planes, vecs) > 0
+            weights = (1 << np.arange(n_planes, dtype=np.int64))
+            buckets = (sgn * weights[None, None, :]).sum(axis=2)
+            rows["bucket"] = buckets.reshape(-1)
+            yield pd.DataFrame(rows)
+
+    buckets = df.select(id_col, vec_col).mapInPandas(
+        bucketize, schema="id long, table int, bucket long",
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda a_, x: a_ + x * x))
+    return (
+        cand
+        .join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .withColumn("cosine", dot / (norm(F.col("va")) * norm(F.col("vb"))))
+        .filter(F.col("cosine") >= cos_threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,101 @@
+"""Spark text-analysis operators: language ID, quality scoring, token
+counting, fingerprinting over a documents table — Arrow-batched, never
+per-row Python.
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from outrank_spark.functions.text import (
+    detect_language_batch,
+    fit_language_profiles,
+    quality_features_batch,
+    rolling_fingerprint,
+    token_count_batch,
+)
+
+__all__ = ["fit_langid", "with_language_id", "with_quality_features",
+           "with_token_counts", "with_fingerprints"]
+
+
+def fit_langid(df: DataFrame, text_col: str = "text",
+               lang_col: str = "lang", sample_per_lang: int = 200,
+               n: int = 3, profile_size: int = 300) -> dict[str, list[str]]:
+    """Learn per-language trigram profiles from a labeled sample
+    (deterministic hash-ordered sample per language, driver-side fit
+    on a few hundred docs — the profiles are tiny plain dicts)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(lang_col).orderBy(F.xxhash64(F.col(text_col)))
+    sample = (
+        df.select(text_col, lang_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= sample_per_lang)
+        .toPandas()
+    )
+    return fit_language_profiles(
+        sample[text_col], sample[lang_col], n=n, profile_size=profile_size,
+    )
+
+
+def with_language_id(df: DataFrame, profiles: dict[str, list[str]],
+                     text_col: str = "text",
+                     out: str = "lang_pred") -> DataFrame:
+    schema = f"{', '.join(f'{f.name} {f.dataType.simpleString()}' for f in df.schema.fields)}, {out} string"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[out] = detect_language_batch(pdf[text_col], profiles)
+            yield pdf
+
+    return df.mapInPandas(fn, schema=schema)
+
+
+def with_quality_features(df: DataFrame,
+                          text_col: str = "text") -> DataFrame:
+    cols = ["n_chars_q", "n_token_q", "ttr", "punct_ratio", "digit_ratio",
+            "stopword_ratio", "mean_tok_len"]
+    schema = (
+        f"{', '.join(f'{f.name} {f.dataType.simpleString()}' for f in df.schema.fields)}, "
+        "n_chars_q long, n_token_q long, ttr double, punct_ratio double, "
+        "digit_ratio double, stopword_ratio double, mean_tok_len double"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            q = quality_features_batch(pdf[text_col])
+            q.columns = cols
+            yield pd.concat([pdf.reset_index(drop=True), q.reset_index(drop=True)], axis=1)
+
+    return df.mapInPandas(fn, schema=schema)
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text",
+                      mode: str = "whitespace",
+                      out: str = "n_tokens") -> DataFrame:
+    if mode == "whitespace":
+        # pure JVM fast path
+        return df.withColumn(out, F.size(F.split(F.col(text_col), r"\s+")))
+    schema = f"{', '.join(f'{f.name} {f.dataType.simpleString()}' for f in df.schema.fields)}, {out} long"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[out] = token_count_batch(pdf[text_col], mode=mode)
+            yield pdf
+
+    return df.mapInPandas(fn, schema=schema)
+
+
+def with_fingerprints(df: DataFrame, text_col: str = "text",
+                      out: str = "fingerprint", window: int = 8) -> DataFrame:
+    schema = f"{', '.join(f'{f.name} {f.dataType.simpleString()}' for f in df.schema.fields)}, {out} long"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[out] = rolling_fingerprint(pdf[text_col], window=window)
+            yield pdf
+
+    return df.mapInPandas(fn, schema=schema)

@@ -1,0 +1,288 @@
+"""Dedup + similarity-search + text-analysis + multimodal operator
+tests, against planted ground truth.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from outrank_spark.operators.dedup import (
+    embedding_neardup_candidates,
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+    simhash_signatures,
+)
+from outrank_spark.operators.multimodal import (
+    DecoderRegistry,
+    decode_and_featurize,
+    deterministic_fake_decoder,
+    sample_video_frames,
+    with_media_metadata,
+)
+from outrank_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
+from outrank_spark.operators.text import (
+    fit_langid,
+    with_fingerprints,
+    with_language_id,
+    with_quality_features,
+    with_token_counts,
+)
+
+
+def _corpus(spark, n_base=60, seed=3):
+    """Documents with planted near-dup pairs: doc i and doc i+1000 share
+    ~95% of tokens for i in the first 10."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"w{i}" for i in range(500)], dtype=object)
+    rows = []
+    for i in range(n_base):
+        toks = list(rng.choice(vocab, size=60))
+        rows.append((i, " ".join(toks)))
+        if i < 10:
+            near = list(toks)
+            near[5] = "MUT1"
+            near[25] = "MUT2"
+            rows.append((i + 1000, " ".join(near)))
+    rows.append((5000, rows[0][1]))  # exact dup of doc 0
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]),
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = _corpus(spark).cache()
+    df.count()
+    return df
+
+
+class TestExactDedup:
+    def test_finds_exact_dup(self, corpus):
+        res = exact_dedup(corpus).filter(F.col("n_copies") > 1).collect()
+        assert len(res) == 1
+        assert res[0]["keeper_doc_id"] == 0
+        assert res[0]["n_copies"] == 2
+
+
+class TestNgramJaccard:
+    def test_planted_pairs_found(self, corpus):
+        pairs = ngram_jaccard_pairs(corpus).filter(
+            F.col("jaccard") >= 0.7,
+        ).collect()
+        found = {(r["id_a"], r["id_b"]) for r in pairs}
+        for i in range(10):
+            assert (i, i + 1000) in found, f"missing planted pair {i}"
+        # exact dup pair has jaccard 1.0
+        assert (0, 5000) in found
+
+
+class TestMinHash:
+    def test_signature_similarity_tracks_jaccard(self, corpus):
+        sig = minhash_signatures(corpus, k=64).cache()
+        row0 = sig.filter(F.col("doc_id") == 0).first()
+        row_dup = sig.filter(F.col("doc_id") == 5000).first()
+        k = 64
+        same = sum(row0[f"mh{i}"] == row_dup[f"mh{i}"] for i in range(k))
+        assert same == k  # exact dup -> identical signature
+
+    def test_lsh_recall_on_planted(self, corpus):
+        res = minhash_lsh_candidates(
+            corpus, k=64, bands=16, verify_threshold=0.7,
+        ).collect()
+        found = {(r["id_a"], r["id_b"]) for r in res}
+        hits = sum((i, i + 1000) in found for i in range(10))
+        assert hits >= 9  # >= 90% recall on ~0.9-jaccard pairs
+        for r in res:
+            assert r["jaccard"] >= 0.7  # exact verification
+
+
+class TestSimHash:
+    def test_exact_dup_same_signature(self, corpus):
+        sig = {r["doc_id"]: r["simhash"]
+               for r in simhash_signatures(corpus).collect()}
+        assert sig[0] == sig[5000]
+
+    def test_near_dups_low_hamming(self, corpus):
+        res = simhash_candidates(corpus, max_hamming=8).collect()
+        found = {(r["id_a"], r["id_b"]): r["hamming"] for r in res}
+        assert (0, 5000) in found and found[(0, 5000)] == 0
+        hits = sum((i, i + 1000) in found for i in range(10))
+        assert hits >= 8
+
+
+def _embeddings(spark, n=200, dim=16, seed=9):
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, dim))
+    # plant: vec i+10000 = vec i + tiny noise for i < 5
+    rows = [(i, base[i].tolist()) for i in range(n)]
+    for i in range(5):
+        rows.append((i + 10000, (base[i] + 0.01 * rng.standard_normal(dim)).tolist()))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]),
+    )
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    df = _embeddings(spark).cache()
+    df.count()
+    return df
+
+
+class TestEmbeddingNearDup:
+    def test_planted_neighbors_found(self, vectors):
+        res = embedding_neardup_candidates(
+            vectors, n_planes=10, n_tables=8, cos_threshold=0.95,
+        ).collect()
+        found = {(r["id_a"], r["id_b"]) for r in res}
+        hits = sum((i, i + 10000) in found for i in range(5))
+        assert hits >= 4
+        for r in res:
+            assert r["cosine"] >= 0.95
+
+
+class TestSimilaritySearch:
+    @pytest.fixture(scope="class")
+    def queries(self, spark, vectors):
+        q = vectors.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+        return q.cache()
+
+    def test_brute_force_self_is_top(self, vectors, queries):
+        res = brute_force_topk(vectors, queries, k=3).collect()
+        top = {r["query_id"]: r["vec_id"] for r in res if r["rank"] == 1}
+        for qid in range(3):
+            # nearest neighbor of vec i is its planted near-copy (or
+            # itself, which scores 1.0 and ranks first)
+            assert top[qid] in (qid, qid + 10000)
+
+    def test_lsh_matches_brute_force_top1(self, vectors, queries):
+        brute = {
+            r["query_id"]: r["vec_id"]
+            for r in brute_force_topk(vectors, queries, k=1).collect()
+        }
+        lsh = {
+            r["query_id"]: r["vec_id"]
+            for r in lsh_topk(
+                vectors, queries, k=1, n_planes=8, n_tables=12,
+            ).collect()
+        }
+        agree = sum(brute[q] == lsh.get(q) for q in brute)
+        assert agree >= 2  # high recall at 12 tables
+
+    def test_ivf_finds_planted(self, vectors, queries):
+        res = ivf_topk(vectors, queries, k=2, n_cells=8, n_probe=4).collect()
+        by_q = {}
+        for r in res:
+            by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+        for qid in range(3):
+            assert qid in by_q[qid]  # self always found
+
+
+class TestTextAnalysis:
+    def test_langid_roundtrip(self, spark):
+        # synthesizable distinct languages: disjoint char distributions
+        rng = np.random.default_rng(4)
+        rows = []
+        for i in range(300):
+            if i % 2 == 0:
+                text = " ".join(
+                    "".join(rng.choice(list("abcdefgh"), 6)) for _ in range(30)
+                )
+                rows.append((i, text, "aa"))
+            else:
+                text = " ".join(
+                    "".join(rng.choice(list("stuvwxyz"), 6)) for _ in range(30)
+                )
+                rows.append((i, text, "zz"))
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text", "lang"]),
+        )
+        profiles = fit_langid(df, sample_per_lang=50)
+        pred = with_language_id(df, profiles)
+        acc = pred.filter(F.col("lang_pred") == F.col("lang")).count() / 300
+        assert acc > 0.95
+
+    def test_quality_features(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "text": ["the cat, the hat! 42"]}),
+        )
+        row = with_quality_features(df).first()
+        assert row["n_token_q"] == 5
+        assert row["stopword_ratio"] == pytest.approx(2 / 5)
+        assert row["digit_ratio"] > 0
+        assert row["punct_ratio"] > 0
+
+    def test_token_counts_modes(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "text": ["don't stop 123 now!"]}),
+        )
+        ws = with_token_counts(df, mode="whitespace").first()["n_tokens"]
+        bpe = with_token_counts(df, mode="bpe-ish").first()["n_tokens"]
+        assert ws == 4
+        assert bpe > ws  # splits contractions/digits/punct
+
+    def test_fingerprint_stability(self, corpus):
+        fps = {r["doc_id"]: r["fingerprint"]
+               for r in with_fingerprints(corpus).collect()}
+        assert fps[0] == fps[5000]  # identical docs -> identical fp
+        assert fps[0] != fps[1]
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        rows = [
+            (1, "image", "image/png", b"fakepng1", 64, 48, 0),
+            (2, "image", "image/png", b"fakepng2", 32, 32, 0),
+            (3, "video", "video/mp4", b"fakemp4", 640, 480, 3500),
+        ]
+        return spark.createDataFrame(
+            rows,
+            "media_id long, kind string, mime string, payload binary, "
+            "width int, height int, duration_ms int",
+        )
+
+    def test_metadata_prunes_payload(self, media, spark):
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            media.write.mode("overwrite").parquet(f"{d}/media")
+            on_disk = spark.read.parquet(f"{d}/media")
+            plan = with_media_metadata(on_disk)._jdf.queryExecution() \
+                .executedPlan().toString()
+            assert "payload" not in plan.split("ReadSchema")[-1]
+
+    def test_decode_stub_raises_clearly(self, media):
+        reg = DecoderRegistry()
+        with pytest.raises(Exception, match="no decoder registered"):
+            decode_and_featurize(media, reg).collect()
+
+    def test_fake_decoder_plumbing(self, media):
+        reg = DecoderRegistry()
+        reg.register("image", deterministic_fake_decoder())
+        reg.register("video", deterministic_fake_decoder())
+        res = decode_and_featurize(media, reg).collect()
+        assert len(res) == 3
+        feats = {r["media_id"]: r["feature"] for r in res}
+        assert len(feats[1]) == 8
+        assert all(0 <= v <= 1 for v in feats[1])
+        # deterministic: same payload -> same feature
+        res2 = decode_and_featurize(media, reg).collect()
+        assert {r["media_id"]: r["feature"] for r in res2} == feats
+
+    def test_frame_sampling_shape(self, media):
+        reg = DecoderRegistry()
+        reg.register("video", deterministic_fake_decoder())
+        reg.register("image", deterministic_fake_decoder())
+        frames = sample_video_frames(media, reg, every_ms=1000).collect()
+        vid_frames = [r for r in frames if r["media_id"] == 3]
+        assert len(vid_frames) == 4  # 0,1000,2000,3000 ms
+        assert all(len(r["frame_feature"]) == 4 for r in vid_frames)
