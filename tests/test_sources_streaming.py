@@ -1,0 +1,174 @@
+"""Source reader tests (ports of tests/data_io_test.py) + Structured
+Streaming sketch accumulation tests.
+"""
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from outrank_spark.operators.sketch_build import SketchPlan, build_sketches
+from outrank_spark.sources.readers import (
+    parse_namespace_file,
+    read_csv_raw,
+    read_dataset,
+    read_ob_csv,
+    read_ob_vw,
+)
+from outrank_spark.streaming import StreamingSketchAccumulator
+
+
+class TestNamespaceParse:
+    # ref tests/data_io_test.py vw namespace fixture
+    def test_parse(self, tmp_path):
+        path = tmp_path / "vw_namespace_map.csv"
+        path.write_text("AE,f1,f32\nAK,f2,f32\nAs,f3,f32\nAR,f4,\nAe,f5,\n")
+        floats, fw_map = parse_namespace_file(str(path))
+        assert floats == {"f1", "f2", "f3"}
+        assert fw_map == {"AE": "f1", "AK": "f2", "As": "f3",
+                          "AR": "f4", "Ae": "f5"}
+
+    def test_two_part_rows(self, tmp_path):
+        path = tmp_path / "m.csv"
+        path.write_text("AB,feat\nA_B,skipme\n")
+        floats, fw_map = parse_namespace_file(str(path))
+        assert fw_map == {"AB": "feat"}  # underscore fw_ids skipped
+
+
+class TestCsvRaw:
+    def test_header_and_rows(self, spark, tmp_path):
+        d = tmp_path / "ds"
+        d.mkdir()
+        (d / "data.csv").write_text(
+            "f1,f2,f3,f4\n1.0,TS,23,12\n1.2,TA,222,15\nAE,TC,22,21\n",
+        )
+        info = read_csv_raw(spark, str(d))
+        assert info.column_names == ["f1", "f2", "f3", "f4"]
+        assert info.df.count() == 3
+
+    # ref data_io_test.py:45-62 quoted-field case
+    def test_quoted_header(self, spark, tmp_path):
+        d = tmp_path / "dq"
+        d.mkdir()
+        (d / "data.csv").write_text(
+            'f1,"f2,quoted",f3\n1,a,2\n',
+        )
+        info = read_csv_raw(spark, str(d))
+        assert info.column_names == ["f1", "f2,quoted", "f3"]
+
+
+class TestObCsv:
+    def test_descriptor_types(self, spark, tmp_path):
+        d = tmp_path / "ds"
+        d.mkdir()
+        (d / "dataset_desc.json").write_text(json.dumps({
+            "data_features": [
+                {"name": "a", "type": "Float32"},
+                {"name": "b", "type": "categorical"},
+            ],
+        }))
+        (d / "data.csv").write_text("a,b\n1.5,x\n2.5,y\n")
+        info = read_ob_csv(spark, str(d))
+        assert info.numeric_columns == {"a"}
+        assert info.df.count() == 2
+
+
+class TestObVw:
+    def _write(self, d, gz=False):
+        (d / "vw_namespace_map.csv").write_text("AE,f1,f32\nAK,f2,\n")
+        lines = (
+            "1 |AE 0.5 |AK red blue\n"
+            "0 |AE 1.5\n"
+        )
+        if gz:
+            with gzip.open(d / "data.vw.gz", "wt") as f:
+                f.write(lines)
+        else:
+            (d / "data.vw").write_text(lines)
+
+    def test_sparse_pivot(self, spark, tmp_path):
+        d = tmp_path / "vw"
+        d.mkdir()
+        self._write(d)
+        info = read_ob_vw(spark, str(d))
+        assert info.column_names == ["label", "f1", "f2"]
+        assert info.numeric_columns == {"f1"}
+        rows = {r["label"]: r for r in info.df.collect()}
+        # values lose their first 2 chars (namespace-info strip,
+        # core_utils.py:196-199)
+        assert rows["1"]["f1"] == "5"      # '0.5'[2:]
+        assert rows["1"]["f2"] == "d-blue"  # 'red-blue'[2:]
+        assert rows["0"]["f2"] is None
+
+    def test_gz_stream(self, spark, tmp_path):
+        d = tmp_path / "vwgz"
+        d.mkdir()
+        self._write(d, gz=True)
+        info = read_ob_vw(spark, str(d))
+        assert info.df.count() == 2
+
+    def test_namespace_info_kept(self, spark, tmp_path):
+        d = tmp_path / "vwn"
+        d.mkdir()
+        self._write(d)
+        info = read_ob_vw(spark, str(d), include_namespace_info=True)
+        rows = {r["label"]: r for r in info.df.collect()}
+        assert rows["1"]["f1"] == "0.5"
+
+    def test_unknown_source_raises(self, spark, tmp_path):
+        with pytest.raises(ValueError):
+            read_dataset(spark, str(tmp_path), "bogus")
+
+
+class TestStreamingSketches:
+    def test_stream_matches_batch_bitwise(self, spark, tmp_path):
+        from outrank_spark.sources import generate_pages
+
+        pages = generate_pages(spark, 2000, seed=42, partitions=4) \
+            .select("url", "lang")
+        data_dir = str(tmp_path / "data")
+        pages.write.mode("overwrite").parquet(data_dir)
+
+        plan = SketchPlan(columns=["url", "lang"],
+                          sketches={"hll": {"p": 12}})
+        acc = StreamingSketchAccumulator(plan, state_dir=str(tmp_path / "state"))
+        stream = (
+            spark.readStream.schema("url string, lang string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(data_dir)
+        )
+        q = acc.attach(stream, str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+
+        batch_result = build_sketches(
+            spark.read.parquet(data_dir), plan,
+        )
+        assert len(acc.batches_seen) >= 1
+        for key in batch_result:
+            assert acc.state[key].to_bytes() == batch_result[key].to_bytes()
+
+    def test_restart_resumes_idempotently(self, spark, tmp_path):
+        from outrank_spark.sources import generate_pages
+
+        pages = generate_pages(spark, 1000, seed=1, partitions=2) \
+            .select("url", "lang")
+        data_dir = str(tmp_path / "data2")
+        pages.write.mode("overwrite").parquet(data_dir)
+        plan = SketchPlan(columns=["lang"], sketches={"hll": {"p": 12}})
+
+        state_dir = str(tmp_path / "state2")
+        acc1 = StreamingSketchAccumulator(plan, state_dir=state_dir)
+        stream = spark.readStream.schema("url string, lang string") \
+            .parquet(data_dir)
+        q = acc1.attach(stream, str(tmp_path / "ckpt2"))
+        q.awaitTermination(120)
+        est1 = acc1.state[("lang", "hll")].estimate()
+
+        # fresh accumulator from persisted state; replaying batch 0 is a no-op
+        acc2 = StreamingSketchAccumulator(plan, state_dir=state_dir)
+        assert acc2.state[("lang", "hll")].estimate() == est1
+        acc2.process_batch(spark.read.parquet(data_dir), batch_id=0)
+        assert acc2.state[("lang", "hll")].estimate() == est1
