@@ -135,7 +135,9 @@ def score_pair(first: np.ndarray, second: np.ndarray, heuristic: str,
         with np.errstate(invalid="ignore"):
             return float(np.corrcoef(first, second)[0, 1])
     if heuristic == "max-value-coverage":
-        return max_pair_coverage(first, second)
+        # densify first: keeps the hash-table arithmetic in the
+        # reference's small-code regime even for pre-hashed inputs
+        return max_pair_coverage(densify(first), densify(second))
     if heuristic == "Constant":
         return 0.0
     if heuristic.startswith("surrogate-"):

@@ -37,9 +37,17 @@ def with_interaction_features(
     planner=None,
     upper_bound: int | None = None,
     columns: Sequence[str] | None = None,
+    as_hex: bool = True,
 ) -> tuple[DataFrame, list[str]]:
     """Append hashed interaction columns ``A AND B [AND C ...]``
-    (``A AND_REL B`` for 3MR) — core_ranking.py:184-234."""
+    (``A AND_REL B`` for 3MR) — core_ranking.py:184-234.
+
+    ``as_hex=True`` renders the reference-shaped hex token (F.hex —
+    cheap, unlike java String.format).  ``as_hex=False`` keeps the raw
+    xxhash64 long: the scoring heuristics are relabel-invariant, the
+    column is ~8x cheaper to produce and ship, and counters skip
+    derived columns anyway — the scale-path default for ranking jobs.
+    """
     all_columns = [
         c for c in (columns or df.columns) if c != label_column
     ]
@@ -54,10 +62,8 @@ def with_interaction_features(
     out = df
     for combo in combos:
         name = join_string.join(combo)
-        concat = F.concat(*[F.col(c).cast("string") for c in combo])
-        out = out.withColumn(
-            name, F.format_string("%016x", F.xxhash64(concat)),
-        )
+        h = F.xxhash64(F.concat(*[F.col(f"`{c}`").cast("string") for c in combo]))
+        out = out.withColumn(name, F.lower(F.hex(h)) if as_hex else h)
         new_names.append(name)
     return out, new_names
 
@@ -191,9 +197,8 @@ def with_noise_features(
         )
         .withColumn(
             "CONTROL-volume",
-            F.format_string(
-                "%016x",
-                F.xxhash64(*[F.col(c).cast("string") for c in df.columns]),
+            F.lower(
+                F.hex(F.xxhash64(*[F.col(c).cast("string") for c in df.columns])),
             ),
         )
     )

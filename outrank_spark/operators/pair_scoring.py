@@ -61,21 +61,49 @@ def assign_batches(df: DataFrame, n_batches: int,
 
 
 def _encode_codes(pdf: pd.DataFrame, columns: Sequence[str]) -> dict[str, np.ndarray]:
-    """Batch-local dense int32 codes — the reference's scoring value
-    domain (core_ranking.py:108-117)."""
-    return {
-        c: pdf[c].astype("category").cat.codes.to_numpy(np.int32)
-        for c in columns
-    }
+    """Batch-local dense codes — the reference's scoring value domain
+    (core_ranking.py:108-117).  String columns go through pandas
+    category codes (reference-identical, sorted-unique order); integer
+    columns (the pre-hashed fast path) skip the object conversion and
+    are densified inside the estimator (relabel-invariant)."""
+    out = {}
+    for c in columns:
+        s = pdf[c]
+        if s.dtype.kind in ("i", "u"):
+            out[c] = s.to_numpy()
+        else:
+            out[c] = s.astype("category").cat.codes.to_numpy(np.int32)
+    return out
+
+
+# Heuristics whose scores are invariant under injective relabeling of
+# the value domain — safe to pre-hash strings to longs JVM-side.
+_RELABEL_INVARIANT = {
+    "MI", "MI-numba", "MI-numba-randomized", "MI-numba-3mr", "AMI",
+    "Constant", "max-value-coverage",
+}
 
 
 def _score_block(codes: dict[str, np.ndarray],
                  pairs: Sequence[tuple[str, str]], heuristic: str,
-                 label_column: str, ratio: float) -> list[tuple[str, str, float]]:
+                 label_column: str, ratio: float,
+                 model_features: Sequence[str] = ()) -> list[tuple[str, str, float]]:
+    model_matrix = None
+    if model_features:
+        model_matrix = np.column_stack(
+            [codes[m] for m in model_features if m in codes],
+        )
     out = []
     for a, b in pairs:
         f1, f2 = (b, label_column) if a == label_column else (a, b)
-        score = score_pair(codes[f1], codes[f2], heuristic, ratio)
+        first = codes[f1]
+        if model_matrix is not None and model_matrix.size:
+            # prior conditioning: score the candidate GIVEN the model
+            # features (importance_estimator.py:55-71 matrix path)
+            from outrank_spark.plans.reference_model import conditioned_vector
+
+            first = conditioned_vector(model_matrix, first)
+        score = score_pair(first, codes[f2], heuristic, ratio)
         out.append((a, b, float(score)))
     return out
 
@@ -84,18 +112,39 @@ def score_batches(df: DataFrame, columns: Sequence[str],
                   pairs: Sequence[tuple[str, str]], heuristic: str,
                   label_column: str, n_batches: int,
                   mi_stratified_sampling_ratio: float = 1.0,
-                  key_cols: Sequence[str] | None = None) -> DataFrame:
+                  key_cols: Sequence[str] | None = None,
+                  precode: bool | None = None,
+                  model_features: Sequence[str] = ()) -> DataFrame:
     """Score all planned pairs per minibatch; returns the triplet
-    relation ``(batch_id, feature_a, feature_b, score)``."""
+    relation ``(batch_id, feature_a, feature_b, score)``.
+
+    ``precode`` (default: auto per heuristic) hashes every scoring
+    column to a long JVM-side before the shuffle: Arrow then lands as
+    zero-copy int64 instead of millions of Python string objects, and
+    shuffle bytes shrink ~5x.  Only enabled for relabel-invariant
+    heuristics; exact-parity runs (and order-sensitive stratified
+    subsampling, which follows value order) can force ``precode=False``.
+    """
     pairs = [tuple(p) for p in pairs]
-    batched = assign_batches(df.select(*columns), n_batches,
+    if precode is None:
+        precode = (
+            heuristic in _RELABEL_INVARIANT
+            and mi_stratified_sampling_ratio >= 1.0
+        )
+    base = df.select(*columns)
+    if precode:
+        base = base.select(
+            *[F.xxhash64(F.col(c)).alias(c) for c in columns],
+        )
+    batched = assign_batches(base, n_batches,
                              key_cols=columns if key_cols is None else key_cols)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_rk", kind="stable").reset_index(drop=True)
         codes = _encode_codes(pdf, columns)
         triplets = _score_block(codes, pairs, heuristic, label_column,
-                                mi_stratified_sampling_ratio)
+                                mi_stratified_sampling_ratio,
+                                model_features)
         bid = int(pdf["batch_id"].iloc[0])
         return pd.DataFrame(
             {

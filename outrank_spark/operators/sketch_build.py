@@ -58,12 +58,18 @@ class SketchPlan:
     sketches: dict[str, dict] = field(
         default_factory=lambda: {"hll": {"p": 14}},
     )
+    # optional per-kind column restriction, e.g. exclude derived
+    # high-cardinality feature columns from exact value counters
+    kind_columns: dict[str, list[str]] | None = None
 
     def keys(self) -> list[tuple[str, str]]:
         out = []
         for col in self.columns:
             for kind in self.sketches:
                 if kind in _NUMERIC_ONLY and col not in self.numeric_columns:
+                    continue
+                if (self.kind_columns and kind in self.kind_columns
+                        and col not in self.kind_columns[kind]):
                     continue
                 out.append((col, kind))
         return out
@@ -99,8 +105,22 @@ class SketchCollection(dict):
         raise KeyError(f"no cardinality sketch for {col}")
 
 
+# Sketch kinds that consume only a 64-bit value hash — computed
+# JVM-side (xxhash64) so Arrow ships zero-copy longs instead of
+# materializing millions of Python string objects.
+_HASH_INPUT = {"hll", "parity_hll"}
+
+
 def _build_partition(plan: SketchPlan):
-    """Stage-1 worker: one pass over the partition's Arrow batches."""
+    """Stage-1 worker: one pass over the partition's Arrow batches.
+
+    Input channels per (column, kind):
+      * ``__h_<col>``  int64 xxhash64  -> hll / parity_hll (fast path)
+      * ``__m_<col>``  0/1 missing    -> coverage (fast path)
+      * ``<col>``      raw values     -> counter / cms / bloom / kll /
+                                         tdigest, and any kind whose
+                                         fast-path column is absent
+    """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local = {key: plan.make(kind) for key in plan.keys()
@@ -109,9 +129,18 @@ def _build_partition(plan: SketchPlan):
         for pdf in batches:
             saw = True
             for (col, kind), sk in local.items():
+                if kind in _HASH_INPUT and f"__h_{col}" in pdf.columns:
+                    h = pdf[f"__h_{col}"].to_numpy(np.int64).astype(np.uint64)
+                    sk.update_hashes(h)
+                    continue
+                if kind == "coverage" and f"__m_{col}" in pdf.columns:
+                    sk.update_flags(pdf[f"__m_{col}"].to_numpy())
+                    continue
                 vals = pdf[col]
                 if kind in _NUMERIC_ONLY:
                     sk.update(pd.to_numeric(vals, errors="coerce").to_numpy())
+                elif kind == "coverage":
+                    sk.update(vals.to_numpy())  # nulls count as missing
                 else:
                     sk.update(vals.dropna().to_numpy())
         if saw:
@@ -124,6 +153,38 @@ def _build_partition(plan: SketchPlan):
             )
 
     return fn
+
+
+def _scan_inputs(df, plan: SketchPlan, jvm_prehash: bool):
+    """Project exactly the channels the build needs: raw columns only
+    for kinds that require values, hash/flag longs for the rest."""
+    from pyspark.sql import functions as F
+
+    keys = plan.keys()
+    raw_needed = set()
+    hash_cols: list[str] = []
+    flag_specs: list[tuple[str, dict]] = []
+    for col, kind in keys:
+        if jvm_prehash and kind in _HASH_INPUT:
+            if col not in hash_cols:
+                hash_cols.append(col)
+        elif jvm_prehash and kind == "coverage":
+            flag_specs.append((col, plan.sketches[kind]))
+        else:
+            raw_needed.add(col)
+    exprs = [F.col(c) for c in dict.fromkeys(plan.columns) if c in raw_needed]
+    for c in hash_cols:
+        exprs.append(F.xxhash64(F.col(c)).alias(f"__h_{c}"))
+    for c, params in flag_specs:
+        missing = tuple(params.get("missing_symbols", ("", "{}")))
+        cond = F.col(c).isNull()
+        if missing:
+            cond = cond | F.col(c).cast("string").isin(*missing)
+        exprs.append(
+            F.when(cond, F.lit(1)).otherwise(F.lit(0))
+            .cast("tinyint").alias(f"__m_{c}"),
+        )
+    return df.select(*exprs)
 
 
 def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -139,11 +200,16 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def build_sketches(df, plan: SketchPlan,
-                   merge: str = "grouped") -> SketchCollection:
-    """Build all sketches in ``plan`` over ``df`` in one scan."""
-    cols = list(dict.fromkeys(plan.columns))
-    pruned = df.select(*cols)  # column pruning reaches the scan
+def build_sketches(df, plan: SketchPlan, merge: str = "grouped",
+                   jvm_prehash: bool = True) -> SketchCollection:
+    """Build all sketches in ``plan`` over ``df`` in one scan.
+
+    ``jvm_prehash`` routes cardinality sketches through JVM-side
+    xxhash64 longs and coverage through JVM missing-flags — Arrow then
+    transfers numeric columns (zero-copy) instead of Python string
+    objects for every kind that never needs the raw value.
+    """
+    pruned = _scan_inputs(df, plan, jvm_prehash)
     blobs = pruned.mapInPandas(_build_partition(plan), schema=_BLOB_SCHEMA)
 
     if merge == "grouped":

@@ -32,6 +32,7 @@ from outrank_spark.operators.sketch_build import (
     SketchPlan,
     _build_partition,
     _merge_group,
+    _scan_inputs,
 )
 from outrank_spark.plans.combinations import CombinationPlanner
 from outrank_spark.sketches import sketch_from_bytes
@@ -82,7 +83,7 @@ class CheckpointedSketchBuild:
             t0 = time.time()
             part = sliced.filter(F.col("_slice") == i).drop("_slice")
             n_rows = part.count()
-            blobs = part.mapInPandas(
+            blobs = _scan_inputs(part, self.plan, True).mapInPandas(
                 _build_partition(self.plan), schema=_BLOB_SCHEMA,
             )
             merged = (

@@ -679,6 +679,134 @@ ORDER BY o_custkey
 """
 
 
+def q24_customer_activity(spark, sf_dir):
+    """Semi/anti-join set split: customers with vs without orders,
+    counted per market segment."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    active = cust.join(orders, cust.c_custkey == orders.o_custkey,
+                       "left_semi")
+    inactive = cust.join(orders, cust.c_custkey == orders.o_custkey,
+                         "left_anti")
+    return (
+        active.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(
+            inactive.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_inactive")),
+            "c_mktsegment", "full_outer",
+        )
+        .fillna(0, ["n_active", "n_inactive"])
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_Q24 = """
+WITH active AS (
+  SELECT c_mktsegment, count(*) AS n_active
+  FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+  GROUP BY 1
+),
+inactive AS (
+  SELECT c_mktsegment, count(*) AS n_inactive
+  FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+  GROUP BY 1
+)
+SELECT c_mktsegment,
+       coalesce(n_active, 0) AS n_active,
+       coalesce(n_inactive, 0) AS n_inactive
+FROM active FULL OUTER JOIN inactive USING (c_mktsegment)
+ORDER BY c_mktsegment
+"""
+
+
+def q25_rollup_pricing(spark, sf_dir):
+    """ROLLUP subtotals over (returnflag, linestatus)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+ORACLE_Q25 = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def q26_value_repetition_profile(spark, sf_dir):
+    """Bounded-counter report shape (value_repetitions.json,
+    task_ranking.py:282-288): how many distinct n_chars values repeat
+    more than {0,1,10,100} times."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    return counts.agg(
+        *[
+            F.sum(F.when(F.col("c") > t, 1).otherwise(0)).alias(f"more_than_{t}")
+            for t in (0, 1, 10, 100)
+        ],
+    )
+
+
+ORACLE_Q26 = """
+WITH counts AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY 1)
+SELECT CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS more_than_0,
+       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS more_than_1,
+       CAST(sum(CASE WHEN c > 10 THEN 1 ELSE 0 END) AS BIGINT) AS more_than_10,
+       CAST(sum(CASE WHEN c > 100 THEN 1 ELSE 0 END) AS BIGINT) AS more_than_100
+FROM counts
+"""
+
+
+def q27_lang_quality_profile(spark, sf_dir):
+    """Aggregated text-quality profile per language (the corpus-level
+    quality report a training-data pipeline filters on)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return (
+        docs.select(
+            "lang",
+            F.size(toks).alias("nt"),
+            (F.size(F.filter(toks, lambda t: t.isin("a", "the")))
+             / F.size(toks)).alias("sr"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("nt").cast("decimal(18,0)")).cast("double"), 0,
+            ).alias("total_tokens"),
+            F.round(
+                F.sum(F.round(F.col("sr"), 6).cast("decimal(18,6)"))
+                .cast("double"), 6,
+            ).alias("sum_stop_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_Q27 = """
+SELECT lang, count(*) AS n_docs,
+       round(CAST(sum(CAST(len(string_split(text,' ')) AS DECIMAL(18,0))) AS DOUBLE), 0) AS total_tokens,
+       round(CAST(sum(CAST(round(len(list_filter(string_split(text,' '), t -> t IN ('a','the')))
+             / len(string_split(text,' '))::DOUBLE, 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_stop_ratio
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 # --------------------------------------------------------------------
 # Sketch-backed / non-SQL-expressible (rows-only checks)
 # --------------------------------------------------------------------
@@ -737,6 +865,77 @@ def q23_ranking_flagship(spark, sf_dir):
     return spark.createDataFrame(pdf[["Feature", "score"]])
 
 
+def q28_minhash_neardup(spark, sf_dir):
+    """MinHash-LSH near-dup candidates over documents (candidate
+    recall is probabilistic — exact-verified in pytest, rows-only
+    here)."""
+    from outrank_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = load(spark, sf_dir, "documents")
+    res = minhash_lsh_candidates(docs, k=64, bands=16, verify_threshold=0.5)
+    return res.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"),
+    ).orderBy("id_a", "id_b")
+
+
+def q29_simhash_profile(spark, sf_dir):
+    """SimHash signature distribution summary (rows-only)."""
+    from outrank_spark.operators.dedup import simhash_signatures
+
+    docs = load(spark, sf_dir, "documents")
+    sig = simhash_signatures(docs)
+    return sig.agg(
+        F.countDistinct("simhash").alias("distinct_signatures"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def q30_langid_accuracy(spark, sf_dir):
+    """Trigram language-ID self-consistency against the stored labels
+    (rows-only; the heuristic has no SQL equivalent)."""
+    from outrank_spark.operators.text import fit_langid, with_language_id
+
+    docs = load(spark, sf_dir, "documents")
+    profiles = fit_langid(docs, sample_per_lang=100)
+    pred = with_language_id(docs, profiles)
+    return (
+        pred.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("lang_pred") == F.col("lang"), 1).otherwise(0),
+            ).alias("n_correct"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q31_embedding_ann_ivf(spark, sf_dir):
+    """IVF approximate top-k vs the q15 brute-force baseline
+    (rows-only; recall is checked in pytest)."""
+    from outrank_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    return ivf_topk(emb, queries, k=5, n_cells=16, n_probe=8) \
+        .orderBy("query_id", "rank")
+
+
+def q32_instance_quality_histograms(spark, sf_dir):
+    """Per-label histograms of per-row quality metrics — the
+    instance-ranking task's output relation (rows-only)."""
+    from outrank_spark.operators.instance_ranking import instance_histograms
+
+    docs = load(spark, sf_dir, "documents").select(
+        "lang", "text", "source",
+    )
+    return instance_histograms(docs, "lang", columns=["text", "source"],
+                               bins=20)
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -761,6 +960,15 @@ QUERIES = {
     "q21_sketch_cardinalities": q21_sketch_cardinalities,
     "q22_sketch_quantiles": q22_sketch_quantiles,
     "q23_ranking_flagship": q23_ranking_flagship,
+    "q24_customer_activity": q24_customer_activity,
+    "q25_rollup_pricing": q25_rollup_pricing,
+    "q26_value_repetition_profile": q26_value_repetition_profile,
+    "q27_lang_quality_profile": q27_lang_quality_profile,
+    "q28_minhash_neardup": q28_minhash_neardup,
+    "q29_simhash_profile": q29_simhash_profile,
+    "q30_langid_accuracy": q30_langid_accuracy,
+    "q31_embedding_ann_ivf": q31_embedding_ann_ivf,
+    "q32_instance_quality_histograms": q32_instance_quality_histograms,
 }
 
 ORACLES = {
@@ -784,5 +992,10 @@ ORACLES = {
     "q18_user_sessions": ORACLE_Q18,
     "q19_json_props": ORACLE_Q19,
     "q20_top_order_per_customer": ORACLE_Q20,
-    # q21-q23: sketch/ranking results — no SQL equivalent (rows-only)
+    "q24_customer_activity": ORACLE_Q24,
+    "q25_rollup_pricing": ORACLE_Q25,
+    "q26_value_repetition_profile": ORACLE_Q26,
+    "q27_lang_quality_profile": ORACLE_Q27,
+    # q21-q23, q28-q32: sketch/heuristic results — no SQL equivalent
+    # (rows-only checks; accuracy bound-tested in tests/)
 }

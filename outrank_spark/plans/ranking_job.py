@@ -57,8 +57,28 @@ class RankingConfig:
     interaction_order: int = 1
     max_unique_hist_constraint: int = 30_000
     seed: int = 123
-    cms_depth: int = 6
-    cms_width: int = 2 ** 15
+    # extra sketch kinds beyond the reference's HLL + bounded counter
+    # (e.g. {"cms": {"depth": 6, "width": 2**13}}); kept OUT of the
+    # default plan — per-partition CMS blobs dominate shuffle bytes and
+    # the reference's ranking flow never consumes a CMS
+    extra_sketches: dict | None = None
+    # parity-HLL precision: p=19 reproduces the reference bitwise;
+    # smaller p bounds the per-partition blob for very wide feature
+    # sets (name cardinalities cap at 2^p, like the reference's 2^19)
+    hll_p: int | None = None
+    # exact value counters only make sense for base columns — derived
+    # feature values (interaction hashes, transformer outputs) are
+    # near-unique and blow up the partial-counter shuffle
+    counter_exclude_derived: bool = True
+    # scoring fan-out floor: ensure at least this many minibatch groups
+    # per core so the applyInPandas stage saturates the cluster (each
+    # batch still >= min_batch_rows, the reference's remainder floor)
+    batches_per_core: int = 2
+    min_batch_rows: int = 2 ** 10
+    # optional reference-model JSON: candidates are scored conditioned
+    # on the model's features, and pairs touching model features are
+    # dropped (core_ranking.py:205-215; importance_estimator.py:55-71)
+    reference_model_json: str = ""
 
 
 @dataclass
@@ -72,55 +92,68 @@ class RankingResult:
     triplets_raw: pd.DataFrame = field(default=None)  # pre-rename medians
 
 
-def _coverage_exact(df: DataFrame, columns: list[str],
-                    missing: tuple[str, ...]) -> dict[str, float]:
-    """Exact one-pass coverage: 100 * avg(value not missing) — the
-    whole-data upgrade of the reference's batch-mean
-    (core_ranking.py:375-391; SURVEY.md §2.4)."""
-    aggs = [
-        F.avg(
-            F.when(
-                F.col(c).isNull() | F.col(c).cast("string").isin(*missing),
-                F.lit(0.0),
-            ).otherwise(F.lit(1.0)),
-        ).alias(c)
-        for c in columns
-    ]
-    row = df.agg(*aggs).first()
-    return {c: 100.0 * row[c] for c in columns}
-
-
 def run_ranking(spark, df: DataFrame, cfg: RankingConfig,
                 planner: CombinationPlanner | None = None) -> RankingResult:
     columns = cfg.feature_columns or list(df.columns)
     planner = planner or CombinationPlanner(seed=cfg.seed)
 
+    # two lazy passes over the (possibly upstream-cached) input —
+    # a cache write of wide string columns costs more than the scans,
+    # and the coverage sketch doubles as the row counter
     sub = deterministic_subsample(df.select(*columns), cfg.subsampling,
                                   key_cols=columns)
-    sub = sub.cache()
-    n_rows = sub.count()
-    n_batches = max(1, math.ceil(n_rows / cfg.minibatch_size))
 
-    # --- sketch scan (cardinality + counts) --------------------------
-    plan = SketchPlan(
-        columns=columns,
-        sketches={
-            "parity_hll": {},
-            "counter": {"bound": cfg.max_unique_hist_constraint},
-            "cms": {"depth": cfg.cms_depth, "width": cfg.cms_width},
-        },
-    )
+    # --- ONE sketch scan: cardinality + value counts + coverage ------
+    sketch_kinds = {
+        "parity_hll": ({} if cfg.hll_p is None else {"p": cfg.hll_p}),
+        "counter": {"bound": cfg.max_unique_hist_constraint},
+        "coverage": {"missing_symbols": cfg.missing_value_symbols},
+        **(cfg.extra_sketches or {}),
+    }
+    kind_columns = None
+    if cfg.counter_exclude_derived:
+        base_cols = [
+            c for c in columns
+            if " AND" not in c and "_tr_" not in c
+            and not c.startswith(("CONTROL-", "SUBFEATURE", "MULTIEX-"))
+        ]
+        kind_columns = {"counter": base_cols}
+    plan = SketchPlan(columns=columns, sketches=sketch_kinds,
+                      kind_columns=kind_columns)
     sketches = build_sketches(sub, plan)
     cards = {c: sketches[(c, "parity_hll")].estimate() for c in columns}
-    coverage = _coverage_exact(sub, columns, cfg.missing_value_symbols)
+    coverage = {
+        c: sketches[(c, "coverage")].coverage() for c in columns
+    }
+    n_rows = sketches[(columns[0], "coverage")].total
+
+    # enough minibatch groups to saturate the cluster, without
+    # dropping below the reference's remainder floor (2^10 rows)
+    parallelism = spark.sparkContext.defaultParallelism
+    n_batches = max(1, math.ceil(n_rows / cfg.minibatch_size))
+    n_batches = max(n_batches, cfg.batches_per_core * parallelism)
+    n_batches = min(n_batches, max(1, n_rows // cfg.min_batch_rows))
 
     # --- pair scoring ------------------------------------------------
     pairs = planner.plan(columns, cfg.label_column, cfg.heuristic,
                          cfg.target_ranking_only,
                          cfg.combination_number_upper_bound)
+    model_features: list[str] = []
+    if cfg.reference_model_json:
+        from outrank_spark.plans.reference_model import (
+            filter_pairs,
+            model_feature_names,
+        )
+
+        model_features = [
+            m for m in model_feature_names(cfg.reference_model_json)
+            if m in columns
+        ]
+        pairs = filter_pairs(pairs, model_features)
     triplets = score_batches(
         sub, columns, pairs, cfg.heuristic, cfg.label_column, n_batches,
         cfg.mi_stratified_sampling_ratio,
+        model_features=model_features,
     )
     grouped = (
         symmetrize(triplets)
@@ -128,7 +161,6 @@ def run_ranking(spark, df: DataFrame, cfg: RankingConfig,
         .agg(F.median("score").alias("score"))
         .toPandas()
     )
-    sub.unpersist()
 
     # --- finalize (driver-side, small) -------------------------------
     grouped.columns = ["FeatureA", "FeatureB", "Score"]

@@ -24,6 +24,7 @@ from outrank_spark.sketches.bloom import BloomFilter
 from outrank_spark.sketches.kll import KLLSketch
 from outrank_spark.sketches.tdigest import TDigest
 from outrank_spark.sketches.counters import BoundedCounter
+from outrank_spark.sketches.coverage import CoverageCounter
 
 SKETCH_REGISTRY = {
     "hll": HyperLogLog,
@@ -33,6 +34,7 @@ SKETCH_REGISTRY = {
     "kll": KLLSketch,
     "tdigest": TDigest,
     "counter": BoundedCounter,
+    "coverage": CoverageCounter,
 }
 
 
@@ -41,6 +43,6 @@ def sketch_from_bytes(kind: str, blob: bytes):
 
 __all__ = [
     "HyperLogLog", "ParityHyperLogLog", "CountMinSketch", "BloomFilter",
-    "KLLSketch", "TDigest", "BoundedCounter", "SKETCH_REGISTRY",
-    "sketch_from_bytes",
+    "KLLSketch", "TDigest", "BoundedCounter", "CoverageCounter",
+    "SKETCH_REGISTRY", "sketch_from_bytes",
 ]

@@ -139,11 +139,18 @@ class ParityHyperLogLog:
     kind = "parity_hll"
     P = 19
 
-    def __init__(self, error_rate: float = 0.005):
-        self.p = self.P
+    def __init__(self, error_rate: float = 0.005, p: int | None = None,
+                 warmup_limit: int | None = None):
+        # defaults reproduce the reference exactly (p=19, warmup m/2);
+        # smaller p bounds the per-partition blob (bitmap m/8 bytes)
+        # for wide high-cardinality column sets at scale
+        self.p = self.P if p is None else p
         self.m = 1 << self.p
-        self.warmup_limit = self.m // 2
-        self.warmup: set[int] | None = set()
+        self.warmup_limit = (self.m // 2 if warmup_limit is None
+                             else warmup_limit)
+        # warmup "set" is a sorted unique uint64 array — all updates
+        # and merges stay vectorized numpy (no Python int churn)
+        self.warmup: np.ndarray | None = np.empty(0, dtype=np.uint64)
         self.bitmap: np.ndarray | None = None  # uint8[m/8] packed
 
     # -- internals -----------------------------------------------------
@@ -158,9 +165,8 @@ class ParityHyperLogLog:
     def _to_registers(self) -> None:
         """Exit warmup: hash every warmup value into the bitmap."""
         self.bitmap = np.zeros(self.m // 8, dtype=np.uint8)
-        if self.warmup:
-            h = np.fromiter(self.warmup, dtype=np.uint64, count=len(self.warmup))
-            self._set_buckets(self._buckets_of(h))
+        if self.warmup.size:
+            self._set_buckets(self._buckets_of(self.warmup))
         self.warmup = None
 
     # -- build ---------------------------------------------------------
@@ -170,27 +176,29 @@ class ParityHyperLogLog:
     def update_hashes(self, h: np.ndarray) -> "ParityHyperLogLog":
         if h.size == 0:
             return self
+        h = np.asarray(h).astype(np.uint64, copy=False)
         if self.warmup is not None:
-            self.warmup.update(h.tolist())
-            if len(self.warmup) >= self.warmup_limit:
+            self.warmup = np.union1d(self.warmup, h)
+            if self.warmup.size >= self.warmup_limit:
                 self._to_registers()
         else:
-            self._set_buckets(self._buckets_of(np.asarray(h, dtype=np.uint64)))
+            self._set_buckets(self._buckets_of(h))
         return self
 
     # -- merge ---------------------------------------------------------
     def merge(self, other: "ParityHyperLogLog") -> "ParityHyperLogLog":
+        if other.p != self.p:
+            raise ValueError("cannot merge parity-HLLs with different p")
         if self.warmup is not None and other.warmup is not None:
-            self.warmup |= other.warmup
-            if len(self.warmup) >= self.warmup_limit:
+            self.warmup = np.union1d(self.warmup, other.warmup)
+            if self.warmup.size >= self.warmup_limit:
                 self._to_registers()
             return self
         if self.warmup is not None:
             self._to_registers()
         if other.warmup is not None:
-            h = np.fromiter(other.warmup, dtype=np.uint64, count=len(other.warmup))
-            if h.size:
-                self._set_buckets(self._buckets_of(h))
+            if other.warmup.size:
+                self._set_buckets(self._buckets_of(other.warmup))
         else:
             np.bitwise_or(self.bitmap, other.bitmap, out=self.bitmap)
         return self
@@ -198,7 +206,7 @@ class ParityHyperLogLog:
     # -- finalize ------------------------------------------------------
     def estimate(self) -> int:
         if self.warmup is not None:
-            return len(self.warmup)
+            return int(self.warmup.size)
         occupied = int(np.unpackbits(self.bitmap).sum())
         empty = self.m - occupied
         if empty == 0:
@@ -211,20 +219,20 @@ class ParityHyperLogLog:
 
     # -- wire ----------------------------------------------------------
     def to_bytes(self) -> bytes:
+        head = struct.pack("<BBBI", 2, 1 if self.warmup is None else 0,
+                           self.p, self.warmup_limit & 0xFFFFFFFF)
         if self.warmup is not None:
-            arr = np.fromiter(
-                sorted(self.warmup), dtype=np.uint64, count=len(self.warmup),
-            )
-            return struct.pack("<BB", 1, 0) + arr.tobytes()
-        return struct.pack("<BB", 1, 1) + self.bitmap.tobytes()
+            return head + self.warmup.tobytes()  # already sorted unique
+        return head + self.bitmap.tobytes()
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "ParityHyperLogLog":
-        ver, phase = struct.unpack_from("<BB", blob)
-        out = cls()
+        ver, phase, p, warmup_limit = struct.unpack_from("<BBBI", blob)
+        off = struct.calcsize("<BBBI")
+        out = cls(p=p, warmup_limit=warmup_limit)
         if phase == 0:
-            out.warmup = set(np.frombuffer(blob, dtype=np.uint64, offset=2).tolist())
+            out.warmup = np.frombuffer(blob, dtype=np.uint64, offset=off).copy()
         else:
             out.warmup = None
-            out.bitmap = np.frombuffer(blob, dtype=np.uint8, offset=2).copy()
+            out.bitmap = np.frombuffer(blob, dtype=np.uint8, offset=off).copy()
         return out

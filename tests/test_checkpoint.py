@@ -51,9 +51,11 @@ class TestCheckpointResume:
             "_slice",
             F.pmod(F.xxhash64(*[F.col(c) for c in pages.columns]), F.lit(4)),
         )
+        from outrank_spark.operators.sketch_build import _scan_inputs
+
         for i in (0, 2):
             part = sliced.filter(F.col("_slice") == i).drop("_slice")
-            blobs = part.mapInPandas(
+            blobs = _scan_inputs(part, PLAN, True).mapInPandas(
                 __import__("outrank_spark.operators.sketch_build",
                            fromlist=["x"])._build_partition(PLAN),
                 schema="column string, kind string, blob binary",
