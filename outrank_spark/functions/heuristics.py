@@ -45,17 +45,21 @@ def _contingency(x: np.ndarray, y: np.ndarray) -> np.ndarray:
 
 
 def exact_mi(x: np.ndarray, y: np.ndarray) -> float:
-    """Plug-in MI in nats from the exact contingency table."""
-    cont = _contingency(x, y)
-    n = cont.sum()
+    """Plug-in MI in nats — sparse over the observed (x, y) cells, so
+    high-cardinality pairs never allocate a dense nx*ny table."""
+    x = densify(x)
+    y = densify(y)
+    n = len(x)
     if n == 0:
         return 0.0
-    pxy = cont / n
-    px = pxy.sum(axis=1, keepdims=True)
-    py = pxy.sum(axis=0, keepdims=True)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        term = pxy * np.log(pxy / (px * py))
-    return float(np.nansum(term))
+    ny = int(y.max()) + 1
+    key = x.astype(np.int64) * ny + y
+    cells, cxy = np.unique(key, return_counts=True)
+    cx = np.bincount(x)[(cells // ny)]
+    cy = np.bincount(y)[(cells % ny)]
+    pxy = cxy / n
+    term = pxy * np.log(pxy * n * n / (cx * cy))
+    return float(term.sum())
 
 
 def _expected_mi(a: np.ndarray, b: np.ndarray, n: int) -> float:

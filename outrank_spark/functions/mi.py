@@ -79,24 +79,46 @@ def stratified_subsampling(
     return Y[idx], X[idx]
 
 
+_DENSE_CELL_LIMIT = 4_000_000
+
+
 def _conditional_entropy_sum(
     x_code: np.ndarray, y_code: np.ndarray, n_x: int, n_cls: int,
     pre_counts: np.ndarray, all_events: int, keep: np.ndarray,
 ) -> float:
     """Sum over x values (count>1) of initial_prob * H-contribution:
     -(c_x/N) * sum_y p(y|x) log p(y|x) with p(y|x) = cont/c_x where
-    c_x is the PRE-subsample count (reference denominator)."""
-    cont = np.bincount(
-        x_code.astype(np.int64) * n_cls + y_code,
-        minlength=n_x * n_cls,
-    ).reshape(n_x, n_cls)
-    denom = pre_counts.astype(np.float64)[:, None]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        p = cont / denom
-        term = np.where(cont > 0, p * np.log(p), 0.0)
-    initial_prob = (pre_counts / all_events)[:, None]
-    contrib = -(initial_prob * term)
-    contrib[~keep] = 0.0
+    c_x is the PRE-subsample count (reference denominator).
+
+    Dense bincount only while the table is no bigger than the data
+    itself; otherwise sparse (unique over combined keys, nonzero cells
+    only) — a dense mid-cardinality table (say 2000 x 1500 cells for a
+    16k-row batch) costs ~100 MB of array traffic per pair, while the
+    sparse path is one O(n log n) sort.  Identical result either way:
+    zero cells contribute nothing.
+    """
+    if n_x * n_cls <= min(max(4 * len(x_code), 16384), _DENSE_CELL_LIMIT):
+        cont = np.bincount(
+            x_code.astype(np.int64) * n_cls + y_code,
+            minlength=n_x * n_cls,
+        ).reshape(n_x, n_cls)
+        denom = pre_counts.astype(np.float64)[:, None]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            p = cont / denom
+            term = np.where(cont > 0, p * np.log(p), 0.0)
+        initial_prob = (pre_counts / all_events)[:, None]
+        contrib = -(initial_prob * term)
+        contrib[~keep] = 0.0
+        return float(contrib.sum())
+
+    key = x_code.astype(np.int64) * n_cls + y_code
+    cells, counts = np.unique(key, return_counts=True)
+    cell_x = (cells // n_cls).astype(np.int64)
+    denom = pre_counts[cell_x].astype(np.float64)
+    p = counts / denom
+    term = p * np.log(p)
+    contrib = -(pre_counts[cell_x] / all_events) * term
+    contrib[~keep[cell_x]] = 0.0
     return float(contrib.sum())
 
 
@@ -128,8 +150,13 @@ def mutual_info_estimator(
     n = len(X)
     class_values, class_counts = _unique_counts(Y)
     n_cls = len(class_values)
-    x_code = np.searchsorted(f_values, X)
-    y_code = np.searchsorted(class_values, Y)
+    # dense-domain LUTs beat searchsorted ~5x (X/Y are densified)
+    x_lut = np.zeros(int(f_values[-1]) + 1, dtype=np.int64)
+    x_lut[f_values] = np.arange(len(f_values))
+    x_code = x_lut[X]
+    y_lut = np.zeros(int(class_values[-1]) + 1, dtype=np.int64)
+    y_lut[class_values] = np.arange(n_cls)
+    y_code = y_lut[Y]
     keep = f_value_counts > 1
 
     cond = _conditional_entropy_sum(

@@ -141,6 +141,17 @@ def score_batches(df: DataFrame, columns: Sequence[str],
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_rk", kind="stable").reset_index(drop=True)
+        # The hash sort gives a deterministic, partition-independent
+        # order — but it CLUSTERS identical rows into runs, which
+        # makes the MI spoof correction's position shift land on
+        # look-alike neighbors (background == signal -> score ~ 0).
+        # A fixed pseudo-random permutation of positions scatters the
+        # runs while staying fully deterministic.
+        from outrank_spark.hashing import splitmix64
+
+        perm = np.argsort(splitmix64(np.arange(len(pdf), dtype=np.uint64)),
+                          kind="stable")
+        pdf = pdf.iloc[perm].reset_index(drop=True)
         codes = _encode_codes(pdf, columns)
         triplets = _score_block(codes, pairs, heuristic, label_column,
                                 mi_stratified_sampling_ratio,
@@ -185,11 +196,25 @@ def score_single_batch_distributed(spark, pdf: pd.DataFrame,
 
 
 def symmetrize(triplets: DataFrame) -> DataFrame:
-    """Emit both (a,b,s) and (b,a,s) — core_ranking.py:156-165."""
-    swapped = triplets.select(
-        "batch_id",
-        F.col("feature_b").alias("feature_a"),
-        F.col("feature_a").alias("feature_b"),
-        "score",
+    """Emit both (a,b,s) and (b,a,s) — core_ranking.py:156-165.
+
+    Single-pass explode, NOT a self-union: a union's two branches
+    would each re-evaluate the (expensive, uncached) scoring stage.
+    """
+    both = F.array(
+        F.struct(
+            F.col("feature_a").alias("fa"), F.col("feature_b").alias("fb"),
+        ),
+        F.struct(
+            F.col("feature_b").alias("fa"), F.col("feature_a").alias("fb"),
+        ),
     )
-    return triplets.unionByName(swapped)
+    return (
+        triplets.select("batch_id", "score", F.explode(both).alias("p"))
+        .select(
+            "batch_id",
+            F.col("p.fa").alias("feature_a"),
+            F.col("p.fb").alias("feature_b"),
+            "score",
+        )
+    )

