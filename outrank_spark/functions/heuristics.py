@@ -21,8 +21,11 @@ Supported here (no sklearn/scipy in this environment):
   max-value-coverage    share of the most frequent value pair
   Constant              0.0 (rare-value / transformer-summary tasks)
 
-``surrogate-*`` model-fit heuristics need sklearn and raise
-NotImplementedError with a clear message (documented divergence).
+  surrogate-SGD/-SVM/-SGD-RP/-SGD-SVD
+                        numpy logistic-loss surrogates (2-fold CV
+                        held-out neg-log-loss, score = 1 + median) —
+                        see functions/surrogate.py for the sklearn
+                        re-derivation and documented divergences
 """
 from __future__ import annotations
 
@@ -145,14 +148,17 @@ def score_pair(first: np.ndarray, second: np.ndarray, heuristic: str,
     if heuristic == "Constant":
         return 0.0
     if heuristic.startswith("surrogate-"):
-        raise NotImplementedError(
-            f"{heuristic} requires sklearn, unavailable in this build; "
-            "use MI / MI-numba-randomized / AMI",
-        )
+        # numpy re-derivation of the sklearn surrogate family
+        # (importance_estimator.py:42-53) — see functions/surrogate.py
+        from outrank_spark.functions.surrogate import surrogate_score
+
+        return surrogate_score(first, second, heuristic)
     raise ValueError(f"unknown heuristic {heuristic!r}")
 
 
 HEURISTICS = [
     "MI", "MI-numba", "MI-numba-randomized", "MI-numba-3mr", "AMI",
     "correlation-Pearson", "max-value-coverage", "Constant",
+    "surrogate-SGD", "surrogate-SVM", "surrogate-SGD-RP",
+    "surrogate-SGD-SVD",
 ]

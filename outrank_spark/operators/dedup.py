@@ -148,30 +148,62 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         candidate_pairs: DataFrame | None = None,
-                        max_shingle_freq: int | None = None) -> DataFrame:
-    """Exact shingle-set Jaccard.  Without ``candidate_pairs`` this is
-    the full explode + self-join (quadratic in near-dup clusters;
-    ``max_shingle_freq`` drops stop-shingles to bound the join).  With
-    candidates it only verifies those pairs."""
+                        max_shingle_freq: int | None = 100_000) -> DataFrame:
+    """Exact shingle-set Jaccard.
+
+    Without ``candidate_pairs`` this is the full explode + self-join —
+    **quadratic in near-dup cluster size; oracle/baseline use only**
+    (the flagship q14 shape).  At corpus scale route through
+    :func:`minhash_lsh_candidates`, which bounds this verification to
+    its LSH candidate pairs.
+
+    With ``candidate_pairs`` the work is candidate-bounded end to end:
+    shingles are first semi-joined to the candidate doc ids, and the
+    intersection is computed by walking ``candidates -> shingles(id_a)
+    -> shingles(id_b)`` — no all-pairs shuffle ever materializes, so
+    cost is O(sum of candidate docs' shingles), not O(cluster^2).
+    ``max_shingle_freq`` (default 100k) drops stop-shingles via a
+    broadcast **anti**-join against the tiny heavy-hitter set (the
+    classic stop-words-in-LSH mitigation; broadcasting the *kept* side
+    would ship nearly the whole vocabulary).  Sizes are computed from
+    the same filtered universe as intersections, so Jaccard stays an
+    unbiased set similarity over the capped shingle space.
+    """
     sh = shingle_df(df, text_col, id_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
-        sh = sh.join(
-            F.broadcast(freq.filter(F.col("f") <= max_shingle_freq)),
-            "shingle",
-        ).drop("f")
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     if candidate_pairs is not None:
-        inter = inter.join(
-            candidate_pairs.select("id_a", "id_b"), ["id_a", "id_b"],
+        cand = candidate_pairs.select("id_a", "id_b").distinct()
+        cand_ids = (
+            cand.select(F.col("id_a").alias(id_col))
+            .union(cand.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        sh = sh.join(cand_ids, id_col, "left_semi")
+    if max_shingle_freq is not None:
+        stop = (
+            sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
+            .filter(F.col("f") > max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(stop), "shingle", "left_anti")
+    # numerator and denominator over the SAME (filtered) universe
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    if candidate_pairs is None:
+        a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        inter = (
+            cand.join(sh_a, "id_a")
+            .join(sh_b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
         )
     return (
         inter
@@ -188,37 +220,45 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 
 # ------------------------------------------------------------ SimHash
-_SIMHASH_SCHEMA = "id long, simhash long"
-
-
 def simhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
-    """64-bit Charikar SimHash per document via vectorized bit voting
-    (one Arrow pass; numpy unpackbits over token hashes)."""
+    """64-bit Charikar SimHash per document — pure JVM bit voting.
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, out = [], []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                toks = pd.Series(str(text).split(" "))
-                counts = toks.value_counts()
-                h = pd.util.hash_array(
-                    counts.index.to_numpy(dtype=object),
-                ).astype(np.uint64)
-                w = counts.to_numpy(dtype=np.int64)
-                bits = np.unpackbits(
-                    h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little",
-                ).astype(np.int64)  # (n_tokens, 64)
-                votes = ((bits * 2 - 1) * w[:, None]).sum(axis=0)
-                sig = np.packbits(
-                    (votes >= 0).astype(np.uint8), bitorder="little",
-                ).view(np.int64)[0]
-                ids.append(int(did))
-                out.append(int(sig))
-            yield pd.DataFrame({"id": ids, "simhash": out})
-
-    return df.select(id_col, text_col).mapInPandas(fn, schema=_SIMHASH_SCHEMA) \
-        .withColumnRenamed("id", id_col)
+    Tokens are exploded JVM-side (token multiplicity = vote weight, so
+    no per-token count pass is needed), hashed with Spark's built-in
+    ``xxhash64`` (seed pinned inside Spark — signatures are stable
+    across Spark/pandas/numpy versions, unlike the previous
+    ``pd.util.hash_array`` path), and each of the 64 bits contributes
+    ``+1``/``-1`` to one of 64 ``sum`` aggregates.  One explode + one
+    shuffle keyed by doc id, all inside WholeStageCodegen — no Python
+    anywhere in the hot path.
+    """
+    h = F.col("_h")
+    tok = (
+        df.select(
+            id_col,
+            F.explode(
+                F.split(F.coalesce(F.col(text_col).cast("string"),
+                                   F.lit("")), " "),
+            ).alias("_tok"),
+        )
+        .withColumn("_h", F.xxhash64(F.col("_tok")))
+    )
+    votes = tok.groupBy(id_col).agg(*[
+        F.sum(
+            F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)).cast("long")
+            * 2 - 1,
+        ).alias(f"v{i}")
+        for i in range(64)
+    ])
+    sig = None
+    for i in range(64):
+        bit = F.when(
+            F.col(f"v{i}") >= 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return votes.select(id_col, sig.alias("simhash"))
 
 
 def simhash_candidates(df: DataFrame, text_col: str = "text",

@@ -59,12 +59,16 @@ def with_interaction_features(
     if planner is not None and upper_bound:
         combos = planner.sample(combos, upper_bound)
     new_names = []
-    out = df
+    exprs = []
+    # ONE select for all combos: chained withColumn would nest the
+    # logical plan |combos| deep and analyzer time grows superlinearly
+    # (hundreds of order-3 combos dominate small-batch jobs)
     for combo in combos:
         name = join_string.join(combo)
         h = F.xxhash64(F.concat(*[F.col(f"`{c}`").cast("string") for c in combo]))
-        out = out.withColumn(name, F.lower(F.hex(h)) if as_hex else h)
+        exprs.append((F.lower(F.hex(h)) if as_hex else h).alias(name))
         new_names.append(name)
+    out = df.select("*", *exprs) if exprs else df
     return out, new_names
 
 
@@ -77,8 +81,8 @@ def explode_multivalue_features(
     """One-hot presence columns ``MULTIEX-{f}-{v}`` for every distinct
     member value of each multivalue column (core_ranking.py:237-278;
     reference splits on ',' normalized to '-')."""
-    out = df
     new_names = []
+    exprs = []  # one flat select — see with_interaction_features
     for feat in multivalue_features:
         arr = F.split(F.regexp_replace(F.col(feat), ",", "-"), "-")
         values = [
@@ -88,11 +92,13 @@ def explode_multivalue_features(
             if r["v"] not in set(missing_value_symbols)
         ]
         for v in sorted(values):
-            out = out.withColumn(
-                f"MULTIEX-{feat}-{v}",
-                F.when(F.array_contains(arr, v), F.lit("1")).otherwise(F.lit("")),
+            name = f"MULTIEX-{feat}-{v}"
+            exprs.append(
+                F.when(F.array_contains(arr, v), F.lit("1"))
+                .otherwise(F.lit("")).alias(name),
             )
-            new_names.append(f"MULTIEX-{feat}-{v}")
+            new_names.append(name)
+    out = df.select("*", *exprs) if exprs else df
     return out, new_names
 
 
@@ -108,8 +114,8 @@ def with_subfeatures(
     ``a<->b`` : |A| x |B| one-hot mask columns named
                 ``SUBFEATURE|a|b-va&vb``.
     """
-    out = df
     new_names = []
+    exprs = []  # one flat select — see with_interaction_features
     for seed_pair in subfeature_mapping.split(";"):
         if "<->" in seed_pair:
             first, second = seed_pair.split("<->")
@@ -124,12 +130,11 @@ def with_subfeatures(
             for vb in vals_second:
                 for va in vals_first:
                     name = f"SUBFEATURE|{first}|{second}-{va}&{vb}"
-                    out = out.withColumn(
-                        name,
+                    exprs.append(
                         F.when(
                             (F.col(first) == va) & (F.col(second) == vb),
                             F.lit("1"),
-                        ).otherwise(F.lit("0")),
+                        ).otherwise(F.lit("0")).alias(name),
                     )
                     new_names.append(name)
         elif "->" in seed_pair:
@@ -140,21 +145,21 @@ def with_subfeatures(
             )
             for vb in vals_second:
                 name = f"SUBFEATURE-{first}&{vb}"
-                out = out.withColumn(
-                    name,
+                exprs.append(
                     F.when(
                         F.col(second) == vb,
                         F.concat(
                             F.col(first).cast("string"), F.lit("AND"),
                             F.col(second).cast("string"),
                         ),
-                    ).otherwise(F.lit("")),
+                    ).otherwise(F.lit("")).alias(name),
                 )
                 new_names.append(name)
         else:
             raise NotImplementedError(
                 "Please specify a valid subfeature operator (<-> or ->)",
             )
+    out = df.select("*", *exprs) if exprs else df
     return out, new_names
 
 
@@ -167,41 +172,26 @@ def with_noise_features(
     draws (reproducibility upgrade); the int-sequence control uses
     ``monotonically_increasing_id`` (a stable per-row ordinal, not a
     contiguous range — order is undefined for distributed data)."""
-    out = (
-        df.withColumn("CONTROL-constant0", F.lit(0).cast("string"))
-        .withColumn("CONTROL-gaussian", F.randn(seed).cast("string"))
-        .withColumn("CONTROL-uniform", F.rand(seed + 1).cast("string"))
-        .withColumn(
-            "CONTROL-random-binary",
-            (F.rand(seed + 2) * 2).cast("int").cast("string"),
-        )
-        .withColumn(
-            "CONTROL-random-card100",
-            (F.rand(seed + 3) * 101).cast("int").cast("string"),
-        )
-        .withColumn(
-            "CONTROL-random-card2k",
-            (F.rand(seed + 4) * 2001).cast("int").cast("string"),
-        )
-        .withColumn(
-            "CONTROL-random-card10k",
-            (F.rand(seed + 5) * 10001).cast("int").cast("string"),
-        )
-        .withColumn(
-            "CONTROL-random-card50k",
-            (F.rand(seed + 6) * 50001).cast("int").cast("string"),
-        )
-        .withColumn(
-            "CONTROL-int-sequence",
-            F.monotonically_increasing_id().cast("string"),
-        )
-        .withColumn(
-            "CONTROL-volume",
-            F.lower(
-                F.hex(F.xxhash64(*[F.col(c).cast("string") for c in df.columns])),
-            ),
-        )
-    )
+    exprs = [
+        F.lit(0).cast("string").alias("CONTROL-constant0"),
+        F.randn(seed).cast("string").alias("CONTROL-gaussian"),
+        F.rand(seed + 1).cast("string").alias("CONTROL-uniform"),
+        (F.rand(seed + 2) * 2).cast("int").cast("string")
+        .alias("CONTROL-random-binary"),
+        (F.rand(seed + 3) * 101).cast("int").cast("string")
+        .alias("CONTROL-random-card100"),
+        (F.rand(seed + 4) * 2001).cast("int").cast("string")
+        .alias("CONTROL-random-card2k"),
+        (F.rand(seed + 5) * 10001).cast("int").cast("string")
+        .alias("CONTROL-random-card10k"),
+        (F.rand(seed + 6) * 50001).cast("int").cast("string")
+        .alias("CONTROL-random-card50k"),
+        F.monotonically_increasing_id().cast("string")
+        .alias("CONTROL-int-sequence"),
+        F.lower(
+            F.hex(F.xxhash64(*[F.col(c).cast("string") for c in df.columns])),
+        ).alias("CONTROL-volume"),
+    ]
     names = [
         "CONTROL-constant0", "CONTROL-gaussian", "CONTROL-uniform",
         "CONTROL-random-binary", "CONTROL-random-card100",
@@ -209,8 +199,6 @@ def with_noise_features(
         "CONTROL-random-card50k", "CONTROL-int-sequence", "CONTROL-volume",
     ]
     if label_column and label_column in df.columns:
-        out = out.withColumn(
-            "CONTROL-target", F.col(label_column).cast("string"),
-        )
+        exprs.append(F.col(label_column).cast("string").alias("CONTROL-target"))
         names.append("CONTROL-target")
-    return out, names
+    return df.select("*", *exprs), names

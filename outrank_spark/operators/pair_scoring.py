@@ -81,6 +81,10 @@ def _encode_codes(pdf: pd.DataFrame, columns: Sequence[str]) -> dict[str, np.nda
 _RELABEL_INVARIANT = {
     "MI", "MI-numba", "MI-numba-randomized", "MI-numba-3mr", "AMI",
     "Constant", "max-value-coverage",
+    # one-hot encoding only permutes columns under relabeling, and the
+    # logistic objective/fold split are permutation-invariant
+    "surrogate-SGD", "surrogate-SVM", "surrogate-SGD-RP",
+    "surrogate-SGD-SVD",
 }
 
 
@@ -98,11 +102,19 @@ def _score_block(codes: dict[str, np.ndarray],
         f1, f2 = (b, label_column) if a == label_column else (a, b)
         first = codes[f1]
         if model_matrix is not None and model_matrix.size:
-            # prior conditioning: score the candidate GIVEN the model
-            # features (importance_estimator.py:55-71 matrix path)
-            from outrank_spark.plans.reference_model import conditioned_vector
+            if heuristic.startswith("surrogate-"):
+                # surrogates consume the RAW [model features..| cand]
+                # code matrix (importance_estimator.py:80-91 one-hots
+                # the whole 2-D block — no |max-sum| reduction)
+                first = np.column_stack([model_matrix, first])
+            else:
+                # prior conditioning: score the candidate GIVEN the
+                # model features (importance_estimator.py:55-71)
+                from outrank_spark.plans.reference_model import (
+                    conditioned_vector,
+                )
 
-            first = conditioned_vector(model_matrix, first)
+                first = conditioned_vector(model_matrix, first)
         score = score_pair(first, codes[f2], heuristic, ratio)
         out.append((a, b, float(score)))
     return out
@@ -127,9 +139,15 @@ def score_batches(df: DataFrame, columns: Sequence[str],
     """
     pairs = [tuple(p) for p in pairs]
     if precode is None:
+        # reference-model conditioning reduces the model matrix with
+        # |max - sum| ARITHMETIC on the code values — not relabel-
+        # invariant, so pre-hashed int64 codes would change the
+        # conditioning vector's collision structure vs the reference's
+        # category codes.  Keep strings when model_features are set.
         precode = (
             heuristic in _RELABEL_INVARIANT
             and mi_stratified_sampling_ratio >= 1.0
+            and not model_features
         )
     base = df.select(*columns)
     if precode:

@@ -55,10 +55,36 @@ class CheckpointedSketchBuild:
     def _marker(self, i: int) -> str:
         return os.path.join(self.dir, "slices", f"_SLICE_{i}.done")
 
+    def _expected_keys(self) -> list[list[str]]:
+        return [list(k) for k in self.plan.keys()]
+
+    def _validate_marker(self, i: int) -> None:
+        """Fail fast if a completed slice was built under a DIFFERENT
+        config: merging slices from mismatched n_slices (overlapping
+        hash ranges) or sketch plans would silently double-count or
+        drop data with a success exit."""
+        with open(self._marker(i)) as f:
+            rec = json.load(f)
+        if rec.get("n_slices") != self.n_slices:
+            raise RuntimeError(
+                f"checkpoint slice {i} was built with n_slices="
+                f"{rec.get('n_slices')}, current config has "
+                f"{self.n_slices}; wipe {self.dir} or restore the "
+                "original slicing",
+            )
+        if rec.get("sketch_keys") != self._expected_keys():
+            raise RuntimeError(
+                f"checkpoint slice {i} was built under a different "
+                f"sketch plan; wipe {self.dir} or restore the plan",
+            )
+
     def completed_slices(self) -> list[int]:
-        return sorted(
+        done = sorted(
             i for i in range(self.n_slices) if os.path.exists(self._marker(i))
         )
+        for i in done:
+            self._validate_marker(i)
+        return done
 
     def lineage(self) -> list[dict]:
         out = []
@@ -104,12 +130,17 @@ class CheckpointedSketchBuild:
         return self.finalize(df.sparkSession)
 
     def finalize(self, spark) -> SketchCollection:
-        """Merge every completed slice's blobs into final sketches."""
-        if len(self.completed_slices()) != self.n_slices:
-            missing = set(range(self.n_slices)) - set(self.completed_slices())
+        """Merge every completed slice's blobs into final sketches.
+
+        Reads ONLY the marker-validated slice dirs 0..n_slices-1 —
+        never a glob — so stale dirs from an earlier run with a
+        different slicing can't leak into the merge."""
+        done = self.completed_slices()  # validates every marker
+        if len(done) != self.n_slices:
+            missing = set(range(self.n_slices)) - set(done)
             raise RuntimeError(f"slices not complete, missing {sorted(missing)}")
         all_blobs = spark.read.parquet(
-            os.path.join(self.dir, "slices", "slice=*"),
+            *[os.path.join(self.dir, "slices", f"slice={i}") for i in done],
         )
         rows = (
             all_blobs.groupBy("column", "kind")

@@ -14,7 +14,6 @@ Works with any streaming source; tests use a file source with
 """
 from __future__ import annotations
 
-import json
 import os
 import time
 
@@ -42,38 +41,38 @@ class StreamingSketchAccumulator:
     def _blob_path(self) -> str:
         return os.path.join(self.state_dir, "sketch_state.bin")
 
-    def _manifest_path(self) -> str:
-        return os.path.join(self.state_dir, "manifest.json")
-
     def _persist(self) -> None:
+        """Sketch blobs AND the batches-seen manifest go into ONE
+        atomically-replaced file: a two-file persist could crash
+        between the writes, leaving a batch merged into state but
+        missing from the manifest — the restarted stream would replay
+        it and double-count every additive sketch."""
         if not self.state_dir:
             return
         import pickle
 
-        blobs = {
-            f"{c}\x1f{k}": sk.to_bytes() for (c, k), sk in self.state.items()
+        record = {
+            "blobs": {
+                f"{c}\x1f{k}": sk.to_bytes()
+                for (c, k), sk in self.state.items()
+            },
+            "batches_seen": self.batches_seen,
         }
         tmp = self._blob_path() + ".tmp"
         with open(tmp, "wb") as f:
-            pickle.dump(blobs, f, protocol=4)
+            pickle.dump(record, f, protocol=4)
         os.replace(tmp, self._blob_path())
-        tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self.batches_seen, f)
-        os.replace(tmp, self._manifest_path())
 
     def _restore(self) -> None:
         import pickle
 
         if os.path.exists(self._blob_path()):
             with open(self._blob_path(), "rb") as f:
-                blobs = pickle.load(f)
-            for key, blob in blobs.items():
+                record = pickle.load(f)
+            for key, blob in record["blobs"].items():
                 c, k = key.split("\x1f")
                 self.state[(c, k)] = sketch_from_bytes(k, blob)
-        if os.path.exists(self._manifest_path()):
-            with open(self._manifest_path()) as f:
-                self.batches_seen = json.load(f)
+            self.batches_seen = record["batches_seen"]
 
     # -- the foreachBatch hook ---------------------------------------
     def process_batch(self, batch_df, batch_id: int) -> None:

@@ -68,7 +68,8 @@ class TestCheckpointResume:
             merged.write.mode("overwrite").parquet(f"{ckdir}/slices/slice={i}")
             with open(f"{ckdir}/slices/_SLICE_{i}.done", "w") as f:
                 json.dump({"slice": i, "rows": part.count(),
-                           "wall_sec": 0, "n_slices": 4, "sketch_keys": []}, f)
+                           "wall_sec": 0, "n_slices": 4,
+                           "sketch_keys": [list(k) for k in PLAN.keys()]}, f)
 
         assert partial.completed_slices() == [0, 2]
         # resume completes only the missing slices, then finalizes
@@ -81,6 +82,23 @@ class TestCheckpointResume:
         ck = CheckpointedSketchBuild(str(tmp_path / "ck3"), PLAN, n_slices=4)
         with pytest.raises(RuntimeError, match="missing"):
             ck.finalize(spark)
+
+    def test_resume_rejects_changed_n_slices(self, spark, pages, tmp_path):
+        """A marker recorded under a different slicing must fail fast —
+        merging overlapping hash ranges would silently double-count."""
+        ckdir = str(tmp_path / "ck_ns")
+        CheckpointedSketchBuild(ckdir, PLAN, n_slices=2).run(pages)
+        stale = CheckpointedSketchBuild(ckdir, PLAN, n_slices=4)
+        with pytest.raises(RuntimeError, match="n_slices"):
+            stale.run(pages)
+
+    def test_resume_rejects_changed_plan(self, spark, pages, tmp_path):
+        ckdir = str(tmp_path / "ck_plan")
+        CheckpointedSketchBuild(ckdir, PLAN, n_slices=2).run(pages)
+        other = SketchPlan(columns=["url"], sketches={"hll": {"p": 10}})
+        stale = CheckpointedSketchBuild(ckdir, other, n_slices=2)
+        with pytest.raises(RuntimeError, match="sketch plan"):
+            stale.run(pages)
 
     def test_lineage_recorded(self, spark, pages, tmp_path):
         ck = CheckpointedSketchBuild(str(tmp_path / "ck4"), PLAN, n_slices=2)

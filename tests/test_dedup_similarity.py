@@ -80,6 +80,26 @@ class TestNgramJaccard:
         # exact dup pair has jaccard 1.0
         assert (0, 5000) in found
 
+    def test_candidate_bounded_matches_full(self, corpus):
+        # The candidate-bounded verify path must return exactly the
+        # full-join Jaccard restricted to the candidate pairs.
+        full = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs(corpus).collect()
+        }
+        cand_keys = [(0, 5000), (0, 1000), (3, 1003), (7, 8)]
+        cand = corpus.sparkSession.createDataFrame(
+            pd.DataFrame(cand_keys, columns=["id_a", "id_b"]),
+        )
+        bounded = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs(
+                corpus, candidate_pairs=cand,
+            ).collect()
+        }
+        expected = {k: v for k, v in full.items() if k in set(cand_keys)}
+        assert bounded == expected
+
 
 class TestMinHash:
     def test_signature_similarity_tracks_jaccard(self, corpus):
@@ -107,12 +127,45 @@ class TestSimHash:
                for r in simhash_signatures(corpus).collect()}
         assert sig[0] == sig[5000]
 
-    def test_near_dups_low_hamming(self, corpus):
-        res = simhash_candidates(corpus, max_hamming=8).collect()
+    def test_pinned_signatures_version_stable(self, spark):
+        # Signatures are built from Spark's pinned xxhash64, so they
+        # must never change across pandas/numpy/Spark upgrades —
+        # dedup decisions depend on it.  Literals computed once.
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["the quick brown fox jumps over the lazy dog",
+                     "hello world hello", ""],
+        }))
+        sig = {r["doc_id"]: r["simhash"]
+               for r in simhash_signatures(df).collect()}
+        assert sig == {1: -7573889167326994222,
+                       2: -4367754540140381902,
+                       3: -7444071767201028348}
+
+    def test_chunk_candidates_complete_at_guarantee(self, corpus):
+        # Pigeonhole: with 4 chunks over 64 bits, EVERY pair at
+        # Hamming <= 3 shares a chunk — candidate generation must be
+        # exhaustive there, with correct reported distances.
+        rows = simhash_signatures(corpus).collect()
+        sigs = sorted((r["doc_id"], r["simhash"]) for r in rows)
+        expected = {}
+        for i in range(len(sigs)):
+            for j in range(i + 1, len(sigs)):
+                d = bin((sigs[i][1] ^ sigs[j][1]) & (2 ** 64 - 1)).count("1")
+                if d <= 3:
+                    expected[(sigs[i][0], sigs[j][0])] = d
+        res = simhash_candidates(corpus, max_hamming=3).collect()
         found = {(r["id_a"], r["id_b"]): r["hamming"] for r in res}
+        assert found == expected
         assert (0, 5000) in found and found[(0, 5000)] == 0
+
+    def test_near_dup_recall_beyond_guarantee(self, corpus):
+        # Above Hamming 3 the chunk buckets are only probabilistic;
+        # planted 58/60-token near-dups should still mostly surface.
+        res = simhash_candidates(corpus, max_hamming=10).collect()
+        found = {(r["id_a"], r["id_b"]) for r in res}
         hits = sum((i, i + 1000) in found for i in range(10))
-        assert hits >= 8
+        assert hits >= 5
 
 
 def _embeddings(spark, n=200, dim=16, seed=9):

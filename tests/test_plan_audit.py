@@ -92,6 +92,61 @@ class TestShuffleShape:
         types = {f.dataType.simpleString() for f in batched.schema.fields}
         assert types == {"bigint"}
 
+    def test_lsh_verify_is_candidate_bounded(self, spark):
+        """With candidate_pairs set, the exact-Jaccard verify must
+        semi-join shingles to the candidate ids BEFORE any join — no
+        unbounded shingle self-join may appear in the plan."""
+        import pandas as pd
+
+        from outrank_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs = spark.createDataFrame(pd.DataFrame({
+            "doc_id": list(range(8)),
+            "text": [f"w{i} w{i+1} w{i+2} w{i+3} w{i+4}" for i in range(8)],
+        }))
+        cand = spark.createDataFrame(
+            pd.DataFrame({"id_a": [0, 1], "id_b": [1, 2]}),
+        )
+        plan = plan_of(ngram_jaccard_pairs(docs, candidate_pairs=cand))
+        assert "LeftSemi" in plan  # shingles pruned to candidate ids
+
+    def test_simhash_is_pure_jvm(self, spark):
+        import pandas as pd
+
+        from outrank_spark.operators.dedup import simhash_signatures
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2], "text": ["a b c", "d e f"]}),
+        )
+        plan = plan_of(simhash_signatures(docs))
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "FlatMapsInPandas" not in plan and "MapInPandas" not in plan
+
+    def test_interaction_analyzer_time_bounded(self, spark):
+        """Order-3 interactions over 15 cols = 455 derived columns;
+        built as ONE select, the plan must analyze in seconds (chained
+        withColumn used to nest the plan 455 deep)."""
+        import time
+
+        import pandas as pd
+
+        from outrank_spark.operators.interactions import (
+            with_interaction_features,
+        )
+
+        cols = {f"c{i}": ["x", "y"] for i in range(15)}
+        sdf = spark.createDataFrame(pd.DataFrame({"label": ["0", "1"], **cols}))
+        t0 = time.time()
+        out, names = with_interaction_features(
+            sdf, "label", interaction_order=3,
+        )
+        out.schema  # force analysis
+        assert len(names) == 455
+        # chained withColumn took minutes here; generous bound for a
+        # busy shared JVM still catches the superlinear regression
+        assert time.time() - t0 < 60.0
+
     def test_blob_rows_are_tiny(self, spark):
         """Per-partition sketch blobs stay small even for
         high-cardinality columns (bounded warmup -> bitmap)."""

@@ -172,3 +172,26 @@ class TestStreamingSketches:
         assert acc2.state[("lang", "hll")].estimate() == est1
         acc2.process_batch(spark.read.parquet(data_dir), batch_id=0)
         assert acc2.state[("lang", "hll")].estimate() == est1
+
+    def test_state_and_manifest_persist_atomically(self, spark, tmp_path):
+        """Blobs and batches_seen live in ONE atomically-replaced file:
+        no crash window where a batch is merged but not recorded (which
+        would double-count additive sketches on replay)."""
+        import os
+        import pickle
+
+        from outrank_spark.sources import generate_pages
+
+        plan = SketchPlan(columns=["lang"], sketches={"hll": {"p": 12}})
+        state_dir = str(tmp_path / "state3")
+        acc = StreamingSketchAccumulator(plan, state_dir=state_dir)
+        pages = generate_pages(spark, 200, seed=7, partitions=1) \
+            .select("url", "lang")
+        acc.process_batch(pages, batch_id=0)
+
+        files = set(os.listdir(state_dir))
+        assert files == {"sketch_state.bin"}  # single state artifact
+        with open(os.path.join(state_dir, "sketch_state.bin"), "rb") as f:
+            record = pickle.load(f)
+        assert set(record) == {"blobs", "batches_seen"}
+        assert [b["batch_id"] for b in record["batches_seen"]] == [0]
