@@ -40,6 +40,28 @@ def shannon_entropy(string: str) -> float:
     return float(-(freq * np.log2(freq)).sum())
 
 
+def _column_entropy(col: pd.Series) -> np.ndarray:
+    """Whole-column Shannon entropy: one flat byte buffer + a single
+    (rows x 256) bincount — no per-row Python in the Arrow batch.
+    Bit-identical to mapping :func:`shannon_entropy` row by row."""
+    enc = [str(x).encode("utf-8", "replace") for x in col.to_numpy(object)]
+    n = len(enc)
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n)
+    if n == 0 or int(lens.sum()) == 0:
+        return np.zeros(n)
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), lens)
+    counts = np.bincount(
+        row_ids * 256 + buf, minlength=n * 256,
+    ).reshape(n, 256)
+    p = counts / np.maximum(lens, 1)[:, None]
+    logp = np.zeros_like(p)
+    np.log2(p, out=logp, where=p > 0)
+    ent = -(p * logp).sum(axis=1)
+    ent[lens == 0] = 0.0
+    return ent
+
+
 def _score_batch(pdf: pd.DataFrame, columns: Sequence[str]) -> pd.DataFrame:
     vals = pdf[list(columns)].astype(str)
     n_fields = len(columns)
@@ -47,9 +69,10 @@ def _score_batch(pdf: pd.DataFrame, columns: Sequence[str]) -> pd.DataFrame:
     empty_dict = (vals == "{}").sum(axis=1) / n_fields
     zero = (vals == "0").sum(axis=1) / n_fields
     lengths = vals.apply(lambda s: s.str.len())
-    entropy = vals.apply(
-        lambda col: col.map(shannon_entropy),
-    ).sum(axis=1)
+    entropy = pd.Series(
+        np.sum([_column_entropy(vals[c]) for c in vals.columns], axis=0),
+        index=vals.index,
+    )
     out = pd.DataFrame({
         "empty_string_prop": empty,
         "empty_dict": empty_dict,

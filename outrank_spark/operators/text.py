@@ -23,21 +23,47 @@ __all__ = ["fit_langid", "with_language_id", "with_quality_features",
 
 def fit_langid(df: DataFrame, text_col: str = "text",
                lang_col: str = "lang", sample_per_lang: int = 200,
-               n: int = 3, profile_size: int = 300) -> dict[str, list[str]]:
+               n: int = 3, profile_size: int = 300,
+               prefilter_keep: int = 4096) -> dict[str, list[str]]:
     """Learn per-language trigram profiles from a labeled sample
     (deterministic hash-ordered sample per language, driver-side fit
-    on a few hundred docs — the profiles are tiny plain dicts)."""
-    from pyspark.sql.window import Window
+    on a few hundred docs — the profiles are tiny plain dicts).
 
-    w = Window.partitionBy(lang_col).orderBy(F.xxhash64(F.col(text_col)))
-    sample = (
-        df.select(text_col, lang_col)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= sample_per_lang)
-        .toPandas()
-    )
+    A cheap hash-threshold prefilter runs BEFORE the per-language
+    window so the sort never touches the full corpus: the window only
+    ranks ~``prefilter_keep``-per-2^20 of the rows (pushed to the scan;
+    at 100 TB the old plan shuffled+sorted every document to keep a few
+    hundred).  The retry loop doubles the keep rate if a rare language
+    would end up under-sampled; one pass suffices on any corpus where
+    languages aren't thinner than ~keep/2^20 of rows."""
+    keep = prefilter_keep
+    while True:
+        sample = _langid_sample_plan(
+            df, text_col, lang_col, sample_per_lang, keep,
+        ).toPandas()
+        enough = (keep >= (1 << 20)
+                  or (sample.groupby(lang_col)[text_col].count()
+                      >= sample_per_lang).all())
+        if enough and len(sample):
+            break
+        keep *= 4
     return fit_language_profiles(
         sample[text_col], sample[lang_col], n=n, profile_size=profile_size,
+    )
+
+
+def _langid_sample_plan(df: DataFrame, text_col: str, lang_col: str,
+                        sample_per_lang: int, keep: int) -> DataFrame:
+    """Lazy per-language sample: hash prefilter FIRST, window second."""
+    from pyspark.sql.window import Window
+
+    h = F.pmod(F.xxhash64(F.col(text_col)), F.lit(1 << 20))
+    w = Window.partitionBy(lang_col).orderBy(F.xxhash64(F.col(text_col)))
+    return (
+        df.select(text_col, lang_col)
+        .filter(h < F.lit(keep))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= sample_per_lang)
     )
 
 

@@ -25,7 +25,8 @@ from pyspark.sql import DataFrame, functions as F
 from outrank_spark.functions.expr_vault import ExprError, ParsedExpr, parse_expr
 from outrank_spark.functions.vault import resolve_preset
 
-__all__ = ["BatchTransformer", "enrich_with_transformations"]
+__all__ = ["BatchTransformer", "enrich_with_transformations",
+           "with_baseline_features"]
 
 MAX_MAJORITY_SUPPORT = 0.80
 NAN_PROP_SUPPORT = 0.75
@@ -226,3 +227,39 @@ def _numeric_sql(col: str) -> str:
         f"CASE WHEN length(regexp_replace(CAST(`{col}` AS STRING), '\"', '')) = 0 "
         f"THEN 0.0 ELSE CAST(regexp_replace(CAST(`{col}` AS STRING), '\"', '') AS DOUBLE) END"
     )
+
+
+def with_baseline_features(
+    df: DataFrame,
+    missing_value_symbols=("",),
+    columns=None,
+) -> tuple[DataFrame, list[str]]:
+    """Baseline calibration features — reference
+    ``construct_baseline_features`` (ranking_transformers.py:146-157):
+
+    * ``BASELINE-MISSING-PROPORTION`` — share of the row's columns
+      holding a missing symbol, rounded to 1 decimal (the reference
+      counts exactly ``''`` per row; nulls count as missing here too —
+      Spark frames carry real nulls where pandas frames held '');
+    * ``BASELINE-DUMMY`` — constant 0.
+
+    One flat ``select``; both land as strings like every other derived
+    feature column.
+    """
+    cols = [c for c in (columns or df.columns)]
+    missing = tuple(missing_value_symbols)
+    flags = []
+    for c in cols:
+        cond = F.col(c).isNull()
+        if missing:
+            cond = cond | F.col(c).cast("string").isin(*missing)
+        flags.append(F.when(cond, 1).otherwise(0))
+    prop = F.round(
+        sum(flags[1:], flags[0]) / F.lit(float(len(cols))), 1,
+    ).cast("string")
+    out = df.select(
+        "*",
+        prop.alias("BASELINE-MISSING-PROPORTION"),
+        F.lit(0).cast("string").alias("BASELINE-DUMMY"),
+    )
+    return out, ["BASELINE-MISSING-PROPORTION", "BASELINE-DUMMY"]

@@ -936,6 +936,144 @@ def q32_instance_quality_histograms(spark, sf_dir):
                                bins=20)
 
 
+def q33_numeric_bounds_summary(spark, sf_dir):
+    """Numeric feature bounds summary (one wide aggregate): min / max /
+    mean-in-the-`median`-slot / distinct count per numeric lineitem
+    column — core_ranking.py:465-488 + core_utils.py:427-478."""
+    import pandas as pd
+
+    from outrank_spark.plans.reports import numeric_feature_statistics
+
+    li = load(spark, sf_dir, "lineitem")
+    cols = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+    stats = numeric_feature_statistics(li, cols, exact_unique=True)
+    stats = stats.rename(columns={
+        "Feature": "feature", "Minimum": "min_v", "Maximum": "max_v",
+        "Median": "mean_as_median",
+        "Num avg. unique (batch)": "n_unique",
+    })
+    return spark.createDataFrame(
+        pd.DataFrame(stats).sort_values("feature"),
+        schema="feature string, min_v double, max_v double, "
+               "mean_as_median double, n_unique long",
+    )
+
+
+ORACLE_Q33 = """
+SELECT feature, min_v, max_v, mean_as_median, n_unique FROM (
+  SELECT 'l_discount' AS feature, round(min(l_discount), 2) AS min_v,
+         round(max(l_discount), 2) AS max_v,
+         round(avg(l_discount), 2) AS mean_as_median,
+         count(DISTINCT l_discount) AS n_unique FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', round(min(l_extendedprice), 2),
+         round(max(l_extendedprice), 2), round(avg(l_extendedprice), 2),
+         count(DISTINCT l_extendedprice) FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity', round(min(l_quantity), 2),
+         round(max(l_quantity), 2), round(avg(l_quantity), 2),
+         count(DISTINCT l_quantity) FROM lineitem
+  UNION ALL
+  SELECT 'l_tax', round(min(l_tax), 2), round(max(l_tax), 2),
+         round(avg(l_tax), 2), count(DISTINCT l_tax) FROM lineitem
+) ORDER BY feature
+"""
+
+
+def q34_rare_values_sketch(spark, sf_dir):
+    """Rare (column, value) pairs via the mergeable RareValueCounter
+    sketch (evict-to-ignore; core_ranking.py:409-436) — distributed
+    build, exact final set (== GROUP BY ... HAVING count <= bound)."""
+    import pandas as pd
+
+    from outrank_spark.operators.sketch_build import (
+        SketchPlan,
+        build_sketches,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("lang", "n_chars")
+    plan = SketchPlan(columns=["lang", "n_chars"],
+                      sketches={"rare": {"bound": 2}})
+    skc = build_sketches(docs, plan)
+    rows = []
+    for (col, kind), sk in sorted(skc.items()):
+        for v, c in sk.rare_values().items():
+            rows.append((col, str(v), int(c)))
+    pdf = pd.DataFrame(rows, columns=["namespace", "value", "n"]) \
+        .sort_values(["namespace", "value"])
+    return spark.createDataFrame(
+        pdf, schema="namespace string, value string, n long",
+    )
+
+
+ORACLE_Q34 = """
+SELECT namespace, value, n FROM (
+  SELECT 'lang' AS namespace, CAST(lang AS VARCHAR) AS value,
+         count(*) AS n FROM documents GROUP BY 2 HAVING count(*) <= 2
+  UNION ALL
+  SELECT 'n_chars', CAST(n_chars AS VARCHAR), count(*)
+  FROM documents GROUP BY 2 HAVING count(*) <= 2
+) ORDER BY namespace, value
+"""
+
+
+def q35_baseline_missing_profile(spark, sf_dir):
+    """Baseline missing-proportion feature
+    (ranking_transformers.py:146-157) profiled as a histogram: rows
+    per per-row missing share, treating N/O flag values as 'missing'
+    symbols (the TPC-H tables have no true missing cells)."""
+    from outrank_spark.operators.transformers import with_baseline_features
+
+    li = load(spark, sf_dir, "lineitem") \
+        .select("l_returnflag", "l_linestatus")
+    out, _ = with_baseline_features(li, missing_value_symbols=("N", "O"))
+    return (
+        out.groupBy(
+            F.col("BASELINE-MISSING-PROPORTION").cast("double")
+            .alias("missing_prop"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("missing_prop")
+    )
+
+
+ORACLE_Q35 = """
+SELECT round((
+         (CASE WHEN l_returnflag IN ('N', 'O') THEN 1 ELSE 0 END)
+       + (CASE WHEN l_linestatus IN ('N', 'O') THEN 1 ELSE 0 END)
+       ) / 2.0, 1) AS missing_prop,
+       count(*) AS n
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def q36_surrogate_singles(spark, sf_dir):
+    """surrogate-SGD feature ranking (numpy logistic surrogate, 2-fold
+    CV neg-log-loss) over document features — model-fit scores have no
+    SQL oracle (rows-only; ordering properties in tests/)."""
+    from outrank_spark.plans.ranking_job import RankingConfig, run_ranking
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source",
+        F.col("lang").alias("label"),
+        (F.col("n_chars") / 500).cast("int").cast("string")
+        .alias("len_bucket"),
+    )
+    cfg = RankingConfig(
+        heuristic="surrogate-SGD", subsampling=1, label_column="label",
+        feature_columns=["label", "source", "len_bucket"],
+        include_cardinality_in_feature_names=False,
+    )
+    res = run_ranking(spark, docs, cfg)
+    pdf = res.singles.rename(
+        columns={f"Score {cfg.heuristic}": "score"},
+    )
+    pdf["score"] = pdf["score"].round(6)
+    return spark.createDataFrame(
+        pdf[["Feature", "score"]], schema="Feature string, score double",
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -969,6 +1107,10 @@ QUERIES = {
     "q30_langid_accuracy": q30_langid_accuracy,
     "q31_embedding_ann_ivf": q31_embedding_ann_ivf,
     "q32_instance_quality_histograms": q32_instance_quality_histograms,
+    "q33_numeric_bounds_summary": q33_numeric_bounds_summary,
+    "q34_rare_values_sketch": q34_rare_values_sketch,
+    "q35_baseline_missing_profile": q35_baseline_missing_profile,
+    "q36_surrogate_singles": q36_surrogate_singles,
 }
 
 ORACLES = {
@@ -996,6 +1138,9 @@ ORACLES = {
     "q25_rollup_pricing": ORACLE_Q25,
     "q26_value_repetition_profile": ORACLE_Q26,
     "q27_lang_quality_profile": ORACLE_Q27,
-    # q21-q23, q28-q32: sketch/heuristic results — no SQL equivalent
-    # (rows-only checks; accuracy bound-tested in tests/)
+    "q33_numeric_bounds_summary": ORACLE_Q33,
+    "q34_rare_values_sketch": ORACLE_Q34,
+    "q35_baseline_missing_profile": ORACLE_Q35,
+    # q21-q23, q28-q32, q36: sketch/heuristic results — no SQL
+    # equivalent (rows-only checks; accuracy bound-tested in tests/)
 }

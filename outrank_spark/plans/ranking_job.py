@@ -79,6 +79,11 @@ class RankingConfig:
     # on the model's features, and pairs touching model features are
     # dropped (core_ranking.py:205-215; importance_estimator.py:55-71)
     reference_model_json: str = ""
+    # when set, ride a RareValueCounter (bound = this value) along the
+    # sketch scan — reference --rare_value_count_upper_bound
+    # (__main__.py:156-161, default 1 there; None = off, the rare pass
+    # is only needed for the identify_rare_values report)
+    rare_value_count_upper_bound: int | None = None
 
 
 @dataclass
@@ -110,6 +115,8 @@ def run_ranking(spark, df: DataFrame, cfg: RankingConfig,
         "coverage": {"missing_symbols": cfg.missing_value_symbols},
         **(cfg.extra_sketches or {}),
     }
+    if cfg.rare_value_count_upper_bound is not None:
+        sketch_kinds["rare"] = {"bound": cfg.rare_value_count_upper_bound}
     kind_columns = None
     if cfg.counter_exclude_derived:
         base_cols = [
@@ -117,7 +124,10 @@ def run_ranking(spark, df: DataFrame, cfg: RankingConfig,
             if " AND" not in c and "_tr_" not in c
             and not c.startswith(("CONTROL-", "SUBFEATURE", "MULTIEX-"))
         ]
-        kind_columns = {"counter": base_cols}
+        # derived values (interaction hashes etc.) are near-unique —
+        # exact value state on them explodes; same guard for both
+        # exact-count kinds
+        kind_columns = {"counter": base_cols, "rare": base_cols}
     plan = SketchPlan(columns=columns, sketches=sketch_kinds,
                       kind_columns=kind_columns)
     sketches = build_sketches(sub, plan)

@@ -32,7 +32,8 @@ from outrank_spark.plans.ranking_job import (
     aggregate_interactions,
 )
 
-__all__ = ["write_reports", "feature_memory_estimate"]
+__all__ = ["write_reports", "feature_memory_estimate",
+           "numeric_feature_statistics", "write_rare_value_reports"]
 
 
 def feature_memory_estimate(df: DataFrame, columns: list[str]) -> dict[str, float]:
@@ -49,13 +50,118 @@ def feature_memory_estimate(df: DataFrame, columns: list[str]) -> dict[str, floa
     return {c: float(row[c]) if row[c] is not None else 0.0 for c in columns}
 
 
+def numeric_feature_statistics(df: DataFrame,
+                               numeric_columns: list[str],
+                               exact_unique: bool = False):
+    """One-agg numeric bounds summary — ``numeric_feature_statistics.tsv``
+    (task_ranking.py:139-151 via core_utils.py:427-478, fed by
+    core_ranking.py:465-488 ``compute_bounds_increment``).
+
+    Reference quirk preserved: the column is NAMED ``Median`` but holds
+    the MEAN — ``NumericFeatureSummary.median`` is filled with
+    ``np.mean`` (core_ranking.py:476) and the summarizer takes the
+    median of those per-batch means; with Spark's single global pass
+    that is exactly the global mean.
+
+    ``exact_unique=False`` uses ``approx_count_distinct`` (HLL++, one
+    pass, no shuffle-per-column) — the 100 TB default; the reference's
+    number is itself a *mean of per-batch* uniques, so neither is the
+    global exact distinct count.
+    """
+    import pandas as pd
+
+    if not numeric_columns:
+        return None
+    uniq = F.count_distinct if exact_unique else F.approx_count_distinct
+    aggs = []
+    for c in numeric_columns:
+        v = F.col(c).cast("double")
+        aggs += [F.min(v).alias(f"__mn_{c}"), F.max(v).alias(f"__mx_{c}"),
+                 F.avg(v).alias(f"__me_{c}"), uniq(v).alias(f"__nu_{c}")]
+    row = df.agg(*aggs).first()
+    out = [
+        {
+            "Feature": c,
+            "Minimum": round(row[f"__mn_{c}"], 2)
+            if row[f"__mn_{c}"] is not None else None,
+            "Maximum": round(row[f"__mx_{c}"], 2)
+            if row[f"__mx_{c}"] is not None else None,
+            "Median": round(row[f"__me_{c}"], 2)
+            if row[f"__me_{c}"] is not None else None,
+            "Num avg. unique (batch)": int(row[f"__nu_{c}"]),
+        }
+        for c in numeric_columns
+    ]
+    return pd.DataFrame(
+        out, columns=["Feature", "Minimum", "Maximum", "Median",
+                      "Num avg. unique (batch)"],
+    )
+
+
+def write_rare_value_reports(result: RankingResult, output_folder: str,
+                             numeric_columns: set[str] | None = None,
+                             ) -> list[str]:
+    """``rare_values.tsv`` + ``feature_sparsity_summary.tsv`` —
+    core_utils.py:600-653 ``summarize_rare_counts``, fed by the
+    mergeable :class:`RareValueCounter` sketches instead of the
+    reference's global mutable dict."""
+    import pandas as pd
+
+    os.makedirs(output_folder, exist_ok=True)
+    numeric_columns = numeric_columns or set()
+    rows = []
+    per_col_rare: dict[str, int] = {}
+    for (col, kind), sk in sorted(result.sketches.items()):
+        if kind != "rare":
+            continue
+        rare = sk.rare_values()
+        per_col_rare[col] = len(rare)
+        for val, cnt in sorted(rare.items(), key=lambda kv: str(kv[0])):
+            rows.append([col, val, cnt])
+    out_df = pd.DataFrame(rows, columns=["Namespace", "value", "Count"])
+    out_df.to_csv(os.path.join(output_folder, "rare_values.tsv"),
+                  sep="\t", index=False)
+
+    final_rows = []
+    for col, n_rare in sorted(per_col_rare.items(),
+                              key=lambda kv: -kv[1]):
+        card = max(1, int(result.cardinalities.get(col, 1)))
+        final_rows.append({
+            "rare_proportion": round(100.0 * n_rare / card, 2),
+            "feature_type": "numeric" if col in numeric_columns
+            else "nominal",
+            "feature_name": col,
+        })
+    final_df = pd.DataFrame(
+        final_rows,
+        columns=["rare_proportion", "feature_type", "feature_name"],
+    ).sort_values(by=["rare_proportion"])
+    final_df.to_csv(
+        os.path.join(output_folder, "feature_sparsity_summary.tsv"),
+        sep="\t", index=False,
+    )
+    return ["rare_values.tsv", "feature_sparsity_summary.tsv"]
+
+
 def write_reports(result: RankingResult, cfg: RankingConfig,
                   output_folder: str,
                   memory: dict[str, float] | None = None,
                   timings: list[dict] | None = None,
-                  three_mr=None) -> list[str]:
+                  three_mr=None,
+                  numeric_stats=None,
+                  numeric_columns: set[str] | None = None) -> list[str]:
     os.makedirs(output_folder, exist_ok=True)
     written = []
+    if numeric_stats is not None and len(numeric_stats):
+        numeric_stats.to_csv(
+            os.path.join(output_folder, "numeric_feature_statistics.tsv"),
+            sep="\t", index=False,
+        )
+        written.append("numeric_feature_statistics.tsv")
+    if any(kind == "rare" for (_, kind) in result.sketches):
+        written += write_rare_value_reports(
+            result, output_folder, numeric_columns=numeric_columns,
+        )
 
     def _path(name: str) -> str:
         written.append(name)

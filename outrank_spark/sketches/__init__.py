@@ -25,6 +25,7 @@ from outrank_spark.sketches.kll import KLLSketch
 from outrank_spark.sketches.tdigest import TDigest
 from outrank_spark.sketches.counters import BoundedCounter
 from outrank_spark.sketches.coverage import CoverageCounter
+from outrank_spark.sketches.rare import RareValueCounter
 
 SKETCH_REGISTRY = {
     "hll": HyperLogLog,
@@ -35,6 +36,7 @@ SKETCH_REGISTRY = {
     "tdigest": TDigest,
     "counter": BoundedCounter,
     "coverage": CoverageCounter,
+    "rare": RareValueCounter,
 }
 
 
@@ -44,5 +46,5 @@ def sketch_from_bytes(kind: str, blob: bytes):
 __all__ = [
     "HyperLogLog", "ParityHyperLogLog", "CountMinSketch", "BloomFilter",
     "KLLSketch", "TDigest", "BoundedCounter", "CoverageCounter",
-    "SKETCH_REGISTRY", "sketch_from_bytes",
+    "RareValueCounter", "SKETCH_REGISTRY", "sketch_from_bytes",
 ]

@@ -15,8 +15,11 @@ pivot to dense named columns through the namespace map
 ``spark.read.text`` + ``mapInPandas`` — the group split is pandas
 str ops; the namespace pivot is per-row inside the Arrow batch (it is
 a parser for an esoteric text format, not a hot-path operator).
-Spark reads .gz natively; .zst would need a codec jar (documented
-limitation).
+Spark reads .gz natively; .zst would need the Hadoop zstd codec —
+verified absent in this build (``CODEC_NOT_AVAILABLE``: available
+text codecs are bzip2/deflate/snappy/lz4/gzip), so ``.zst`` inputs
+raise NotImplementedError with a re-compress hint (documented
+divergence; parquet-zstd IS supported, only line-stream zstd is not).
 """
 from __future__ import annotations
 
@@ -27,10 +30,13 @@ from dataclasses import dataclass, field
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 __all__ = ["DatasetInfo", "read_csv_raw", "read_ob_csv", "read_ob_vw",
-           "read_ob_raw_dump", "parse_namespace_file", "read_dataset"]
+           "read_ob_raw_dump", "parse_namespace_file", "read_dataset",
+           "invalid_line_summary"]
+
+_INVALID_QUEUE_LEN = 2 ** 5  # reference deque maxlen (core_ranking.py:609)
 
 
 @dataclass
@@ -39,11 +45,76 @@ class DatasetInfo:
     column_names: list[str]
     numeric_columns: set[str] = field(default_factory=set)
     fw_map: dict[str, str] | None = None
+    # PERMISSIVE-mode corrupt rows (valid-line filter; lazy relation,
+    # None when the reader ran without validation)
+    invalid_lines: DataFrame | None = None
 
 
-def read_csv_raw(spark: SparkSession, data_path: str) -> DatasetInfo:
-    """Header-row CSV folder (core_utils.py:389-400)."""
+def _csv_header(path: str, encoding: str = "iso-8859-1") -> list[str]:
+    with open(path, encoding=encoding, newline="") as f:
+        return next(csv.reader(f))
+
+
+def _read_csv_validated(spark: SparkSession, path: str,
+                        header: list[str]) -> tuple[DataFrame, DataFrame]:
+    """Valid-line filter, Spark-first (reference core_ranking.py:648-653
+    keeps lines whose parsed width matches the header and queues the
+    rest).
+
+    * valid rows: schema'd scan with ``mode=DROPMALFORMED`` — the CSV
+      parser drops width-mismatched lines JVM-side;
+    * invalid rows: a ``text`` scan + ``from_csv`` corrupt-record
+      channel (Spark disallows scanning *only* the internal corrupt
+      column of a csv source, so the raw-line relation comes from the
+      text reader — also what lets us report the ORIGINAL line like the
+      reference's invalid_line_queue).
+    """
+    schema = ", ".join(f"`{c}` string" for c in header)
+    valid = (
+        spark.read.option("header", True)
+        .option("encoding", "iso-8859-1")
+        .option("quote", '"')
+        .option("mode", "DROPMALFORMED")
+        .schema(schema)
+        .csv(path)
+    )
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_c"}
+    invalid = (
+        spark.read.text(path)
+        .select(
+            "value",
+            F.from_csv("value", schema + ", `_c` string", opts).alias("p"),
+        )
+        .filter(F.col("p._c").isNotNull())
+        .select(F.col("value").alias("line"))
+    )
+    return valid, invalid
+
+
+def invalid_line_summary(info: DatasetInfo,
+                         max_samples: int = _INVALID_QUEUE_LEN,
+                         ) -> tuple[int, list[str]]:
+    """(count, up to ``max_samples`` raw lines) — the reference's
+    ``invalid_lines`` counter + bounded ``invalid_line_queue``."""
+    if info.invalid_lines is None:
+        return 0, []
+    inv = info.invalid_lines.cache()
+    count = inv.count()
+    samples = [r["line"] for r in inv.limit(max_samples).collect()]
+    inv.unpersist()
+    return count, samples
+
+
+def read_csv_raw(spark: SparkSession, data_path: str,
+                 validate: bool = False) -> DatasetInfo:
+    """Header-row CSV folder (core_utils.py:389-400).  ``validate=True``
+    adds the PERMISSIVE valid-line filter."""
     path = os.path.join(data_path, "data.csv")
+    if validate:
+        header = _csv_header(path)
+        valid, invalid = _read_csv_validated(spark, path, header)
+        return DatasetInfo(df=valid, column_names=header,
+                           invalid_lines=invalid)
     df = (
         spark.read.option("header", True)
         .option("encoding", "iso-8859-1")
@@ -53,7 +124,8 @@ def read_csv_raw(spark: SparkSession, data_path: str) -> DatasetInfo:
     return DatasetInfo(df=df, column_names=list(df.columns))
 
 
-def read_ob_csv(spark: SparkSession, data_path: str) -> DatasetInfo:
+def read_ob_csv(spark: SparkSession, data_path: str,
+                validate: bool = False) -> DatasetInfo:
     """CSV + dataset_desc.json typed descriptor (core_utils.py:369-386)."""
     with open(os.path.join(data_path, "dataset_desc.json")) as f:
         desc = json.load(f)
@@ -63,10 +135,16 @@ def read_ob_csv(spark: SparkSession, data_path: str) -> DatasetInfo:
         column_names.append(name)
         if "float" in feature.get("type", "").lower():
             numeric.add(name)
+    path = os.path.join(data_path, "data.csv")
+    if validate:
+        header = _csv_header(path)
+        valid, invalid = _read_csv_validated(spark, path, header)
+        return DatasetInfo(df=valid, column_names=column_names,
+                           numeric_columns=numeric, invalid_lines=invalid)
     df = (
         spark.read.option("header", True)
         .option("encoding", "iso-8859-1")
-        .csv(os.path.join(data_path, "data.csv"))
+        .csv(path)
     )
     return DatasetInfo(df=df, column_names=column_names,
                        numeric_columns=numeric)

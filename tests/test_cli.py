@@ -1,0 +1,106 @@
+"""spark-submit CLI entry — the reference's own acceptance gate run
+through a real subprocess (task_selftest.py:19-42: 100k x 100 naive
+matrix, default config -> 201 pairwise rows topped by label-(2; 100)).
+"""
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pandas as pd
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WRAPPER = os.path.join(REPO, "jobs", "rank_job.py")
+
+
+def _run(args, cwd):
+    return subprocess.run(
+        [sys.executable, WRAPPER, *args,
+         "--spark_master", "local[8]", "--shuffle_partitions", "16"],
+        cwd=cwd, capture_output=True, text=True, timeout=560,
+    )
+
+
+class TestCliParser:
+    def test_reference_flags_accepted(self):
+        from outrank_spark.jobs import build_parser
+
+        args = build_parser().parse_args([
+            "--task", "ranking", "--data_path", "x",
+            "--data_source", "csv-raw",
+            "--heuristic", "MI-numba-randomized",
+            "--target_ranking_only", "True",
+            "--combination_number_upper_bound", "2048",
+            "--num_threads", "8", "--interaction_order", "1",
+            "--transformers", "fw-transformers",
+            "--output_folder", "./ranking_outputs",
+            "--subsampling", "100",
+        ])
+        assert args.subsampling == 100
+        assert args.transformers == "fw-transformers"
+
+    def test_missing_data_path_exits(self):
+        from outrank_spark.jobs.rank_job import main
+
+        with pytest.raises(SystemExit):
+            main(["--task", "ranking"])
+
+
+@pytest.mark.slow
+class TestCliSelftestGolden:
+    def test_selftest_through_subprocess(self, tmp_path):
+        res = _run(["--task", "selftest"], cwd=str(tmp_path))
+        assert res.returncode == 0, res.stderr[-4000:]
+        assert "SELFTEST OK" in res.stdout
+
+
+@pytest.mark.slow
+class TestCliRankingRoundTrip:
+    def test_generate_rank_summarize(self, tmp_path):
+        cwd = str(tmp_path)
+        res = _run(["--task", "data_generator",
+                    "--num_synthetic_rows", "4000",
+                    "--num_synthetic_features", "40"], cwd)
+        assert res.returncode == 0, res.stderr[-4000:]
+        assert (tmp_path / "test_data_synthetic" / "data.csv").exists()
+
+        res = _run(["--task", "ranking",
+                    "--data_path", "test_data_synthetic",
+                    "--data_source", "csv-raw",
+                    "--subsampling", "2",
+                    "--output_folder", "out"], cwd)
+        assert res.returncode == 0, res.stderr[-4000:]
+        pairwise = pd.read_csv(tmp_path / "out" / "pairwise_ranks.tsv",
+                               sep="\t")
+        assert list(pairwise.columns) == ["FeatureA", "FeatureB", "Score"]
+        assert len(pairwise) > 0
+        singles = pd.read_csv(tmp_path / "out" / "feature_singles.tsv",
+                              sep="\t")
+        assert len(singles) > 0
+
+        res = _run(["--task", "ranking_summary",
+                    "--data_path", "test_data_synthetic",
+                    "--output_folder", "out"], cwd)
+        assert res.returncode == 0, res.stderr[-4000:]
+
+    def test_identify_rare_values_reports(self, tmp_path):
+        cwd = str(tmp_path)
+        _run(["--task", "data_generator",
+              "--num_synthetic_rows", "2000",
+              "--num_synthetic_features", "35"], cwd)
+        res = _run(["--task", "identify_rare_values",
+                    "--data_path", "test_data_synthetic",
+                    "--data_source", "csv-raw",
+                    "--heuristic", "Constant",
+                    "--subsampling", "1",
+                    "--rare_value_count_upper_bound", "2",
+                    "--output_folder", "out"], cwd)
+        assert res.returncode == 0, res.stderr[-4000:]
+        rare = pd.read_csv(tmp_path / "out" / "rare_values.tsv", sep="\t")
+        assert list(rare.columns) == ["Namespace", "value", "Count"]
+        sparsity = pd.read_csv(
+            tmp_path / "out" / "feature_sparsity_summary.tsv", sep="\t",
+        )
+        assert len(sparsity) > 0

@@ -92,10 +92,13 @@ class TestHeuristics:
         x = np.zeros(10, dtype=np.int32)
         assert score_pair(x, x, "Constant") == 0.0
 
-    def test_surrogate_raises(self):
-        x = np.zeros(10, dtype=np.int32)
-        with pytest.raises(NotImplementedError):
-            score_pair(x, x, "surrogate-SGD")
+    def test_surrogate_dispatches(self):
+        # surrogates are implemented numpy-only (functions/surrogate.py)
+        rng = np.random.default_rng(3)
+        y = rng.integers(0, 2, 200).astype(np.int32)
+        x = (y * 2 + rng.integers(0, 2, 200)).astype(np.int32)
+        s = score_pair(x, y, "surrogate-SGD")
+        assert np.isfinite(s) and s <= 1.0 + 1e-9
 
     def test_unknown_raises(self):
         x = np.zeros(10, dtype=np.int32)

@@ -37,6 +37,22 @@ class TestEntropy:
         assert shannon_entropy(s) == pytest.approx(want)
 
 
+class TestVectorizedEntropy:
+    def test_matches_per_row_kernel(self):
+        import pandas as pd
+
+        from outrank_spark.operators.instance_ranking import (
+            _column_entropy,
+            shannon_entropy,
+        )
+
+        col = pd.Series(["hello world", "", "aaaa", "{}",
+                         "ünïcødé žžž", "0", "x" * 500])
+        vec = _column_entropy(col)
+        ref = col.map(shannon_entropy).to_numpy()
+        assert np.allclose(vec, ref, atol=1e-12)
+
+
 class TestScoreInstances:
     @pytest.fixture(scope="class")
     def scored(self, spark):

@@ -147,6 +147,22 @@ class TestShuffleShape:
         # busy shared JVM still catches the superlinear regression
         assert time.time() - t0 < 60.0
 
+    def test_langid_fit_prefilters_before_window(self, spark):
+        """The per-language sample must hash-filter BEFORE the window
+        sort — never shuffle+sort the full corpus to keep a few
+        hundred docs."""
+        from outrank_spark.operators.text import _langid_sample_plan
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = plan_of(_langid_sample_plan(docs, "text", "lang", 10, 4096))
+        sort_pos = plan.find("Sort ")
+        filt_pos = plan.rfind("Filter ")
+        assert sort_pos != -1 and filt_pos != -1
+        # executedPlan prints parents above children: the prefilter
+        # Filter must sit BELOW (after) the window Sort in the tree
+        assert filt_pos > sort_pos
+        assert "xxhash64" in plan[filt_pos:filt_pos + 400]
+
     def test_blob_rows_are_tiny(self, spark):
         """Per-partition sketch blobs stay small even for
         high-cardinality columns (bounded warmup -> bitmap)."""
