@@ -1,0 +1,140 @@
+"""Distributed exact mutual information over column pairs — one scan.
+
+The reference computes MI on *sampled minibatches* (a pandas/numba
+kernel over batch-local category codes, reference
+ranking_mi_numba.py:151-177); SURVEY.md §7.4 notes that a distributed
+whole-table MI needs a contingency-table formulation.  This operator
+is that formulation, Spark-first:
+
+- ALL requested pairs share ONE scan and ONE shuffle via
+  ``GROUP BY GROUPING SETS`` (each pair is one grouping set), so k
+  pairs do not cost k passes over a 100 TB table.
+- marginal counts are recovered from the joint cells with window sums
+  (the aggregated cell table is tiny relative to the input — bounded
+  by Σ per-pair joint cardinality), never a second scan.
+- every entropy is a sum of per-joint-cell terms:
+  H(A) = −Σ_cells (c/n)·ln(ca/n) because Σ_b c(a,b) = c(a) — so MI,
+  H(A), H(B), H(A,B) and NMI all come from one groupBy over cells.
+- 100 % JVM expressions: no UDF, no Python on any executor.
+
+Scale notes: the shuffle key is the grouping-set tuple, so skewed
+values behave like any aggregation (AQE handles them); output size is
+the number of distinct joint cells, which for categorical features is
+≪ rows.  For *very* high-cardinality pairs (joint cells ~ rows) use
+the sampled-batch MI path (operators/pair_scoring.py) instead — exact
+MI over near-unique columns is ≈ ln(n) and not informative anyway.
+
+MI here is the exact plug-in estimator in nats — numerically the same
+quantity as functions/heuristics.exact_mi (tested equal), i.e. the
+reference's ``MI`` heuristic (sklearn mutual_info_classif with
+discrete features, reference importance_estimator.py:37-40) computed
+on the WHOLE table instead of a sample.
+"""
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["mi_contingency"]
+
+# sentinel so genuine data NULLs stay a distinct category (the
+# reference's value domain is strings where '' is an ordinary value)
+_NULL_SENTINEL = "␀null␀"
+
+
+def mi_contingency(df: DataFrame, pairs: Sequence[tuple[str, str]],
+                   decimals: int | None = None) -> DataFrame:
+    """Exact MI / entropies / NMI for each column pair, one scan.
+
+    Returns (feature_a, feature_b, n, h_a, h_b, h_ab, mi, nmi) with one
+    row per input pair.  ``decimals`` optionally rounds the float
+    columns (useful for cross-engine comparison).
+    """
+    pairs = list(dict.fromkeys((a, b) for a, b in pairs))
+    if not pairs:
+        raise ValueError("mi_contingency needs at least one pair")
+
+    # ordered union of all referenced columns = the grouping columns
+    group_cols: list[str] = []
+    for a, b in pairs:
+        for c in (a, b):
+            if c not in group_cols:
+                group_cols.append(c)
+
+    proj = df.select(*[
+        F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL)).alias(c)
+        for c in group_cols
+    ])
+
+    # one aggregate for every pair: GROUP BY GROUPING SETS((a,b), ...)
+    sets = [sorted({a, b}, key=group_cols.index) for a, b in pairs]
+    if len({tuple(s) for s in sets}) != len(sets):
+        raise ValueError("duplicate column sets across pairs")
+    cells = (
+        proj.groupingSets([list(s) for s in sets], *group_cols)
+        .agg(F.count(F.lit(1)).alias("c"),
+             F.grouping_id().alias("gid"))
+    )
+
+    def _gid(s: list[str]) -> int:
+        g = 0
+        for i, c in enumerate(group_cols):
+            if c not in s:
+                g |= 1 << (len(group_cols) - 1 - i)
+        return g
+
+    gids = [_gid(s) for s in sets]
+
+    # map each cell row back to (pair label, va, vb) with CASE chains —
+    # one plan, no per-pair recompute of the aggregate
+    def _case(values: list) -> F.Column:
+        expr = None
+        for g, v in zip(gids, values):
+            expr = (F.when(F.col("gid") == g, v) if expr is None
+                    else expr.when(F.col("gid") == g, v))
+        return expr
+
+    labelled = cells.select(
+        F.col("gid"),
+        _case([F.lit(a) for a, _ in pairs]).alias("feature_a"),
+        _case([F.lit(b) for _, b in pairs]).alias("feature_b"),
+        _case([F.col(a) for a, _ in pairs]).alias("va"),
+        _case([F.col(b) for _, b in pairs]).alias("vb"),
+        F.col("c").cast("double").alias("c"),
+    ).where(F.col("feature_a").isNotNull())
+
+    w_pair = Window.partitionBy("gid")
+    w_a = Window.partitionBy("gid", "va")
+    w_b = Window.partitionBy("gid", "vb")
+    terms = labelled.select(
+        "feature_a", "feature_b", "c",
+        F.sum("c").over(w_pair).alias("n"),
+        F.sum("c").over(w_a).alias("ca"),
+        F.sum("c").over(w_b).alias("cb"),
+    )
+
+    p = F.col("c") / F.col("n")
+    agg = (
+        terms.groupBy("feature_a", "feature_b")
+        .agg(
+            F.first("n").cast("long").alias("n"),
+            (-F.sum(p * F.log(F.col("ca") / F.col("n")))).alias("h_a"),
+            (-F.sum(p * F.log(F.col("cb") / F.col("n")))).alias("h_b"),
+            (-F.sum(p * F.log(p))).alias("h_ab"),
+            F.sum(
+                p * F.log(F.col("c") * F.col("n")
+                          / (F.col("ca") * F.col("cb"))),
+            ).alias("mi"),
+        )
+        .withColumn(
+            "nmi",
+            F.when(F.col("h_a") * F.col("h_b") > 0,
+                   F.col("mi") / F.sqrt(F.col("h_a") * F.col("h_b")))
+            .otherwise(F.lit(0.0)),
+        )
+    )
+    if decimals is not None:
+        for c in ("h_a", "h_b", "h_ab", "mi", "nmi"):
+            agg = agg.withColumn(c, F.round(F.col(c), decimals))
+    return agg

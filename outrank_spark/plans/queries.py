@@ -1074,6 +1074,109 @@ def q36_surrogate_singles(spark, sf_dir):
     )
 
 
+def q37_exact_mi_contingency(spark, sf_dir):
+    """Distributed exact MI (plug-in, nats) for three document feature
+    pairs — ONE scan + ONE shuffle for all pairs via GROUPING SETS,
+    marginals from window sums over the joint cells, zero Python on
+    executors (operators/mi_distributed.py).  This is the whole-table
+    contingency formulation of the reference's ``MI`` heuristic
+    (reference importance_estimator.py:37-40), exact instead of
+    minibatch-sampled."""
+    from outrank_spark.operators.mi_distributed import mi_contingency
+
+    docs = load(spark, sf_dir, "documents").select(
+        "lang", "source",
+        F.floor(F.col("n_chars") / 200).cast("string").alias("len_bucket"),
+    )
+    pairs = [("lang", "source"), ("lang", "len_bucket"),
+             ("source", "len_bucket")]
+    return (
+        mi_contingency(docs, pairs, decimals=6)
+        .select("feature_a", "feature_b", "n", "mi", "nmi")
+        .orderBy("feature_a", "feature_b")
+    )
+
+
+_MI_CELL_SQL = """
+    SELECT '{fa}' AS feature_a, '{fb}' AS feature_b, a, b,
+           CAST(count(*) AS DOUBLE) AS c
+    FROM (SELECT {ea} AS a, {eb} AS b FROM documents) GROUP BY a, b
+"""
+
+ORACLE_Q37 = """
+WITH cells AS (
+  {c1} UNION ALL {c2} UNION ALL {c3}
+), t AS (
+  SELECT feature_a, feature_b, c,
+         SUM(c) OVER (PARTITION BY feature_a, feature_b) AS n,
+         SUM(c) OVER (PARTITION BY feature_a, feature_b, a) AS ca,
+         SUM(c) OVER (PARTITION BY feature_a, feature_b, b) AS cb
+  FROM cells
+)
+SELECT feature_a, feature_b,
+       CAST(MAX(n) AS BIGINT) AS n,
+       ROUND(SUM(c / n * LN(c * n / (ca * cb))), 6) AS mi,
+       ROUND(SUM(c / n * LN(c * n / (ca * cb)))
+             / SQRT(SUM(c / n * LN(ca / n)) * SUM(c / n * LN(cb / n))),
+             6) AS nmi
+FROM t GROUP BY feature_a, feature_b ORDER BY feature_a, feature_b
+""".format(
+    c1=_MI_CELL_SQL.format(fa="lang", fb="source", ea="lang", eb="source"),
+    c2=_MI_CELL_SQL.format(
+        fa="lang", fb="len_bucket", ea="lang",
+        eb="CAST(FLOOR(n_chars / 200) AS VARCHAR)",
+    ),
+    c3=_MI_CELL_SQL.format(
+        fa="source", fb="len_bucket", ea="source",
+        eb="CAST(FLOOR(n_chars / 200) AS VARCHAR)",
+    ),
+)
+
+
+def q38_feature_memory_profile(spark, sf_dir):
+    """Per-feature average encoded-bytes estimate (the reference's
+    feature memory report, core_ranking.py:394-406) as ONE unpivoted
+    aggregation: stack() the columns -> avg(length(encode(...))) —
+    single scan, no Python."""
+    docs = load(spark, sf_dir, "documents")
+    cols = ["lang", "source", "text", "n_chars"]
+    stacked = docs.select(
+        F.expr(
+            "stack({n}, {args}) as (feature, value)".format(
+                n=len(cols),
+                args=", ".join(
+                    f"'{c}', cast(`{c}` as string)" for c in cols
+                ),
+            ),
+        ),
+    )
+    return (
+        stacked.groupBy("feature")
+        .agg(
+            F.round(
+                F.avg(F.length(F.encode(F.col("value"), "utf-8"))), 6,
+            ).alias("avg_bytes"),
+            F.count("value").alias("n"),
+        )
+        .orderBy("feature")
+    )
+
+
+ORACLE_Q38 = """
+WITH stacked AS (
+  SELECT 'lang' AS feature, lang AS value FROM documents
+  UNION ALL SELECT 'source', source FROM documents
+  UNION ALL SELECT 'text', text FROM documents
+  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+)
+SELECT feature,
+       ROUND(AVG(CAST(OCTET_LENGTH(ENCODE(value)) AS DOUBLE)), 6)
+         AS avg_bytes,
+       COUNT(value) AS n
+FROM stacked GROUP BY feature ORDER BY feature
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -1111,6 +1214,8 @@ QUERIES = {
     "q34_rare_values_sketch": q34_rare_values_sketch,
     "q35_baseline_missing_profile": q35_baseline_missing_profile,
     "q36_surrogate_singles": q36_surrogate_singles,
+    "q37_exact_mi_contingency": q37_exact_mi_contingency,
+    "q38_feature_memory_profile": q38_feature_memory_profile,
 }
 
 ORACLES = {
@@ -1141,6 +1246,8 @@ ORACLES = {
     "q33_numeric_bounds_summary": ORACLE_Q33,
     "q34_rare_values_sketch": ORACLE_Q34,
     "q35_baseline_missing_profile": ORACLE_Q35,
+    "q37_exact_mi_contingency": ORACLE_Q37,
+    "q38_feature_memory_profile": ORACLE_Q38,
     # q21-q23, q28-q32, q36: sketch/heuristic results — no SQL
     # equivalent (rows-only checks; accuracy bound-tested in tests/)
 }

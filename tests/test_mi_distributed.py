@@ -1,0 +1,94 @@
+"""Distributed exact-MI contingency operator (operators/mi_distributed.py).
+
+Parity target: functions/heuristics.exact_mi (the plug-in estimator the
+reference's ``MI`` heuristic computes via sklearn, reference
+importance_estimator.py:37-40) — here over the WHOLE table instead of a
+sampled minibatch, all pairs in one scan via GROUPING SETS.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from outrank_spark.functions.heuristics import exact_mi
+from outrank_spark.operators.mi_distributed import (
+    _NULL_SENTINEL,
+    mi_contingency,
+)
+
+
+def _codes(s: pd.Series) -> np.ndarray:
+    return s.astype("category").cat.codes.to_numpy()
+
+
+@pytest.fixture(scope="module")
+def frame():
+    rng = np.random.default_rng(7)
+    n = 8000
+    x = rng.integers(0, 12, n)
+    y = (x // 3 + rng.integers(0, 2, n)) % 5
+    z = rng.integers(0, 4, n)
+    pdf = pd.DataFrame(
+        {"x": x.astype(str), "y": y.astype(str), "z": z.astype(str)},
+    )
+    pdf.loc[rng.integers(0, n, 40), "z"] = None  # genuine nulls
+    return pdf
+
+
+class TestMiContingency:
+    def test_matches_exact_mi_kernel(self, spark, frame):
+        df = spark.createDataFrame(frame)
+        out = (
+            mi_contingency(df, [("x", "y"), ("x", "z"), ("y", "z")])
+            .toPandas().set_index(["feature_a", "feature_b"])
+        )
+        for a, b in [("x", "y"), ("x", "z"), ("y", "z")]:
+            ref = exact_mi(
+                _codes(frame[a].fillna(_NULL_SENTINEL)),
+                _codes(frame[b].fillna(_NULL_SENTINEL)),
+            )
+            assert out.loc[(a, b), "mi"] == pytest.approx(ref, abs=1e-9)
+            assert out.loc[(a, b), "n"] == len(frame)
+
+    def test_diagonal_pair_is_entropy(self, spark, frame):
+        df = spark.createDataFrame(frame)
+        out = mi_contingency(df, [("x", "x")]).toPandas().iloc[0]
+        p = frame["x"].value_counts(normalize=True).to_numpy()
+        h = float(-(p * np.log(p)).sum())
+        assert out["mi"] == pytest.approx(h, abs=1e-9)
+        assert out["h_ab"] == pytest.approx(h, abs=1e-9)
+        assert out["nmi"] == pytest.approx(1.0, abs=1e-9)
+
+    def test_entropy_identities(self, spark, frame):
+        """MI = H(a) + H(b) - H(ab) must hold cell-exactly."""
+        df = spark.createDataFrame(frame)
+        out = mi_contingency(df, [("x", "y")]).toPandas().iloc[0]
+        assert out["mi"] == pytest.approx(
+            out["h_a"] + out["h_b"] - out["h_ab"], abs=1e-9,
+        )
+
+    def test_independent_columns_near_zero(self, spark, frame):
+        df = spark.createDataFrame(frame)
+        out = mi_contingency(df, [("x", "z")]).toPandas().iloc[0]
+        assert 0.0 <= out["mi"] < 0.01
+        assert abs(out["nmi"]) < 0.01
+
+    def test_single_scan_for_all_pairs(self, spark, frame, tmp_path):
+        """k pairs must share ONE scan (grouping sets), not k passes."""
+        path = str(tmp_path / "mi_src.parquet")
+        spark.createDataFrame(frame).write.parquet(path)
+        df = spark.read.parquet(path)
+        plan = mi_contingency(
+            df, [("x", "y"), ("x", "z"), ("y", "z")],
+        )._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 1
+        assert "Expand" in plan  # the grouping-sets operator
+        # no Python anywhere in the plan
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan
+
+    def test_duplicate_column_sets_rejected(self, spark, frame):
+        df = spark.createDataFrame(frame)
+        with pytest.raises(ValueError):
+            mi_contingency(df, [("x", "y"), ("y", "x")])
