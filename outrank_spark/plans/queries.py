@@ -1177,6 +1177,57 @@ FROM stacked GROUP BY feature ORDER BY feature
 """
 
 
+def q39_duplicate_clusters(spark, sf_dir):
+    """Dedup CLUSTERING: blocking-key candidate pairs from two
+    overlapping keys -> connected components (large-star/small-star,
+    operators/components.py) -> per-cluster sizes.  Two keys chain
+    components across hops (A~B via key1, B~C via key2), which is
+    exactly what pairwise dedup alone cannot express.  Oracle: DuckDB
+    recursive CTE doing min-label propagation to fixpoint."""
+    from outrank_spark.operators.components import duplicate_clusters
+
+    docs = load(spark, sf_dir, "documents")
+
+    def star_edges(*key_cols):
+        keyed = docs.select(
+            "doc_id", F.concat_ws("|", *key_cols).alias("k"),
+        )
+        mins = keyed.groupBy("k").agg(F.min("doc_id").alias("dst"))
+        return (
+            keyed.join(mins, "k")
+            .where(F.col("doc_id") != F.col("dst"))
+            .select(F.col("doc_id").alias("src"), "dst")
+        )
+
+    pairs = star_edges(
+        F.col("lang"), F.floor(F.col("n_chars") / 50),
+    ).union(star_edges(F.col("source"), F.floor(F.col("n_chars") / 80)))
+    return duplicate_clusters(pairs).orderBy("cluster_id")
+
+
+ORACLE_Q39 = """
+WITH RECURSIVE
+e1 AS (SELECT doc_id AS src,
+              MIN(doc_id) OVER (PARTITION BY lang, n_chars // 50) AS dst
+       FROM documents),
+e2 AS (SELECT doc_id AS src,
+              MIN(doc_id) OVER (PARTITION BY source, n_chars // 80) AS dst
+       FROM documents),
+edges0 AS (SELECT src, dst FROM e1 WHERE src <> dst
+           UNION SELECT src, dst FROM e2 WHERE src <> dst),
+edges AS (SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst AS id, w.lbl AS lbl FROM walk w JOIN edges e ON e.src = w.id
+),
+comp AS (SELECT id, MIN(lbl) AS cluster_id FROM walk GROUP BY id)
+SELECT cluster_id, COUNT(*) AS n_docs
+FROM comp GROUP BY cluster_id HAVING COUNT(*) >= 2 ORDER BY cluster_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -1216,6 +1267,7 @@ QUERIES = {
     "q36_surrogate_singles": q36_surrogate_singles,
     "q37_exact_mi_contingency": q37_exact_mi_contingency,
     "q38_feature_memory_profile": q38_feature_memory_profile,
+    "q39_duplicate_clusters": q39_duplicate_clusters,
 }
 
 ORACLES = {
@@ -1248,6 +1300,7 @@ ORACLES = {
     "q35_baseline_missing_profile": ORACLE_Q35,
     "q37_exact_mi_contingency": ORACLE_Q37,
     "q38_feature_memory_profile": ORACLE_Q38,
+    "q39_duplicate_clusters": ORACLE_Q39,
     # q21-q23, q28-q32, q36: sketch/heuristic results — no SQL
     # equivalent (rows-only checks; accuracy bound-tested in tests/)
 }
