@@ -339,9 +339,32 @@ def _task_selftest(spark, args) -> None:
     print("SELFTEST OK")
 
 
+def _task_visualization(args) -> None:
+    """Data-first visualization artifacts from pairwise_ranks.tsv
+    (reference task_visualization.py:13-26); images only when
+    matplotlib is importable."""
+    import pandas as pd
+
+    from outrank_spark.plans.visualization import visualize_all
+
+    triplets = pd.read_csv(
+        os.path.join(args.output_folder, "pairwise_ranks.tsv"), sep="\t",
+    )
+    written = visualize_all(
+        triplets,
+        args.output_folder,
+        label=args.label_column,
+        reference_json=args.reference_model_JSON,
+        image_format=args.image_format,
+        heuristic=args.heuristic,
+    )
+    logger.info("visualization artifacts: %s", ", ".join(written))
+
+
 def run_task(spark, args) -> None:
+    # reference __main__.py:268: all = ranking, summary, visualization
     tasks = ([args.task] if args.task != "all"
-             else ["ranking", "ranking_summary"])
+             else ["ranking", "ranking_summary", "visualization"])
     for task in tasks:
         logger.info("Proceeding with task: %s ..", task)
         if task in ("ranking", "feature_summary_transformers",
@@ -356,8 +379,7 @@ def run_task(spark, args) -> None:
         elif task == "selftest":
             _task_selftest(spark, args)
         elif task == "visualization":
-            logger.info("visualization is out of scope for the Spark "
-                        "engine (SURVEY.md §3.3); skipping.")
+            _task_visualization(args)
         else:
             logger.info("Warning, the selected task: %s does not exist.",
                         task)

@@ -85,6 +85,18 @@ class TestCliRankingRoundTrip:
                     "--output_folder", "out"], cwd)
         assert res.returncode == 0, res.stderr[-4000:]
 
+        res = _run(["--task", "visualization",
+                    "--data_path", "test_data_synthetic",
+                    "--output_folder", "out"], cwd)
+        assert res.returncode == 0, res.stderr[-4000:]
+        for artifact in ("heatmap.tsv", "TopClustering.tsv",
+                         "SilhouetteProfile.tsv",
+                         "dendrogram_complete.tsv"):
+            assert (tmp_path / "out" / artifact).exists(), artifact
+        top = pd.read_csv(tmp_path / "out" / "TopClustering.tsv", sep="\t")
+        assert list(top.columns) == ["ClusterID", "Feature"]
+        assert len(top) == len(pairwise["FeatureA"].unique())
+
     def test_identify_rare_values_reports(self, tmp_path):
         cwd = str(tmp_path)
         _run(["--task", "data_generator",
