@@ -97,18 +97,10 @@ class RankingResult:
     triplets_raw: pd.DataFrame = field(default=None)  # pre-rename medians
 
 
-def run_ranking(spark, df: DataFrame, cfg: RankingConfig,
-                planner: CombinationPlanner | None = None) -> RankingResult:
-    columns = cfg.feature_columns or list(df.columns)
-    planner = planner or CombinationPlanner(seed=cfg.seed)
-
-    # two lazy passes over the (possibly upstream-cached) input —
-    # a cache write of wide string columns costs more than the scans,
-    # and the coverage sketch doubles as the row counter
-    sub = deterministic_subsample(df.select(*columns), cfg.subsampling,
-                                  key_cols=columns)
-
-    # --- ONE sketch scan: cardinality + value counts + coverage ------
+def sketch_plan_for(cfg: RankingConfig, columns: list[str]) -> SketchPlan:
+    """The ranking job's per-column sketch plan: cardinality (parity
+    HLL), bounded value counts, coverage, optional rare-value counter,
+    with exact-count kinds guarded off derived (near-unique) columns."""
     sketch_kinds = {
         "parity_hll": ({} if cfg.hll_p is None else {"p": cfg.hll_p}),
         "counter": {"bound": cfg.max_unique_hist_constraint},
@@ -128,8 +120,23 @@ def run_ranking(spark, df: DataFrame, cfg: RankingConfig,
         # exact value state on them explodes; same guard for both
         # exact-count kinds
         kind_columns = {"counter": base_cols, "rare": base_cols}
-    plan = SketchPlan(columns=columns, sketches=sketch_kinds,
+    return SketchPlan(columns=columns, sketches=sketch_kinds,
                       kind_columns=kind_columns)
+
+
+def run_ranking(spark, df: DataFrame, cfg: RankingConfig,
+                planner: CombinationPlanner | None = None) -> RankingResult:
+    columns = cfg.feature_columns or list(df.columns)
+    planner = planner or CombinationPlanner(seed=cfg.seed)
+
+    # two lazy passes over the (possibly upstream-cached) input —
+    # a cache write of wide string columns costs more than the scans,
+    # and the coverage sketch doubles as the row counter
+    sub = deterministic_subsample(df.select(*columns), cfg.subsampling,
+                                  key_cols=columns)
+
+    # --- ONE sketch scan: cardinality + value counts + coverage ------
+    plan = sketch_plan_for(cfg, columns)
     sketches = build_sketches(sub, plan)
     cards = {c: sketches[(c, "parity_hll")].estimate() for c in columns}
     coverage = {

@@ -86,8 +86,14 @@ class BoundedCounter:
 
     # -- wire ----------------------------------------------------------
     def to_bytes(self) -> bytes:
-        return pickle.dumps({"bound": self.bound, "counts": dict(self.counts)},
-                            protocol=4)
+        # canonical key order: equal state -> bitwise-equal blobs no
+        # matter the merge order (dict insertion order otherwise leaks
+        # the accumulation history into the serialization)
+        return pickle.dumps(
+            {"bound": self.bound,
+             "counts": dict(sorted(self.counts.items(),
+                                   key=lambda kv: str(kv[0])))},
+            protocol=4)
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "BoundedCounter":
