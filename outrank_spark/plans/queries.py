@@ -1228,6 +1228,59 @@ FROM comp GROUP BY cluster_id HAVING COUNT(*) >= 2 ORDER BY cluster_id
 """
 
 
+def q40_corpus_cleaning_pipeline(spark, sf_dir):
+    """The end-to-end training-data cleaning pipeline as ONE declarative
+    plan: exact dedup (content-hash keeper, operators/dedup.exact_dedup)
+    -> keep canonical docs -> quality gates (token count, mean token
+    length) -> per-language corpus profile.  Everything stays in
+    Catalyst (joins + aggregates, no UDF)."""
+    from outrank_spark.operators.dedup import exact_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    keepers = exact_dedup(docs).select(
+        F.col("keeper_doc_id").alias("doc_id"),
+    )
+    toks = F.size(F.split(F.col("text"), " "))
+    mean_tok_len = (F.length("text") - toks + 1) / toks  # sep chars out
+    cleaned = (
+        docs.join(keepers, "doc_id", "left_semi")
+        .withColumn("n_tok", toks)
+        .withColumn("mean_tok_len", mean_tok_len)
+        .where((F.col("n_tok") >= 20)
+               & (F.col("mean_tok_len") >= 3.0)
+               & (F.col("mean_tok_len") <= 12.0))
+    )
+    return (
+        cleaned.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_tok"), 6).alias("avg_tokens"),
+            F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_Q40 = """
+WITH keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+), cleaned AS (
+  SELECT d.lang,
+         len(string_split(d.text, ' ')) AS n_tok,
+         CAST(LENGTH(d.text) - len(string_split(d.text, ' ')) + 1
+              AS DOUBLE) / len(string_split(d.text, ' ')) AS mean_tok_len,
+         LENGTH(d.text) AS n_chars
+  FROM documents d SEMI JOIN keepers k ON d.doc_id = k.doc_id
+)
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(AVG(CAST(n_tok AS DOUBLE)), 6) AS avg_tokens,
+       ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+FROM cleaned
+WHERE n_tok >= 20 AND mean_tok_len >= 3.0 AND mean_tok_len <= 12.0
+GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -1268,6 +1321,7 @@ QUERIES = {
     "q37_exact_mi_contingency": q37_exact_mi_contingency,
     "q38_feature_memory_profile": q38_feature_memory_profile,
     "q39_duplicate_clusters": q39_duplicate_clusters,
+    "q40_corpus_cleaning_pipeline": q40_corpus_cleaning_pipeline,
 }
 
 ORACLES = {
@@ -1301,6 +1355,7 @@ ORACLES = {
     "q37_exact_mi_contingency": ORACLE_Q37,
     "q38_feature_memory_profile": ORACLE_Q38,
     "q39_duplicate_clusters": ORACLE_Q39,
+    "q40_corpus_cleaning_pipeline": ORACLE_Q40,
     # q21-q23, q28-q32, q36: sketch/heuristic results — no SQL
     # equivalent (rows-only checks; accuracy bound-tested in tests/)
 }
