@@ -1281,6 +1281,72 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def q41_cms_heavy_hitters(spark, sf_dir):
+    """Heavy hitters: exact top-10 users by event count vs the
+    distributed count-min estimate of the same keys.  CMS guarantees
+    estimate >= exact and estimate <= exact + eps*N w.p. 1-delta
+    (bound-asserted per row; no SQL oracle for the sketch itself)."""
+    from outrank_spark.operators.sketch_build import SketchPlan, build_sketches
+
+    ev = load(spark, sf_dir, "events")
+    skc = build_sketches(
+        ev, SketchPlan(columns=["user_id"],
+                       sketches={"cms": {"depth": 6, "width": 2 ** 15}}),
+    )
+    cms = skc[("user_id", "cms")]
+    top = (
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+        .orderBy(F.desc("exact"), "user_id").limit(10).collect()
+    )
+    keys = [str(r["user_id"]) for r in top]
+    est = cms.query_many(keys)
+    bound = cms.epsilon * cms.total
+    rows = [
+        (int(r["user_id"]), int(r["exact"]), int(e),
+         bool(r["exact"] <= e <= r["exact"] + bound))
+        for r, e in zip(top, est)
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, exact long, estimate long, within_bound boolean",
+    )
+
+
+def q42_bloom_membership(spark, sf_dir):
+    """Distributed Bloom filter over customer keys probed with (a) all
+    order customers (must be 100% found — no false negatives) and (b)
+    shifted non-member keys (false-positive rate must respect the
+    filter's design bound).  rows-only; FPR bound-tested in pytest."""
+    from outrank_spark.operators.sketch_build import SketchPlan, build_sketches
+
+    cust = load(spark, sf_dir, "customer")
+    n_cust = cust.count()
+    skc = build_sketches(
+        cust, SketchPlan(columns=["c_custkey"],
+                         sketches={"bloom": {"capacity": max(n_cust, 1000),
+                                             "fpr": 0.01}}),
+    )
+    bloom = skc[("c_custkey", "bloom")]
+    members = [
+        str(r[0])
+        for r in load(spark, sf_dir, "orders")
+        .select("o_custkey").distinct().collect()
+    ]
+    nonmembers = [str(10 ** 12 + i) for i in range(5000)]
+    found = bloom.contains(members)
+    fp = bloom.contains(nonmembers)
+    rows = [(
+        len(members), int(found.sum()),
+        len(nonmembers), int(fp.sum()),
+        round(float(bloom.estimated_fpr()), 6),
+        bool(found.all()),
+    )]
+    return spark.createDataFrame(
+        rows,
+        "n_members long, members_found long, n_nonmembers long, "
+        "false_positives long, design_fpr double, no_false_negatives boolean",
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -1322,6 +1388,8 @@ QUERIES = {
     "q38_feature_memory_profile": q38_feature_memory_profile,
     "q39_duplicate_clusters": q39_duplicate_clusters,
     "q40_corpus_cleaning_pipeline": q40_corpus_cleaning_pipeline,
+    "q41_cms_heavy_hitters": q41_cms_heavy_hitters,
+    "q42_bloom_membership": q42_bloom_membership,
 }
 
 ORACLES = {

