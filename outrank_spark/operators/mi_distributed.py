@@ -36,7 +36,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["mi_contingency"]
+__all__ = ["mi_contingency", "mi_table_scores"]
 
 # sentinel so genuine data NULLs stay a distinct category (the
 # reference's value domain is strings where '' is an ordinary value)
@@ -138,3 +138,27 @@ def mi_contingency(df: DataFrame, pairs: Sequence[tuple[str, str]],
         for c in ("h_a", "h_b", "h_ab", "mi", "nmi"):
             agg = agg.withColumn(c, F.round(F.col(c), decimals))
     return agg
+
+
+def mi_table_scores(df: DataFrame, pairs: Sequence[tuple[str, str]],
+                    chunk: int = 64) -> DataFrame:
+    """(feature_a, feature_b, score) with score = whole-table exact MI.
+
+    Grouping-sets Expand multiplies every input row by the number of
+    sets BEFORE partial aggregation — the same total work as one
+    groupBy per pair, but sharing a single scan.  ``chunk`` bounds that
+    expand factor: pairs are processed in chunks of <= ``chunk`` sets,
+    one job each, unioned.  Duplicate unordered column sets are scored
+    once and emitted under the first orientation seen.
+    """
+    uniq: dict[frozenset, tuple[str, str]] = {}
+    for a, b in pairs:
+        uniq.setdefault(frozenset((a, b)), (a, b))
+    todo = list(uniq.values())
+    out = None
+    for i in range(0, len(todo), max(chunk, 1)):
+        part = mi_contingency(df, todo[i:i + chunk]).select(
+            "feature_a", "feature_b", F.col("mi").alias("score"),
+        )
+        out = part if out is None else out.union(part)
+    return out

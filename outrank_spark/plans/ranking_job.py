@@ -167,11 +167,23 @@ def run_ranking(spark, df: DataFrame, cfg: RankingConfig,
             if m in columns
         ]
         pairs = filter_pairs(pairs, model_features)
-    triplets = score_batches(
-        sub, columns, pairs, cfg.heuristic, cfg.label_column, n_batches,
-        cfg.mi_stratified_sampling_ratio,
-        model_features=model_features,
-    )
+    if cfg.heuristic == "MI-table-exact":
+        # fully-distributed exact plug-in MI over the WHOLE (sampled)
+        # table — no minibatching, no per-batch median; one grouping-
+        # sets scan per pair chunk (operators/mi_distributed.py).
+        # Engine addition beyond the reference (whose MI heuristics
+        # are always minibatch-sampled).
+        from outrank_spark.operators.mi_distributed import mi_table_scores
+
+        triplets = mi_table_scores(sub, pairs).withColumn(
+            "batch_id", F.lit(0),
+        )
+    else:
+        triplets = score_batches(
+            sub, columns, pairs, cfg.heuristic, cfg.label_column, n_batches,
+            cfg.mi_stratified_sampling_ratio,
+            model_features=model_features,
+        )
     grouped = (
         symmetrize(triplets)
         .groupBy("feature_a", "feature_b")

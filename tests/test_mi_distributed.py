@@ -92,3 +92,59 @@ class TestMiContingency:
         df = spark.createDataFrame(frame)
         with pytest.raises(ValueError):
             mi_contingency(df, [("x", "y"), ("y", "x")])
+
+
+class TestMiTableScores:
+    def test_chunking_is_transparent(self, spark, frame):
+        from outrank_spark.operators.mi_distributed import mi_table_scores
+
+        df = spark.createDataFrame(frame)
+        pairs = [("x", "y"), ("x", "z"), ("y", "z")]
+        one = {
+            (r["feature_a"], r["feature_b"]): r["score"]
+            for r in mi_table_scores(df, pairs, chunk=64).collect()
+        }
+        many = {
+            (r["feature_a"], r["feature_b"]): r["score"]
+            for r in mi_table_scores(df, pairs, chunk=1).collect()
+        }
+        assert one == many and len(one) == 3
+
+    def test_reversed_duplicates_scored_once(self, spark, frame):
+        from outrank_spark.operators.mi_distributed import mi_table_scores
+
+        df = spark.createDataFrame(frame)
+        out = mi_table_scores(df, [("x", "y"), ("y", "x")]).collect()
+        assert len(out) == 1
+
+
+class TestMiTableExactHeuristic:
+    def test_run_ranking_whole_table_exact(self, spark, frame):
+        """heuristic='MI-table-exact' ranks with whole-table exact MI:
+        pairwise scores equal the numpy exact_mi kernel on the full
+        columns (no sampling, no batching)."""
+        from outrank_spark.plans.ranking_job import RankingConfig, run_ranking
+
+        df = spark.createDataFrame(
+            frame.rename(columns={"y": "label"}),
+        )
+        cfg = RankingConfig(
+            heuristic="MI-table-exact", subsampling=1,
+            label_column="label", target_ranking_only=True,
+            include_cardinality_in_feature_names=False,
+        )
+        res = run_ranking(spark, df, cfg)
+        got = {
+            (r["FeatureA"], r["FeatureB"]): r["Score"]
+            for _, r in res.pairwise.iterrows()
+        }
+        for feat in ("x", "z"):
+            ref = exact_mi(
+                _codes(frame[feat].fillna(_NULL_SENTINEL)),
+                _codes(frame["y"].fillna(_NULL_SENTINEL)),
+            )
+            assert got[(feat, "label")] == pytest.approx(ref, abs=1e-9)
+            assert got[("label", feat)] == pytest.approx(ref, abs=1e-9)
+        # informative feature x beats noise z in the singles
+        singles = res.singles.set_index("Feature")
+        assert (singles.loc["x"].iloc[0] > singles.loc["z"].iloc[0])
