@@ -39,7 +39,7 @@ __all__ = [
     "exact_dedup", "shingle_df", "minhash_signatures",
     "minhash_lsh_candidates", "ngram_jaccard_pairs",
     "simhash_signatures", "simhash_candidates",
-    "embedding_neardup_candidates",
+    "embedding_neardup_candidates", "near_dedup_corpus",
 ]
 
 
@@ -353,4 +353,43 @@ def embedding_neardup_candidates(df: DataFrame, vec_col: str = "embedding",
         .withColumn("cosine", dot / (norm(F.col("va")) * norm(F.col("vb"))))
         .filter(F.col("cosine") >= cos_threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def near_dedup_corpus(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3, k: int = 128,
+                      bands: int = 32,
+                      threshold: float = 0.7) -> DataFrame:
+    """One-call corpus near-dedup, the whole family composed:
+
+    1. exact pass — content-hash star edges (identical texts always
+       cluster, independent of LSH parameters);
+    2. approximate pass — MinHash banded-LSH candidates, verified with
+       candidate-bounded exact shingle Jaccard ``>= threshold``;
+    3. connected components over the union of both edge sets
+       (large-star/small-star — duplicates that chain A~B~C across
+       passes land in ONE cluster);
+    4. keep the minimum-id member per cluster.
+
+    Returns ``df`` minus every non-canonical duplicate.  All stages are
+    shuffles on hash keys; nothing quadratic in corpus size (the exact
+    verification is bounded to LSH candidates).
+    """
+    from outrank_spark.operators.components import keep_canonical
+
+    hashed = df.select(
+        F.col(id_col), F.xxhash64(F.col(text_col)).alias("_h"),
+    )
+    mins = hashed.groupBy("_h").agg(F.min(id_col).alias("dst"))
+    exact_edges = (
+        hashed.join(mins, "_h")
+        .where(F.col(id_col) != F.col("dst"))
+        .select(F.col(id_col).alias("src"), "dst")
+    )
+    near_edges = minhash_lsh_candidates(
+        df, text_col, id_col, n=n, k=k, bands=bands,
+        verify_threshold=threshold,
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return keep_canonical(
+        df, exact_edges.union(near_edges), id_col=id_col,
     )

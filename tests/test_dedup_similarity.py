@@ -13,6 +13,7 @@ from outrank_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_candidates,
     minhash_signatures,
+    near_dedup_corpus,
     ngram_jaccard_pairs,
     simhash_candidates,
     simhash_signatures,
@@ -339,3 +340,56 @@ class TestMultimodal:
         vid_frames = [r for r in frames if r["media_id"] == 3]
         assert len(vid_frames) == 4  # 0,1000,2000,3000 ms
         assert all(len(r["frame_feature"]) == 4 for r in vid_frames)
+
+
+class TestNearDedupCorpus:
+    """One-call pipeline: exact pass + LSH pass + connected components
+    + canonical keep (operators/dedup.near_dedup_corpus)."""
+
+    @staticmethod
+    def _corpus(spark):
+        import numpy as np
+
+        rng = np.random.default_rng(17)
+        vocab = [f"w{i:03d}" for i in range(400)]
+        rows = []
+        for i in range(40):  # 40 distinct base docs
+            toks = list(rng.choice(vocab, size=60))
+            rows.append((i, " ".join(toks)))
+        # planted cluster A: doc 100 = exact copy of 0,
+        # doc 101 = near copy of 100 (2 tokens swapped)
+        base0 = rows[0][1].split(" ")
+        rows.append((100, " ".join(base0)))
+        near = list(base0)
+        near[5], near[30] = "w399", "w398"
+        rows.append((101, " ".join(near)))
+        # planted cluster B: docs 200/201 exact copies of 7
+        rows.append((200, rows[7][1]))
+        rows.append((201, rows[7][1]))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_planted_duplicates_collapse_to_canonicals(self, spark):
+        docs = self._corpus(spark)
+        cleaned = near_dedup_corpus(docs, threshold=0.5)
+        kept = sorted(r["doc_id"] for r in cleaned.collect())
+        # every planted duplicate gone, canonical (min id) kept
+        assert 0 in kept and 7 in kept
+        for dup in (100, 101, 200, 201):
+            assert dup not in kept
+        # chaining: 101 is near 100 which is exact-equal to 0 ->
+        # one component rooted at 0 (101 never compared to 0 directly
+        # above the threshold is fine — components chain it)
+        assert len(kept) == 40
+
+    def test_no_false_merges_on_distinct_docs(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(23)
+        vocab = [f"t{i:03d}" for i in range(2000)]
+        rows = [
+            (i, " ".join(rng.choice(vocab, size=50)))
+            for i in range(30)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        cleaned = near_dedup_corpus(docs, threshold=0.5)
+        assert cleaned.count() == 30  # nothing merged
