@@ -61,3 +61,39 @@ class TestBenchNeedleCI:
         # label itself) must be the planted needle
         assert res.singles.iloc[0]["Feature"] == "label-(81; 100)"
         assert res.singles.iloc[1]["Feature"] == "f30-(81; 100)"
+
+
+@pytest.mark.slow
+class TestSecondOrderNeedle:
+    """Reference benchmark level 4 (generator_second_order.py verify):
+    target = binarized f30 + f50, so with --interaction_order 2 the
+    composite feature ``f30 AND f50`` must surface at the top of the
+    label ranking."""
+
+    def test_f30_and_f50_interaction_found(self, spark):
+        from outrank_spark.operators.interactions import (
+            with_interaction_features,
+        )
+        from outrank_spark.plans.ranking_job import RankingConfig, run_ranking
+        from outrank_spark.sources.ranking_matrix import (
+            generate_ranking_matrix,
+        )
+
+        df = generate_ranking_matrix(
+            spark, num_features=60, size=8000, variant="second_order",
+        )
+        df, _ = with_interaction_features(
+            df, label_column="label", interaction_order=2, as_hex=False,
+        )
+        cfg = RankingConfig(
+            heuristic="MI-numba-randomized", subsampling=1,
+            label_column="label", target_ranking_only=True,
+            include_cardinality_in_feature_names=False,
+        )
+        res = run_ranking(spark, df, cfg)
+        singles = res.singles[res.singles["Feature"] != "label"]
+        top10 = list(singles.head(10)["Feature"])
+        assert "f30 AND f50" in top10, top10[:10]
+        # the needle's members must also rank above the noise floor
+        top_quarter = list(singles.head(len(singles) // 4)["Feature"])
+        assert "f30" in top_quarter and "f50" in top_quarter
