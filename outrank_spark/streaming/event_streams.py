@@ -1,0 +1,126 @@
+"""Streaming event-table operators: watermarked windows + custom state.
+
+Two canonical Structured Streaming shapes over the ``events`` table
+(event_id, ts, user_id, event_type, value, ...):
+
+* :func:`windowed_event_counts` — event-time tumbling-window counts
+  with a watermark: the built-in streaming aggregation path (state
+  bounded by the watermark; late rows beyond it are dropped by Spark).
+* :func:`sessionize_stream` — per-user session assembly as a CUSTOM
+  stateful operator via ``applyInPandasWithState``: state is the open
+  session (start, last event, count); a session closes when a later
+  event arrives more than ``gap`` after it, and the closed session row
+  is emitted downstream.
+
+Semantics note (documented, deliberate): sessions close on the ARRIVAL
+of a later out-of-gap event, not on a wall-clock timeout — so the
+operator is deterministic for bounded replays (tests use
+``trigger(availableNow=True)``), and an open tail session stays in
+state until a later event or stream end.  Batch q18 (plans/queries.py)
+is the exact-SQL oracle shape for the same sessionization.
+
+Scale notes: state is one tiny row per ACTIVE user (not per event);
+the shuffle is the groupBy(user_id) hash partitioning; Arrow batches
+carry whole user-groups, no per-row Python outside the vectorized
+pandas fold.
+"""
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+__all__ = ["windowed_event_counts", "sessionize_stream", "SESSION_SCHEMA"]
+
+
+def windowed_event_counts(stream: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours",
+                          ts_col: str = "ts",
+                          key_col: str = "event_type") -> DataFrame:
+    """Tumbling event-time window counts with late-data watermark."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"),
+                 F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"),
+                key_col, "n_events")
+    )
+
+
+SESSION_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_start", TimestampType()),
+    StructField("session_end", TimestampType()),
+    StructField("n_events", LongType()),
+])
+
+_STATE_SCHEMA = StructType([
+    StructField("start_us", LongType()),
+    StructField("last_us", LongType()),
+    StructField("n", LongType()),
+])
+
+
+def _session_fold(gap_us: int):
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = -1
+            n = 0
+        closed: list[tuple[int, int, int]] = []
+        for pdf in pdfs:
+            ts_us = (
+                pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+            ).to_numpy()
+            ts_us.sort()
+            for t in ts_us:          # vectorizable; sessions per user
+                if n == 0:           # are few — clarity wins here
+                    start_us, last_us, n = t, t, 1
+                elif t - last_us > gap_us:
+                    closed.append((start_us, last_us, n))
+                    start_us, last_us, n = t, t, 1
+                else:
+                    last_us, n = t, n + 1
+        state.update((int(start_us), int(last_us), int(n)))
+        if closed:
+            out = pd.DataFrame(
+                closed, columns=["start_us", "end_us", "n_events"],
+            )
+            yield pd.DataFrame({
+                "user_id": user_id,
+                "session_start": pd.to_datetime(out["start_us"], unit="us"),
+                "session_end": pd.to_datetime(out["end_us"], unit="us"),
+                "n_events": out["n_events"],
+            })
+
+    return fn
+
+
+def sessionize_stream(stream: DataFrame, gap_minutes: int = 30,
+                      ts_col: str = "ts",
+                      user_col: str = "user_id") -> DataFrame:
+    """Closed per-user sessions as they complete (append mode)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    src = stream.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col(ts_col).alias("ts"),
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        _session_fold(gap_us),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
