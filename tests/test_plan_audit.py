@@ -216,3 +216,26 @@ class TestPartitionedTables:
         a = {tuple(r) for r in pages.select("url", "lang").collect()}
         b = {tuple(r) for r in back.select("url", "lang").collect()}
         assert a == b
+
+
+class TestPipelineQueryPlans:
+    def test_corpus_cleaning_is_pure_jvm_semi_join(self, spark):
+        """q40: dedup keeper must reach the plan as a semi join (or
+        aggregate+join equivalent) with zero Python operators."""
+        from outrank_spark.plans.queries import q40_corpus_cleaning_pipeline
+
+        plan = plan_of(q40_corpus_cleaning_pipeline(spark, SF))
+        assert "LeftSemi" in plan
+        for marker in ("BatchEvalPython", "ArrowEvalPython",
+                       "MapInPandas", "FlatMapGroupsInPandas"):
+            assert marker not in plan
+
+    def test_duplicate_cluster_edges_share_one_scan_per_key(self, spark):
+        """q39's two blocking-key edge sets scan documents a bounded
+        number of times (2 keys x (keyed + mins) = 4 scans max) and
+        nothing quadratic appears (no CartesianProduct/BNL-inner)."""
+        from outrank_spark.plans.queries import q39_duplicate_clusters
+
+        plan = plan_of(q39_duplicate_clusters(spark, SF))
+        assert plan.count("Scan parquet") <= 6
+        assert "CartesianProduct" not in plan
