@@ -95,6 +95,10 @@ def build_parser() -> argparse.ArgumentParser:
     # --- Spark-only knobs --------------------------------------------
     p.add_argument("--spark_master", type=str, default=None)
     p.add_argument("--shuffle_partitions", type=int, default=None)
+    # resumable ranking (north rule): deterministic hash slices, each
+    # checkpointed atomically; rerunning after a crash skips done slices
+    p.add_argument("--checkpoint_dir", type=str, default="")
+    p.add_argument("--checkpoint_slices", type=int, default=8)
     return p
 
 
@@ -196,6 +200,53 @@ def _enrich(df, info, args):
     return df, new_cols
 
 
+def _run_ranking_checkpointed(spark, df, cfg, args):
+    """Resumable ranking (north rule: resume mid-scan with lineage +
+    metrics): the (subsampled) input is split into ``checkpoint_slices``
+    deterministic hash slices; each slice is one accumulator batch —
+    sketches folded, pairs scored, triplets appended, ALL persisted in
+    one atomic file (streaming/ranking_stream.py).  Rerunning the same
+    command after a crash restores state and skips completed slices.
+    Per-slice metrics (rows, pairs, wall seconds) land in
+    ``checkpoint_metrics.json``; the state file is removed on success,
+    mirroring the reference's checkpoint cleanup (task_ranking.py:303).
+
+    Median semantics: the batch grouping is the slice grouping, exactly
+    like the reference's median-across-minibatches (a different batch
+    partition than a non-checkpointed run, same estimator)."""
+    from pyspark.sql import functions as F
+
+    from outrank_spark.operators.pair_scoring import deterministic_subsample
+    from outrank_spark.streaming.ranking_stream import (
+        StreamingRankingAccumulator,
+    )
+
+    columns = cfg.feature_columns or list(df.columns)
+    sub = deterministic_subsample(
+        df.select(*columns), cfg.subsampling, key_cols=columns,
+    )
+    n = max(1, args.checkpoint_slices)
+    slice_expr = F.pmod(
+        F.xxhash64(*[F.col(c) for c in columns]), F.lit(n),
+    )
+    acc = StreamingRankingAccumulator(cfg, state_dir=args.checkpoint_dir)
+    done = {b["batch_id"] for b in acc.batches_seen}
+    if done:
+        logger.info("checkpoint resume: slices %s already done",
+                    sorted(done))
+    for i in range(n):
+        acc.process_batch(sub.where(slice_expr == i), batch_id=i)
+    result = acc.result()
+    os.makedirs(args.output_folder, exist_ok=True)
+    with open(os.path.join(args.output_folder,
+                           "checkpoint_metrics.json"), "w") as f:
+        json.dump(acc.batches_seen, f)
+    state = os.path.join(args.checkpoint_dir, "ranking_state.bin")
+    if os.path.exists(state):
+        os.remove(state)
+    return result
+
+
 def _task_ranking(spark, args) -> None:
     from outrank_spark.plans.ranking_job import run_ranking
     from outrank_spark.plans.reports import (
@@ -224,7 +275,10 @@ def _task_ranking(spark, args) -> None:
         columns = [c for c in columns if c in focus]
     cfg = _config_from_args(args, feature_columns=columns)
 
-    result = run_ranking(spark, df, cfg)
+    if args.checkpoint_dir:
+        result = _run_ranking_checkpointed(spark, df, cfg, args)
+    else:
+        result = run_ranking(spark, df, cfg)
     timings.append({"phase": "ranking",
                     "wall_sec": round(time.time() - t0, 3)})
 

@@ -148,3 +148,57 @@ class TestStreamingRanking:
         assert set(record) == {
             "blobs", "triplets", "prior_counts", "batches_seen",
         }
+
+
+class TestCheckpointedCliRanking:
+    """jobs/rank_job._run_ranking_checkpointed: deterministic hash
+    slices through the streaming accumulator — crash, rerun, skip."""
+
+    def _args(self, tmp_path, slices=4):
+        import argparse
+
+        return argparse.Namespace(
+            checkpoint_dir=str(tmp_path / "ckpt_state"),
+            checkpoint_slices=slices,
+            output_folder=str(tmp_path / "out"),
+        )
+
+    def test_resume_skips_done_slices_bitwise(self, spark, tmp_path):
+        import json
+        import os
+
+        from outrank_spark.jobs.rank_job import _run_ranking_checkpointed
+        from outrank_spark.streaming.ranking_stream import (
+            StreamingRankingAccumulator,
+        )
+
+        rng = np.random.default_rng(3)
+        df = spark.createDataFrame(_chunk(rng, 1200))
+        cfg = _cfg()
+        args = self._args(tmp_path)
+
+        # uninterrupted reference run (separate state dir)
+        ref_args = self._args(tmp_path / "ref")
+        ref = _run_ranking_checkpointed(spark, df, cfg, ref_args)
+
+        # "crash" after 2 of 4 slices: process them manually
+        from pyspark.sql import functions as F
+
+        cols = list(df.columns)
+        sl = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(4))
+        acc = StreamingRankingAccumulator(
+            cfg, state_dir=args.checkpoint_dir)
+        for i in (0, 1):
+            acc.process_batch(df.where(sl == i), batch_id=i)
+        del acc  # crash
+
+        res = _run_ranking_checkpointed(spark, df, cfg, args)
+        pd.testing.assert_frame_equal(res.pairwise, ref.pairwise)
+        # metrics recorded for all 4 slices; state removed on success
+        with open(os.path.join(args.output_folder,
+                               "checkpoint_metrics.json")) as f:
+            metrics = json.load(f)
+        assert sorted(m["batch_id"] for m in metrics) == [0, 1, 2, 3]
+        assert all(m["wall_sec"] >= 0 for m in metrics)
+        assert not os.path.exists(
+            os.path.join(args.checkpoint_dir, "ranking_state.bin"))
