@@ -80,8 +80,14 @@ class TestSecondOrderNeedle:
         )
 
         df = generate_ranking_matrix(
-            spark, num_features=60, size=8000, variant="second_order",
+            spark, num_features=52, size=5000, variant="second_order",
         )
+        # focus projection (the reference's --feature_set_focus shape):
+        # the needle members + 18 noise features keep the order-2
+        # combination space at C(20,2)=190 instead of 1326, so the test
+        # exercises the same retrieval at a fraction of the sketch cost
+        keep = ["label", "f30", "f50"] + [f"f{i}" for i in range(18)]
+        df = df.select(*keep)
         df, _ = with_interaction_features(
             df, label_column="label", interaction_order=2, as_hex=False,
         )
