@@ -1347,6 +1347,78 @@ def q42_bloom_membership(spark, sf_dir):
     )
 
 
+def q43_cube_pricing(spark, sf_dir):
+    """CUBE aggregation: all (returnflag, linestatus) grouping
+    combinations incl. grand total in one pass (the same Expand
+    machinery q37's grouping sets use, via the cube() API)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_dec("l_quantity")).cast("double"), 2)
+            .alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "n", "sum_qty",
+        )
+        .orderBy("rflag", "lstatus")
+    )
+
+
+ORACLE_Q43 = """
+SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+       COALESCE(l_linestatus, 'ALL') AS lstatus,
+       count(*) AS n,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY rflag, lstatus
+"""
+
+
+def q44_customer_set_ops(spark, sf_dir):
+    """Relational set ops on DATA (INTERSECT/EXCEPT): customers
+    ordering in both halves of the date range vs early-only."""
+    orders = load(spark, sf_dir, "orders")
+    mid = "1998-01-01"
+    early = orders.where(F.col("o_orderdate") < mid).select("o_custkey")
+    late = orders.where(F.col("o_orderdate") >= mid).select("o_custkey")
+    both = early.intersect(late).withColumn("segment", F.lit("both"))
+    # set semantics (EXCEPT DISTINCT): in early and not in late AT ALL
+    early_only = early.distinct().subtract(late.distinct()).withColumn(
+        "segment", F.lit("early_only"),
+    )
+    return (
+        both.union(early_only)
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("segment")
+    )
+
+
+ORACLE_Q44 = """
+WITH early AS (
+  SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+), late AS (
+  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+), both_seg AS (
+  SELECT 'both' AS segment, o_custkey
+  FROM (SELECT o_custkey FROM early INTERSECT SELECT o_custkey FROM late)
+), early_only AS (
+  SELECT 'early_only' AS segment, o_custkey
+  FROM (SELECT DISTINCT o_custkey FROM early
+        EXCEPT SELECT o_custkey FROM late)
+)
+SELECT segment, count(*) AS n_customers
+FROM (SELECT * FROM both_seg UNION ALL SELECT * FROM early_only)
+GROUP BY segment ORDER BY segment
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -1390,6 +1462,8 @@ QUERIES = {
     "q40_corpus_cleaning_pipeline": q40_corpus_cleaning_pipeline,
     "q41_cms_heavy_hitters": q41_cms_heavy_hitters,
     "q42_bloom_membership": q42_bloom_membership,
+    "q43_cube_pricing": q43_cube_pricing,
+    "q44_customer_set_ops": q44_customer_set_ops,
 }
 
 ORACLES = {
@@ -1424,6 +1498,8 @@ ORACLES = {
     "q38_feature_memory_profile": ORACLE_Q38,
     "q39_duplicate_clusters": ORACLE_Q39,
     "q40_corpus_cleaning_pipeline": ORACLE_Q40,
+    "q43_cube_pricing": ORACLE_Q43,
+    "q44_customer_set_ops": ORACLE_Q44,
     # q21-q23, q28-q32, q36: sketch/heuristic results — no SQL
     # equivalent (rows-only checks; accuracy bound-tested in tests/)
 }
