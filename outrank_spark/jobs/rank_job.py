@@ -216,15 +216,14 @@ def _run_ranking_checkpointed(spark, df, cfg, args):
     partition than a non-checkpointed run, same estimator)."""
     from pyspark.sql import functions as F
 
-    from outrank_spark.operators.pair_scoring import deterministic_subsample
     from outrank_spark.streaming.ranking_stream import (
         StreamingRankingAccumulator,
     )
 
     columns = cfg.feature_columns or list(df.columns)
-    sub = deterministic_subsample(
-        df.select(*columns), cfg.subsampling, key_cols=columns,
-    )
+    # subsampling happens inside process_batch (the accumulator owns
+    # it), so slices are cut from the full relation
+    sub = df.select(*columns)
     n = max(1, args.checkpoint_slices)
     slice_expr = F.pmod(
         F.xxhash64(*[F.col(c) for c in columns]), F.lit(n),

@@ -358,14 +358,18 @@ def embedding_neardup_candidates(df: DataFrame, vec_col: str = "embedding",
 
 def near_dedup_corpus(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3, k: int = 128,
-                      bands: int = 32,
-                      threshold: float = 0.7) -> DataFrame:
+                      bands: int = 32, threshold: float = 0.7,
+                      method: str = "minhash",
+                      max_hamming: int = 3) -> DataFrame:
     """One-call corpus near-dedup, the whole family composed:
 
     1. exact pass — content-hash star edges (identical texts always
        cluster, independent of LSH parameters);
-    2. approximate pass — MinHash banded-LSH candidates, verified with
-       candidate-bounded exact shingle Jaccard ``>= threshold``;
+    2. approximate pass — ``method='minhash'``: banded-LSH candidates
+       verified with candidate-bounded exact shingle Jaccard
+       ``>= threshold``; ``method='simhash'``: 64-bit Charikar
+       fingerprints with Hamming distance ``<= max_hamming`` (chunk-
+       bucketed, exact Hamming verify built in);
     3. connected components over the union of both edge sets
        (large-star/small-star — duplicates that chain A~B~C across
        passes land in ONE cluster);
@@ -373,7 +377,7 @@ def near_dedup_corpus(df: DataFrame, text_col: str = "text",
 
     Returns ``df`` minus every non-canonical duplicate.  All stages are
     shuffles on hash keys; nothing quadratic in corpus size (the exact
-    verification is bounded to LSH candidates).
+    verification is bounded to LSH/chunk candidates).
     """
     from outrank_spark.operators.components import keep_canonical
 
@@ -386,10 +390,20 @@ def near_dedup_corpus(df: DataFrame, text_col: str = "text",
         .where(F.col(id_col) != F.col("dst"))
         .select(F.col(id_col).alias("src"), "dst")
     )
-    near_edges = minhash_lsh_candidates(
-        df, text_col, id_col, n=n, k=k, bands=bands,
-        verify_threshold=threshold,
-    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    if method == "minhash":
+        near = minhash_lsh_candidates(
+            df, text_col, id_col, n=n, k=k, bands=bands,
+            verify_threshold=threshold,
+        )
+    elif method == "simhash":
+        near = simhash_candidates(
+            df, text_col, id_col, max_hamming=max_hamming,
+        )
+    else:
+        raise ValueError(f"unknown near-dedup method {method!r}")
+    near_edges = near.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"),
+    )
     return keep_canonical(
         df, exact_edges.union(near_edges), id_col=id_col,
     )

@@ -113,6 +113,13 @@ class StreamingRankingAccumulator:
         cfg = self.cfg
         columns = cfg.feature_columns or list(batch_df.columns)
         sub = batch_df.select(*columns)
+        if cfg.subsampling > 1:
+            from outrank_spark.operators.pair_scoring import (
+                deterministic_subsample,
+            )
+
+            sub = deterministic_subsample(sub, cfg.subsampling,
+                                          key_cols=columns)
 
         delta = build_sketches(sub, sketch_plan_for(cfg, columns))
         for key, sk in delta.items():

@@ -393,3 +393,17 @@ class TestNearDedupCorpus:
         docs = spark.createDataFrame(rows, "doc_id long, text string")
         cleaned = near_dedup_corpus(docs, threshold=0.5)
         assert cleaned.count() == 30  # nothing merged
+
+    def test_simhash_method_variant(self, spark):
+        docs = self._corpus(spark)
+        cleaned = near_dedup_corpus(docs, method="simhash", max_hamming=6)
+        kept = sorted(r["doc_id"] for r in cleaned.collect())
+        # exact copies always collapse (the exact pass is method-
+        # independent); canonicals survive
+        assert 0 in kept and 7 in kept
+        assert 100 not in kept and 200 not in kept and 201 not in kept
+
+    def test_unknown_method_rejected(self, spark):
+        docs = self._corpus(spark)
+        with pytest.raises(ValueError):
+            near_dedup_corpus(docs, method="phash")
