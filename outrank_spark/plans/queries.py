@@ -1419,6 +1419,57 @@ GROUP BY segment ORDER BY segment
 """
 
 
+def q45_asof_enrichment(spark, sf_dir):
+    """Point-in-time enrichment: each event joined to the user's most
+    recent order at-or-before the event (operators/temporal.asof_join —
+    union + one window, NOT an inequality join), profiled per event
+    type.  Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from outrank_spark.operators.temporal import asof_join
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id",
+                                              "event_type")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate", "o_orderkey",
+    )
+    joined = asof_join(ev, orders, by="user_id", left_time="ts",
+                       right_time="o_orderdate", tiebreak="o_orderkey")
+    def _epoch(c):
+        # TIMESTAMP_NTZ has no direct long cast; go through timestamp
+        # (session tz is UTC, matching DuckDB's naive epoch())
+        return F.col(c).cast("timestamp").cast("long")
+
+    lag_days = F.floor((_epoch("ts") - _epoch("o_orderdate_asof")) / 86400)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("o_orderkey_asof").alias("n_matched"),
+            F.round(F.avg(lag_days), 6).alias("avg_lag_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_Q45 = """
+WITH r AS (
+  SELECT o_custkey AS user_id, o_orderdate,
+         MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+), j AS (
+  SELECT e.event_type, r.o_orderkey AS okey,
+         FLOOR(CAST(epoch(e.ts) - epoch(r.o_orderdate) AS DOUBLE)
+               / 86400) AS lag_days
+  FROM events e ASOF LEFT JOIN r
+    ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+)
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(okey) AS n_matched,
+       ROUND(AVG(lag_days), 6) AS avg_lag_days
+FROM j GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -1464,6 +1515,7 @@ QUERIES = {
     "q42_bloom_membership": q42_bloom_membership,
     "q43_cube_pricing": q43_cube_pricing,
     "q44_customer_set_ops": q44_customer_set_ops,
+    "q45_asof_enrichment": q45_asof_enrichment,
 }
 
 ORACLES = {
@@ -1500,6 +1552,7 @@ ORACLES = {
     "q40_corpus_cleaning_pipeline": ORACLE_Q40,
     "q43_cube_pricing": ORACLE_Q43,
     "q44_customer_set_ops": ORACLE_Q44,
+    "q45_asof_enrichment": ORACLE_Q45,
     # q21-q23, q28-q32, q36: sketch/heuristic results — no SQL
     # equivalent (rows-only checks; accuracy bound-tested in tests/)
 }

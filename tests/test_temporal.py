@@ -1,0 +1,98 @@
+"""As-of join (operators/temporal.py) vs a pandas merge_asof oracle."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from outrank_spark.operators.temporal import asof_join
+
+
+class TestAsofJoin:
+    def test_hand_cases(self, spark):
+        left = spark.createDataFrame(pd.DataFrame({
+            "uid": [1, 1, 1, 2, 3],
+            "ts": pd.to_datetime([
+                "2024-01-01 09:00", "2024-01-01 10:00",
+                "2024-01-01 11:00", "2024-01-02 00:00",
+                "2024-01-05 00:00",
+            ]),
+            "ev": ["pre", "a", "b", "d", "none"],
+        }))
+        right = spark.createDataFrame(pd.DataFrame({
+            "uid": [1, 1, 1, 2],
+            "ots": pd.to_datetime([
+                "2024-01-01 09:30", "2024-01-01 10:30",
+                "2024-01-01 10:30", "2024-01-01 12:00",
+            ]),
+            "okey": [10, 11, 12, 20],
+        }))
+        out = {
+            r["ev"]: r["okey_asof"]
+            for r in asof_join(left, right, by="uid", left_time="ts",
+                               right_time="ots", tiebreak="okey").collect()
+        }
+        assert out == {
+            "pre": None,   # no order before 09:00
+            "a": 10,       # 09:30
+            "b": 12,       # 10:30, tiebreak max okey
+            "d": 20,
+            "none": None,  # uid 3 has no orders
+        }
+
+    def test_equal_timestamp_is_inclusive(self, spark):
+        left = spark.createDataFrame(
+            pd.DataFrame({"uid": [1], "ts": pd.to_datetime(["2024-01-01"]),
+                          "x": ["e"]}))
+        right = spark.createDataFrame(
+            pd.DataFrame({"uid": [1], "ots": pd.to_datetime(["2024-01-01"]),
+                          "okey": [5]}))
+        row = asof_join(left, right, by="uid", left_time="ts",
+                        right_time="ots").first()
+        assert row["okey_asof"] == 5
+
+    def test_random_matches_pandas_merge_asof(self, spark):
+        rng = np.random.default_rng(13)
+        n_l, n_r = 400, 150
+        lt = pd.DataFrame({
+            "uid": rng.integers(0, 12, n_l),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**6, n_l), unit="s"),
+            "row": np.arange(n_l),
+        })
+        rt = pd.DataFrame({
+            "uid": rng.integers(0, 12, n_r),
+            "ots": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**6, n_r), unit="s"),
+            "okey": np.arange(n_r),
+        }).drop_duplicates(subset=["uid", "ots"])
+        got = (
+            asof_join(spark.createDataFrame(lt), spark.createDataFrame(rt),
+                      by="uid", left_time="ts", right_time="ots")
+            .toPandas().sort_values("row").reset_index(drop=True)
+        )
+        ref = pd.merge_asof(
+            lt.sort_values("ts"), rt.sort_values("ots"),
+            left_on="ts", right_on="ots", by="uid",
+            direction="backward",
+        ).sort_values("row").reset_index(drop=True)
+        assert (
+            got["okey_asof"].fillna(-1).to_numpy()
+            == ref["okey"].fillna(-1).to_numpy()
+        ).all()
+
+    def test_plan_has_no_inequality_join(self, spark):
+        """The implementation must be union+window, not a range join
+        (BroadcastNestedLoop/Cartesian are the 100 TB failure mode)."""
+        left = spark.createDataFrame(
+            pd.DataFrame({"uid": [1], "ts": pd.to_datetime(["2024-01-01"]),
+                          "x": ["e"]}))
+        right = spark.createDataFrame(
+            pd.DataFrame({"uid": [1], "ots": pd.to_datetime(["2024-01-01"]),
+                          "okey": [5]}))
+        plan = asof_join(
+            left, right, by="uid", left_time="ts", right_time="ots",
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "Window" in plan
