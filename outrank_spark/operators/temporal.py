@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "range_join"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, by: str,
@@ -85,3 +85,44 @@ def asof_join(left: DataFrame, right: DataFrame, by: str,
         for f in r_tagged.schema["_r"].dataType.fields
     ]
     return carried.where(F.col("_side") == 1).select(*out_cols)
+
+
+def range_join(points: DataFrame, intervals: DataFrame, by: str,
+               point_col: str, start_col: str, end_col: str,
+               bucket_seconds: int = 86400) -> DataFrame:
+    """Point-in-interval join (start <= point <= end, same key) as a
+    bucketed EQUI-join — the scale-safe plan for the interval join
+    Spark would otherwise execute as a per-key nested loop.
+
+    Intervals explode to one row per covered time bucket; points carry
+    exactly ONE bucket, so the equi-join on (key, bucket) finds every
+    containing interval exactly once (no post-dedup) and the final
+    range predicate just filters.  Cost: |I| * avg_buckets_per_interval
+    exploded rows + one hash join — pick ``bucket_seconds`` near the
+    typical interval length so the blow-up factor stays small.
+    """
+    p = points.withColumn(
+        "_b", F.floor(F.col(point_col).cast("timestamp").cast("long")
+                      / bucket_seconds),
+    )
+    i = intervals.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col).cast("timestamp").cast("long")
+                        / bucket_seconds),
+                F.floor(F.col(end_col).cast("timestamp").cast("long")
+                        / bucket_seconds),
+            ),
+        ).alias("_b"),
+    )
+    joined = p.join(i.withColumnRenamed(by, "_rkey"),
+                    (F.col(by) == F.col("_rkey"))
+                    & (p["_b"] == i["_b"]))
+    return (
+        joined.where(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col)),
+        )
+        .drop("_b", "_rkey")
+    )

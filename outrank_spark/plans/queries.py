@@ -1470,6 +1470,55 @@ FROM j GROUP BY event_type ORDER BY event_type
 """
 
 
+def q46_range_join_activity(spark, sf_dir):
+    """Point-in-interval join: events landing inside each user's
+    30-day post-order window (operators/temporal.range_join — bucketed
+    equi-join, never a nested-loop inequality join), counted per event
+    type.  Oracle: DuckDB's inequality join (exact, fine at sf0.01)."""
+    from outrank_spark.operators.temporal import range_join
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id",
+                                              "event_type")
+    # windows: 6 hours after each purchase by the same user
+    win = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("win_end"),
+        F.col("event_id").alias("win_id"),
+    )
+    matched = range_join(
+        ev.where(F.col("event_type") != "purchase"), win,
+        by="user_id", point_col="ts",
+        start_col="win_start", end_col="win_end",
+        bucket_seconds=6 * 3600,
+    )
+    return (
+        matched.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.countDistinct("event_id").alias("n_events"),
+            F.countDistinct("win_id").alias("n_windows"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_Q46 = """
+SELECT e.event_type,
+       COUNT(*) AS n_matches,
+       COUNT(DISTINCT e.event_id) AS n_events,
+       COUNT(DISTINCT p.event_id) AS n_windows
+FROM events e
+JOIN events p
+  ON e.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND e.event_type <> 'purchase'
+ AND e.ts >= p.ts
+ AND e.ts <= p.ts + INTERVAL 6 HOUR
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -1516,6 +1565,7 @@ QUERIES = {
     "q43_cube_pricing": q43_cube_pricing,
     "q44_customer_set_ops": q44_customer_set_ops,
     "q45_asof_enrichment": q45_asof_enrichment,
+    "q46_range_join_activity": q46_range_join_activity,
 }
 
 ORACLES = {
@@ -1553,6 +1603,7 @@ ORACLES = {
     "q43_cube_pricing": ORACLE_Q43,
     "q44_customer_set_ops": ORACLE_Q44,
     "q45_asof_enrichment": ORACLE_Q45,
+    "q46_range_join_activity": ORACLE_Q46,
     # q21-q23, q28-q32, q36: sketch/heuristic results — no SQL
     # equivalent (rows-only checks; accuracy bound-tested in tests/)
 }

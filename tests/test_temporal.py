@@ -96,3 +96,73 @@ class TestAsofJoin:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
         assert "Window" in plan
+
+
+class TestRangeJoin:
+    def test_matches_naive_inequality_join(self, spark):
+        from outrank_spark.operators.temporal import range_join
+
+        rng = np.random.default_rng(5)
+        pts = pd.DataFrame({
+            "uid": rng.integers(0, 8, 300),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 30 * 86400, 300), unit="s"),
+            "pid": np.arange(300),
+        })
+        iv = pd.DataFrame({
+            "uid": rng.integers(0, 8, 60),
+            "start": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 28 * 86400, 60), unit="s"),
+            "iid": np.arange(60),
+        })
+        iv["end"] = iv["start"] + pd.to_timedelta(
+            rng.integers(3600, 4 * 86400, 60), unit="s")
+        got = {
+            (r["pid"], r["iid"])
+            for r in range_join(
+                spark.createDataFrame(pts), spark.createDataFrame(iv),
+                by="uid", point_col="ts", start_col="start",
+                end_col="end", bucket_seconds=86400,
+            ).collect()
+        }
+        merged = pts.merge(iv, on="uid")
+        ref = {
+            (r.pid, r.iid)
+            for r in merged.itertuples()
+            if r.start <= r.ts <= r.end
+        }
+        assert got == ref and len(ref) > 0
+
+    def test_each_pair_matched_exactly_once(self, spark):
+        from outrank_spark.operators.temporal import range_join
+
+        # interval spans many buckets; the point is in one bucket ->
+        # the pair must appear exactly once, not once per bucket
+        pts = spark.createDataFrame(pd.DataFrame({
+            "uid": [1], "ts": pd.to_datetime(["2024-01-05"]), "pid": [0],
+        }))
+        iv = spark.createDataFrame(pd.DataFrame({
+            "uid": [1], "start": pd.to_datetime(["2024-01-01"]),
+            "end": pd.to_datetime(["2024-01-20"]), "iid": [0],
+        }))
+        out = range_join(pts, iv, by="uid",
+                         point_col="ts", start_col="start",
+                         end_col="end").collect()
+        assert len(out) == 1
+
+    def test_no_nested_loop_in_plan(self, spark):
+        from outrank_spark.operators.temporal import range_join
+
+        pts = spark.createDataFrame(pd.DataFrame({
+            "uid": [1], "ts": pd.to_datetime(["2024-01-05"]), "pid": [0],
+        }))
+        iv = spark.createDataFrame(pd.DataFrame({
+            "uid": [1], "start": pd.to_datetime(["2024-01-01"]),
+            "end": pd.to_datetime(["2024-01-02"]), "iid": [0],
+        }))
+        plan = range_join(
+            pts, iv, by="uid", point_col="ts",
+            start_col="start", end_col="end",
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
