@@ -1519,6 +1519,78 @@ GROUP BY e.event_type ORDER BY e.event_type
 """
 
 
+def q47_repetition_quality(spark, sf_dir):
+    """Gopher-style repetition signals per language: the share of the
+    most frequent token per doc and the duplicate-bigram fraction —
+    the classic repetitious-text filters of web-corpus cleaning
+    (Rae et al. 2021 §A1.1).  All JVM expressions."""
+    docs = load(spark, sf_dir, "documents").where(
+        F.size(F.split(F.col("text"), " ")) >= 2,
+    )
+    toks = F.split(F.col("text"), " ")
+    grams = (
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat(element_at(split(text, ' '), i), ' ', "
+        "element_at(split(text, ' '), i + 1)))"
+    )
+    per_doc_dup2 = docs.select(
+        "doc_id", "lang",
+        (1 - F.size(F.array_distinct(F.expr(grams)))
+         / (F.size(toks) - 1).cast("double")).alias("dup2"),
+    )
+    tok_counts = (
+        docs.select("doc_id", "lang", F.size(toks).alias("n"),
+                    F.explode(toks).alias("token"))
+        .groupBy("doc_id", "lang", "n", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top_share = (
+        tok_counts.groupBy("doc_id", "lang")
+        .agg((F.max("c") / F.first("n")).alias("share"))
+    )
+    joined = top_share.join(per_doc_dup2, ["doc_id", "lang"])
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("share"), 6).alias("avg_top_token_share"),
+            F.round(F.avg("dup2"), 6).alias("avg_dup_bigram_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_Q47 = """
+WITH docs2 AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS l
+  FROM documents WHERE len(string_split(text, ' ')) >= 2
+), toks AS (
+  SELECT doc_id, lang, len(l) AS n, unnest(l) AS token FROM docs2
+), top_share AS (
+  SELECT doc_id, lang, MAX(c) * 1.0 / ANY_VALUE(n) AS share
+  FROM (
+    SELECT doc_id, lang, n, token, COUNT(*) AS c
+    FROM toks GROUP BY doc_id, lang, n, token
+  ) GROUP BY doc_id, lang
+), dup2 AS (
+  SELECT doc_id, lang,
+         1 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+           AS dup2
+  FROM (
+    SELECT doc_id, lang,
+           list_transform(range(1, len(l)),
+                          i -> l[i] || ' ' || l[i + 1]) AS grams
+    FROM docs2
+  )
+)
+SELECT t.lang, COUNT(*) AS n_docs,
+       ROUND(AVG(t.share), 6) AS avg_top_token_share,
+       ROUND(AVG(d.dup2), 6) AS avg_dup_bigram_frac
+FROM top_share t JOIN dup2 d USING (doc_id, lang)
+GROUP BY t.lang ORDER BY t.lang
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -1566,6 +1638,7 @@ QUERIES = {
     "q44_customer_set_ops": q44_customer_set_ops,
     "q45_asof_enrichment": q45_asof_enrichment,
     "q46_range_join_activity": q46_range_join_activity,
+    "q47_repetition_quality": q47_repetition_quality,
 }
 
 ORACLES = {
@@ -1604,6 +1677,7 @@ ORACLES = {
     "q44_customer_set_ops": ORACLE_Q44,
     "q45_asof_enrichment": ORACLE_Q45,
     "q46_range_join_activity": ORACLE_Q46,
+    "q47_repetition_quality": ORACLE_Q47,
     # q21-q23, q28-q32, q36: sketch/heuristic results — no SQL
     # equivalent (rows-only checks; accuracy bound-tested in tests/)
 }
