@@ -18,7 +18,7 @@ from outrank_spark.functions.text import (
 )
 
 __all__ = ["fit_langid", "with_language_id", "with_quality_features",
-           "with_token_counts", "with_fingerprints"]
+           "with_token_counts", "with_fingerprints", "tfidf_top_terms"]
 
 
 def fit_langid(df: DataFrame, text_col: str = "text",
@@ -125,3 +125,48 @@ def with_fingerprints(df: DataFrame, text_col: str = "text",
             yield pdf
 
     return df.mapInPandas(fn, schema=schema)
+
+
+def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
+                    k: int = 3):
+    """Top-k TF-IDF terms per document, corpus-level IDF.
+
+    Smoothed sklearn-style idf = ln((1 + N) / (1 + df)) + 1 where df
+    counts documents containing the term.  All-JVM plan: one explode,
+    tf via groupBy(doc, token), df via groupBy(token) over the distinct
+    (doc, token) relation (reused, no second scan of the text), idf
+    joined back, row_number top-k with (score desc, token asc)
+    tiebreak so results are total-ordered.
+
+    Scale: shuffles keyed by token are Zipf-skewed — the df aggregate
+    is a partial-agg groupBy (map-side combine absorbs the head), and
+    the tf->idf join is keyed by token with AQE skew splitting; nothing
+    collects the vocabulary to the driver.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf"),
+    )
+    n_docs = df.select(id_col).distinct().count()
+    doc_freq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+    )
+    idf = doc_freq.select(
+        "token",
+        (F.log((1.0 + float(n_docs)) / (1.0 + F.col("df"))) + 1.0)
+        .alias("idf"),
+    )
+    scored = tf.join(idf, "token").select(
+        id_col, "token", (F.col("tf") * F.col("idf")).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("token"),
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

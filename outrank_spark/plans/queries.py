@@ -1591,6 +1591,69 @@ GROUP BY t.lang ORDER BY t.lang
 """
 
 
+def q48_tfidf_top_terms(spark, sf_dir):
+    """Corpus-level TF-IDF: top-3 terms per document for the 20 lowest
+    doc ids (operators/text.tfidf_top_terms — explode, two aggregates,
+    token-keyed join, windowed top-k; smoothed sklearn idf).  Scores
+    are rounded to 9 dp BEFORE ranking so the ordering is identical
+    across engines' ln() implementations."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.select("doc_id").distinct().count()
+    idf = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df")).select(
+        "token",
+        (F.log((1.0 + float(n_docs)) / (1.0 + F.col("df"))) + 1.0)
+        .alias("idf"),
+    )
+    scored = tf.join(idf, "token").select(
+        "doc_id", "token",
+        F.round(F.col("tf") * F.col("idf"), 9).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where((F.col("rank") <= 3) & (F.col("doc_id") < 20))
+        .select("doc_id", "rank", "token",
+                F.round("tfidf", 6).alias("tfidf"))
+        .orderBy("doc_id", "rank")
+    )
+
+
+ORACLE_Q48 = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM toks WHERE token <> '' GROUP BY doc_id, token
+), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+idf AS (
+  SELECT token,
+         LN((1.0 + (SELECT n_docs FROM n)) / (1.0 + COUNT(*))) + 1.0
+           AS idf
+  FROM tf GROUP BY token
+), scored AS (
+  SELECT tf.doc_id, tf.token,
+         ROUND(tf.tf * idf.idf, 9) AS tfidf
+  FROM tf JOIN idf USING (token)
+), ranked AS (
+  SELECT doc_id, token, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, token ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, token, ROUND(tfidf, 6) AS tfidf
+FROM ranked WHERE rank <= 3 AND doc_id < 20
+ORDER BY doc_id, rank
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -1639,6 +1702,7 @@ QUERIES = {
     "q45_asof_enrichment": q45_asof_enrichment,
     "q46_range_join_activity": q46_range_join_activity,
     "q47_repetition_quality": q47_repetition_quality,
+    "q48_tfidf_top_terms": q48_tfidf_top_terms,
 }
 
 ORACLES = {
@@ -1678,6 +1742,7 @@ ORACLES = {
     "q45_asof_enrichment": ORACLE_Q45,
     "q46_range_join_activity": ORACLE_Q46,
     "q47_repetition_quality": ORACLE_Q47,
+    "q48_tfidf_top_terms": ORACLE_Q48,
     # q21-q23, q28-q32, q36: sketch/heuristic results — no SQL
     # equivalent (rows-only checks; accuracy bound-tested in tests/)
 }

@@ -407,3 +407,39 @@ class TestNearDedupCorpus:
         docs = self._corpus(spark)
         with pytest.raises(ValueError):
             near_dedup_corpus(docs, method="phash")
+
+
+class TestTfidf:
+    def test_top_terms_hand_corpus(self, spark):
+        from outrank_spark.operators.text import tfidf_top_terms
+
+        docs = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": [
+                "apple apple banana common",
+                "banana cherry common",
+                "cherry cherry cherry common",
+            ],
+        }))
+        out = tfidf_top_terms(docs, k=1).collect()
+        top = {r["doc_id"]: r["token"] for r in out}
+        # 'common' is in every doc (lowest idf); repeated distinctive
+        # terms must win
+        assert top == {1: "apple", 2: "banana", 3: "cherry"}
+        import numpy as np
+
+        # pinned score: doc 3, tf=3, df(cherry)=2, N=3
+        want = 3 * (np.log((1 + 3) / (1 + 2)) + 1)
+        got = {r["doc_id"]: r["tfidf"] for r in out}[3]
+        assert got == pytest.approx(want, abs=1e-9)
+
+    def test_rank_bounded_and_total_ordered(self, spark):
+        from outrank_spark.operators.text import tfidf_top_terms
+
+        docs = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1], "text": ["a b c d e f g"],
+        }))
+        out = tfidf_top_terms(docs, k=3).collect()
+        assert [r["rank"] for r in out] == [1, 2, 3]
+        # pure idf tie -> alphabetical tiebreak
+        assert [r["token"] for r in out] == ["a", "b", "c"]
