@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = [
     "with_web_features",
     "extract_text_from_html",
+    "canonicalize_url",
     "WEB_FEATURE_COLS",
 ]
 
@@ -66,3 +67,69 @@ def extract_text_from_html(pages: DataFrame,
         F.regexp_extract(F.decode(F.col("html"), "UTF-8"),
                          "<body>(.*)</body>", 1),
     )
+
+
+TRACKING_PARAM_RE = (
+    r"^(utm_[a-z]+|fbclid|gclid|msclkid|mc_cid|mc_eid|ref|ref_src)$"
+)
+
+
+def canonicalize_url(df: DataFrame, url_col: str = "url",
+                     out: str = "url_canonical") -> DataFrame:
+    """Canonical URL form for dedup/grouping, entirely JVM expressions:
+
+    - scheme + host lowercased, default ports stripped (:80 http,
+      :443 https), leading ``www.`` dropped;
+    - fragment removed;
+    - tracking query params (utm_*, fbclid, gclid, ...) removed, the
+      survivors sorted by name (stable order -> equal URLs compare
+      equal); empty query drops the ``?``;
+    - trailing slash trimmed from non-root paths.
+
+    The classic crawl-dedup normalizer (cf. RFC 3986 §6 syntax-based
+    normalization) — at corpus scale this runs inside the scan
+    projection, no shuffle.
+    """
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*):",
+                                      1))
+    host = F.lower(F.parse_url(u, F.lit("HOST")))
+    host = F.regexp_replace(host, r"^www\.", "")
+    # Spark's parse_url has no PORT part — take it from AUTHORITY
+    port = F.regexp_extract(
+        F.coalesce(F.parse_url(u, F.lit("AUTHORITY")), F.lit("")),
+        r":(\d+)$", 1,
+    )
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.expr(f"substring(parse_url({url_col}, 'PATH'), 1, "
+               f"length(parse_url({url_col}, 'PATH')) - 1)"),
+    ).otherwise(path)
+    # RFC 3986 §6.2.3: empty path normalizes to "/" so bare-host and
+    # root-slash forms compare equal
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.parse_url(u, F.lit("QUERY"))
+    kept_params = F.array_sort(
+        F.filter(
+            F.split(F.coalesce(query, F.lit("")), "&"),
+            lambda p: (p != "") & ~F.regexp_extract(
+                p, r"^([^=]*)", 1,
+            ).rlike(TRACKING_PARAM_RE),
+        ),
+    )
+    query_part = F.when(
+        F.size(kept_params) > 0,
+        F.concat(F.lit("?"), F.array_join(kept_params, "&")),
+    ).otherwise(F.lit(""))
+    canon = F.concat(
+        scheme, F.lit("://"), host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path, query_part,
+    )
+    return df.withColumn(out, canon)

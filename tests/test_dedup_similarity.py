@@ -443,3 +443,47 @@ class TestTfidf:
         assert [r["rank"] for r in out] == [1, 2, 3]
         # pure idf tie -> alphabetical tiebreak
         assert [r["token"] for r in out] == ["a", "b", "c"]
+
+
+class TestCanonicalizeUrl:
+    CASES = [
+        ("HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&q=1&a=2#frag",
+         "https://example.com/a/b?a=2&q=1"),
+        ("http://example.com:80/", "http://example.com/"),
+        ("http://example.com:8080/path/", "http://example.com:8080/path"),
+        ("https://site.org/page?fbclid=abc", "https://site.org/page"),
+        ("https://site.org/page?z=9&a=1", "https://site.org/page?a=1&z=9"),
+        ("https://site.org", "https://site.org/"),
+        ("https://site.org/", "https://site.org/"),
+    ]
+
+    def test_pinned_cases(self, spark):
+        from outrank_spark.operators.derived import canonicalize_url
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"url": [c[0] for c in self.CASES]}))
+        got = [r["url_canonical"]
+               for r in canonicalize_url(df).collect()]
+        assert got == [c[1] for c in self.CASES]
+
+    def test_equivalent_forms_collapse(self, spark):
+        from outrank_spark.operators.derived import canonicalize_url
+
+        variants = [
+            "https://www.shop.com/item?utm_campaign=x&id=5",
+            "HTTPS://SHOP.COM:443/item?id=5",
+            "https://shop.com/item/?id=5&gclid=zzz",
+        ]
+        df = spark.createDataFrame(pd.DataFrame({"url": variants}))
+        got = {r["url_canonical"]
+               for r in canonicalize_url(df).collect()}
+        assert got == {"https://shop.com/item?id=5"}
+
+    def test_pure_jvm(self, spark):
+        from outrank_spark.operators.derived import canonicalize_url
+
+        df = spark.createDataFrame(pd.DataFrame({"url": ["https://a.b/c"]}))
+        plan = canonicalize_url(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan
