@@ -36,25 +36,17 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["mi_contingency", "mi_table_scores"]
+__all__ = ["mi_contingency", "mi_table_scores", "ami_table_scores"]
 
 # sentinel so genuine data NULLs stay a distinct category (the
 # reference's value domain is strings where '' is an ordinary value)
 _NULL_SENTINEL = "␀null␀"
 
 
-def mi_contingency(df: DataFrame, pairs: Sequence[tuple[str, str]],
-                   decimals: int | None = None) -> DataFrame:
-    """Exact MI / entropies / NMI for each column pair, one scan.
-
-    Returns (feature_a, feature_b, n, h_a, h_b, h_ab, mi, nmi) with one
-    row per input pair.  ``decimals`` optionally rounds the float
-    columns (useful for cross-engine comparison).
-    """
-    pairs = list(dict.fromkeys((a, b) for a, b in pairs))
-    if not pairs:
-        raise ValueError("mi_contingency needs at least one pair")
-
+def _labelled_cells(df: DataFrame,
+                    pairs: Sequence[tuple[str, str]]) -> DataFrame:
+    """The shared joint-cell relation: (gid, feature_a, feature_b,
+    va, vb, c) for every pair, from ONE grouping-sets scan."""
     # ordered union of all referenced columns = the grouping columns
     group_cols: list[str] = []
     for a, b in pairs:
@@ -95,7 +87,7 @@ def mi_contingency(df: DataFrame, pairs: Sequence[tuple[str, str]],
                     else expr.when(F.col("gid") == g, v))
         return expr
 
-    labelled = cells.select(
+    return cells.select(
         F.col("gid"),
         _case([F.lit(a) for a, _ in pairs]).alias("feature_a"),
         _case([F.lit(b) for _, b in pairs]).alias("feature_b"),
@@ -103,6 +95,23 @@ def mi_contingency(df: DataFrame, pairs: Sequence[tuple[str, str]],
         _case([F.col(b) for _, b in pairs]).alias("vb"),
         F.col("c").cast("double").alias("c"),
     ).where(F.col("feature_a").isNotNull())
+
+
+def mi_contingency(df: DataFrame, pairs: Sequence[tuple[str, str]],
+                   decimals: int | None = None,
+                   cells: DataFrame | None = None) -> DataFrame:
+    """Exact MI / entropies / NMI for each column pair, one scan.
+
+    Returns (feature_a, feature_b, n, h_a, h_b, h_ab, mi, nmi) with one
+    row per input pair.  ``decimals`` optionally rounds the float
+    columns (useful for cross-engine comparison).  ``cells`` accepts a
+    pre-built (possibly persisted) :func:`_labelled_cells` relation so
+    callers computing several statistics share the scan.
+    """
+    pairs = list(dict.fromkeys((a, b) for a, b in pairs))
+    if not pairs:
+        raise ValueError("mi_contingency needs at least one pair")
+    labelled = cells if cells is not None else _labelled_cells(df, pairs)
 
     w_pair = Window.partitionBy("gid")
     w_a = Window.partitionBy("gid", "va")
@@ -138,6 +147,70 @@ def mi_contingency(df: DataFrame, pairs: Sequence[tuple[str, str]],
         for c in ("h_a", "h_b", "h_ab", "mi", "nmi"):
             agg = agg.withColumn(c, F.round(F.col(c), decimals))
     return agg
+
+
+def ami_table_scores(df: DataFrame, pairs: Sequence[tuple[str, str]],
+                     max_cardinality: int = 20_000,
+                     decimals: int | None = None) -> DataFrame:
+    """Whole-table exact adjusted MI per pair: AMI_max = (MI − E[MI])
+    / (max(H_a, H_b) − E[MI]) with the exact hypergeometric E[MI]
+    (Vinh, Epps, Bailey JMLR 2010).
+
+    MI and the entropies come from the distributed contingency plan;
+    E[MI] needs the per-pair MARGINAL count vectors, which are
+    collected to the driver (size = cardinality_a + cardinality_b per
+    pair, guarded by ``max_cardinality``) and fed to the same numpy
+    kernel the batch AMI heuristic uses — the joint table is never
+    collected.
+    """
+    from outrank_spark.functions.heuristics import _expected_mi
+
+    pairs = list(dict.fromkeys((a, b) for a, b in pairs))
+    labelled = _labelled_cells(df, pairs).persist()
+    try:
+        base = mi_contingency(df, pairs, cells=labelled).toPandas()
+        marg_a = (
+            labelled.groupBy("feature_a", "feature_b", "va")
+            .agg(F.sum("c").alias("ca")).toPandas()
+        )
+        marg_b = (
+            labelled.groupBy("feature_a", "feature_b", "vb")
+            .agg(F.sum("c").alias("cb")).toPandas()
+        )
+    finally:
+        labelled.unpersist()
+    import numpy as np
+
+    amis = []
+    for _, row in base.iterrows():
+        key = (row["feature_a"], row["feature_b"])
+        a = marg_a[(marg_a["feature_a"] == key[0])
+                   & (marg_a["feature_b"] == key[1])]["ca"]
+        b = marg_b[(marg_b["feature_a"] == key[0])
+                   & (marg_b["feature_b"] == key[1])]["cb"]
+        if len(a) > max_cardinality or len(b) > max_cardinality:
+            raise ValueError(
+                f"pair {key} exceeds max_cardinality={max_cardinality}; "
+                "use the sampled AMI heuristic for near-unique columns",
+            )
+        n = int(row["n"])
+        emi = _expected_mi(a.to_numpy().astype(np.int64),
+                           b.to_numpy().astype(np.int64), n)
+        h_max = max(row["h_a"], row["h_b"])
+        if h_max == 0.0:
+            ami = 1.0
+        elif h_max - emi == 0.0:
+            ami = 0.0
+        else:
+            ami = (row["mi"] - emi) / (h_max - emi)
+        amis.append(float(ami))
+    base["ami"] = amis
+    if decimals is not None:
+        base["ami"] = base["ami"].round(decimals)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        base[["feature_a", "feature_b", "n", "mi", "ami"]],
+    )
 
 
 def mi_table_scores(df: DataFrame, pairs: Sequence[tuple[str, str]],

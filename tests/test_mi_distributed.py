@@ -148,3 +148,33 @@ class TestMiTableExactHeuristic:
         # informative feature x beats noise z in the singles
         singles = res.singles.set_index("Feature")
         assert (singles.loc["x"].iloc[0] > singles.loc["z"].iloc[0])
+
+
+class TestAmiTableScores:
+    def test_matches_numpy_adjusted_mi(self, spark, frame):
+        from outrank_spark.functions.heuristics import adjusted_mi
+        from outrank_spark.operators.mi_distributed import ami_table_scores
+
+        df = spark.createDataFrame(frame)
+        out = {
+            (r["feature_a"], r["feature_b"]): r["ami"]
+            for r in ami_table_scores(df, [("x", "y"), ("x", "z")]).collect()
+        }
+        for a, b in [("x", "y"), ("x", "z")]:
+            ref = adjusted_mi(
+                _codes(frame[a].fillna(_NULL_SENTINEL)),
+                _codes(frame[b].fillna(_NULL_SENTINEL)),
+            )
+            assert out[(a, b)] == pytest.approx(ref, abs=1e-9)
+
+    def test_cardinality_guard(self, spark):
+        import pandas as pd
+
+        from outrank_spark.operators.mi_distributed import ami_table_scores
+
+        df = spark.createDataFrame(pd.DataFrame({
+            "hi": [str(i) for i in range(500)],
+            "lo": ["a", "b"] * 250,
+        }))
+        with pytest.raises(ValueError, match="max_cardinality"):
+            ami_table_scores(df, [("hi", "lo")], max_cardinality=100)
