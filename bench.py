@@ -140,6 +140,55 @@ def pair_fanout_throughput(spark, n_rows: int = 200_000,
     return time.time() - t0
 
 
+def skew_probe(spark, n_pages: int = 2_000_000) -> dict:
+    """Salted vs unsalted per-key sketch build under a hot key.
+
+    The pages table's natural Zipf head (~7% of rows) spreads fine over
+    32 tasks (measured: ~1.07x), so this probe stresses the case
+    salting exists for: ONE key holding 50% of all rows (a mega-domain
+    / null-key pathologies).  Salting splits that key's update work
+    into `salt` partial groups before the associative merge — exactness
+    unchanged, straggler gone."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from outrank_spark.operators.sketch_build import build_grouped_sketches
+    from outrank_spark.sources import generate_pages
+
+    pages = generate_pages(spark, n_pages, seed=42, max_tokens=16) \
+        .select(
+            "url",
+            F.when(F.pmod(F.xxhash64("url"), F.lit(2)) == 0, F.lit("mega"))
+            .otherwise(F.parse_url("url", F.lit("HOST"))).alias("host"),
+        ).cache()
+    pages.count()
+    out = {}
+    for salt in (1, 16):
+        best = float("inf")
+        for _ in range(2):
+            t0 = _t.time()
+            res = build_grouped_sketches(
+                pages, "host", "url", kind="hll",
+                params={"p": 12}, salt=salt,
+            )
+            n = res.count()
+            best = min(best, _t.time() - t0)
+        out[f"salt{salt}_sec"] = round(best, 2)
+        out["n_hosts"] = n
+        # the primary benefit: the largest single task-group shrinks by
+        # the salt factor (memory/straggler bound), wall time follows
+        # only once per-group work dominates the shuffle
+        grp = [F.col("host")] + ([F.pmod(F.xxhash64("url"), F.lit(salt))]
+                                 if salt > 1 else [])
+        out[f"salt{salt}_max_group_rows"] = (
+            pages.groupBy(*grp).count().agg(F.max("count")).first()[0]
+        )
+    out["speedup"] = round(out["salt1_sec"] / out["salt16_sec"], 2)
+    pages.unpersist()
+    return out
+
+
 def run_suite(cpus: int, sf_dir: str) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from outrank_spark.plans.queries import QUERIES
@@ -222,6 +271,17 @@ def _scaling_child(cpus: int) -> tuple[float, float]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    if "--skew" in sys.argv:
+        spark = make_spark(cpus)
+        try:
+            out = skew_probe(spark)
+        finally:
+            spark.stop()
+        print(json.dumps({"metric": "salted vs unsalted grouped sketch "
+                                    "build (50%-hot key, 2M pages)",
+                          "unit": "sec", **out}))
+        return
 
     if "--scaling" in sys.argv:
         # two fresh subprocesses so each gets an untouched JVM
