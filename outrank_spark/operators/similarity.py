@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["brute_force_topk", "lsh_topk", "ivf_topk"]
+__all__ = ["brute_force_topk", "lsh_topk", "ivf_topk", "kmeans_fit"]
 
 
 def _cosine_cols(qv, ev):
@@ -184,3 +184,87 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def kmeans_fit(df: DataFrame, vec_col: str = "embedding", k: int = 16,
+               max_iter: int = 20, tol: float = 1e-4,
+               seed: int = 20141025) -> tuple[np.ndarray, float]:
+    """Distributed Lloyd's k-means over an embedding column.
+
+    Per iteration: centroids broadcast in the Arrow-batch closure, one
+    ``mapInPandas`` pass emits PER-BATCH partial sums
+    ``(cell, count, sum_vec)`` (vectorized ``np.add.at``) — the rows
+    shipped to the driver number k x partitions, never the data — and
+    the driver reduces them into new centroids.  Stops when the max
+    centroid shift drops below ``tol`` or after ``max_iter``.
+
+    Returns (centroids [k x dim], inertia).  Initialization is
+    k-means++ (Arthur & Vassilvitskii 2007) on a deterministic
+    hash-ordered sample with a seeded RNG, so results are reproducible
+    across partitionings and a single blob can't swallow two seeds.
+    euclidean objective; normalize inputs upstream for spherical
+    (cosine) clustering.
+    """
+    sample = np.stack(
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("string")))
+        .limit(max(4096, 4 * k))
+        .toPandas()[vec_col].to_numpy(),
+    ).astype(np.float64)
+    if sample.shape[0] < k:
+        raise ValueError(f"need at least k={k} rows")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    init = np.empty((k, sample.shape[1]))
+    init[0] = sample[rng.integers(len(sample))]
+    d2 = ((sample - init[0]) ** 2).sum(axis=1)
+    for j in range(1, k):
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        init[j] = sample[rng.choice(len(sample), p=probs)]
+        d2 = np.minimum(d2, ((sample - init[j]) ** 2).sum(axis=1))
+    centroids = init
+    inertia = float("inf")
+    src = df.select(vec_col)
+
+    for _ in range(max_iter):
+        cent = centroids  # bind for the closure
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                d2 = (
+                    (vecs * vecs).sum(axis=1, keepdims=True)
+                    - 2.0 * (vecs @ cent.T)
+                    + (cent * cent).sum(axis=1)[None, :]
+                )
+                assign = d2.argmin(axis=1)
+                sums = np.zeros_like(cent)
+                np.add.at(sums, assign, vecs)
+                counts = np.bincount(assign, minlength=len(cent))
+                sse = float(d2[np.arange(len(vecs)), assign].sum())
+                out = pd.DataFrame({
+                    "cell": np.arange(len(cent), dtype=np.int32),
+                    "cnt": counts.astype(np.int64),
+                    "sse": np.float64(0.0),
+                })
+                out.loc[0, "sse"] = sse
+                out["vsum"] = list(sums)
+                yield out
+
+        part = src.mapInPandas(
+            partials,
+            schema="cell int, cnt long, sse double, vsum array<double>",
+        ).toPandas()
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros_like(centroids)
+        np.add.at(counts, part["cell"].to_numpy(), part["cnt"].to_numpy())
+        np.add.at(sums, part["cell"].to_numpy(),
+                  np.stack(part["vsum"].to_numpy()))
+        new_inertia = float(part["sse"].sum())
+        new = centroids.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        shift = float(np.abs(new - centroids).max())
+        centroids, inertia = new, new_inertia
+        if shift < tol:
+            break
+    return centroids, inertia

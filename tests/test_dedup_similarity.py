@@ -487,3 +487,48 @@ class TestCanonicalizeUrl:
             .executedPlan().toString()
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert marker not in plan
+
+
+class TestKmeansFit:
+    def test_recovers_separable_blobs(self, spark):
+        from outrank_spark.operators.similarity import kmeans_fit
+
+        rng = np.random.default_rng(21)
+        centers = np.array([[0.0, 0.0], [10.0, 10.0], [-10.0, 10.0]])
+        pts = np.vstack([
+            c + 0.5 * rng.standard_normal((200, 2)) for c in centers
+        ])
+        df = spark.createDataFrame(
+            pd.DataFrame({"embedding": list(pts)}),
+            "embedding array<double>",
+        ).repartition(6)
+        got, inertia = kmeans_fit(df, k=3, max_iter=25)
+        # every true center has a learned centroid within 0.5
+        for c in centers:
+            assert np.linalg.norm(got - c, axis=1).min() < 0.5
+        # inertia ~ n * d * sigma^2 = 600 * 2 * 0.25
+        assert inertia < 600
+
+    def test_partition_count_does_not_change_result(self, spark):
+        from outrank_spark.operators.similarity import kmeans_fit
+
+        rng = np.random.default_rng(4)
+        pts = rng.standard_normal((300, 3))
+        pdf = pd.DataFrame({"embedding": list(pts)})
+        a, ia = kmeans_fit(
+            spark.createDataFrame(pdf, "embedding array<double>")
+            .repartition(2), k=4)
+        b, ib = kmeans_fit(
+            spark.createDataFrame(pdf, "embedding array<double>")
+            .repartition(9), k=4)
+        assert np.allclose(a, b, atol=1e-9)
+        assert ia == pytest.approx(ib, rel=1e-12)
+
+    def test_requires_enough_rows(self, spark):
+        from outrank_spark.operators.similarity import kmeans_fit
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"embedding": [[0.0, 0.0]]}),
+            "embedding array<double>")
+        with pytest.raises(ValueError):
+            kmeans_fit(df, k=5)
