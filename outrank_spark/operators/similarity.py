@@ -121,9 +121,29 @@ def lsh_topk(df: DataFrame, queries: DataFrame, k: int = 10,
 def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
              n_cells: int = 64, n_probe: int = 8,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             seed: int = 20141025, sample_size: int = 4096) -> DataFrame:
+             seed: int = 20141025, sample_size: int = 4096,
+             train: str = "sample") -> DataFrame:
     """IVF: coarse-quantize the table into ``n_cells`` cells, probe the
-    ``n_probe`` nearest cells per query, exact rerank inside."""
+    ``n_probe`` nearest cells per query, exact rerank inside.
+
+    ``train='sample'`` (default) fits centroids on a deterministic
+    driver sample; ``train='distributed'`` runs full Lloyd's over the
+    whole table via :func:`kmeans_fit` on L2-normalized vectors —
+    better cells when the corpus is far larger than any sample."""
+    if train == "distributed":
+        norm_expr = (
+            f"transform({vec_col}, x -> x / greatest(sqrt("
+            f"aggregate({vec_col}, 0D, (a, v) -> a + v * v)), 1e-12))"
+        )
+        centroids, _ = kmeans_fit(
+            df.select(F.expr(norm_expr).alias(vec_col)),
+            vec_col=vec_col, k=n_cells, seed=seed,
+        )
+        norms = np.linalg.norm(centroids, axis=1, keepdims=True)
+        centroids = centroids / np.maximum(norms, 1e-12)
+        return _ivf_with_centroids(
+            df, queries, centroids, k, n_probe, vec_col, id_col,
+        )
     # --- train centroids on a deterministic sample (driver, tiny) ----
     sample = np.stack(
         df.select(vec_col)
@@ -143,7 +163,15 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
                 centroids[c] = members.mean(axis=0)
     norms = np.linalg.norm(centroids, axis=1, keepdims=True)
     centroids = centroids / np.maximum(norms, 1e-12)
+    return _ivf_with_centroids(
+        df, queries, centroids, k, n_probe, vec_col, id_col,
+    )
 
+
+def _ivf_with_centroids(df: DataFrame, queries: DataFrame,
+                        centroids: np.ndarray, k: int, n_probe: int,
+                        vec_col: str, id_col: str) -> DataFrame:
+    """Shared IVF assignment + probe + exact rerank."""
     def assign_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -162,6 +190,7 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     qpdf = queries.toPandas()
     qvecs = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
     qn = qvecs / np.maximum(np.linalg.norm(qvecs, axis=1, keepdims=True), 1e-12)
+    n_probe = min(n_probe, len(centroids))
     probe_cells = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]
     spark = df.sparkSession
     probes = spark.createDataFrame(

@@ -532,3 +532,25 @@ class TestKmeansFit:
             "embedding array<double>")
         with pytest.raises(ValueError):
             kmeans_fit(df, k=5)
+
+    def test_ivf_distributed_training_recall(self, spark, vectors):
+        from outrank_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_topk,
+        )
+
+        queries = vectors.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+        exact = {
+            (r["query_id"], r["vec_id"])
+            for r in brute_force_topk(vectors, queries, k=5).collect()
+        }
+        approx = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_topk(vectors, queries, k=5, n_cells=8,
+                              n_probe=4, train="distributed").collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.8
