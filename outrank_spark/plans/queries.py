@@ -1654,6 +1654,46 @@ ORDER BY doc_id, rank
 """
 
 
+def q49_embedding_clusters(spark, sf_dir):
+    """Distributed Lloyd's k-means over the embeddings table
+    (operators/similarity.kmeans_fit — per-batch partial sums, driver
+    reduce): per-cluster size + mean within-cluster cosine to the
+    centroid.  Iterative fit, no SQL oracle (rows-only; blob-recovery
+    and partition-independence are pytest-asserted)."""
+    import numpy as np
+    import pandas as pd
+
+    from outrank_spark.operators.similarity import kmeans_fit
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    centroids, inertia = kmeans_fit(emb, k=8, max_iter=15)
+
+    cent = centroids
+
+    def assign(batches):
+        for pdf in batches:
+            vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            d2 = ((vecs * vecs).sum(1, keepdims=True)
+                  - 2 * vecs @ cent.T + (cent * cent).sum(1)[None, :])
+            a = d2.argmin(1)
+            cn = cent / np.maximum(
+                np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+            vn = vecs / np.maximum(
+                np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+            cos = (vn * cn[a]).sum(1)
+            yield pd.DataFrame({"cluster": a.astype("int32"), "cos": cos})
+
+    assigned = emb.mapInPandas(assign, "cluster int, cos double")
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vectors"),
+             F.round(F.avg("cos"), 6).alias("avg_cosine_to_centroid"))
+        .orderBy("cluster")
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -1703,6 +1743,7 @@ QUERIES = {
     "q46_range_join_activity": q46_range_join_activity,
     "q47_repetition_quality": q47_repetition_quality,
     "q48_tfidf_top_terms": q48_tfidf_top_terms,
+    "q49_embedding_clusters": q49_embedding_clusters,
 }
 
 ORACLES = {
