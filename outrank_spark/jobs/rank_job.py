@@ -213,7 +213,12 @@ def _run_ranking_checkpointed(spark, df, cfg, args):
 
     Median semantics: the batch grouping is the slice grouping, exactly
     like the reference's median-across-minibatches (a different batch
-    partition than a non-checkpointed run, same estimator)."""
+    partition than a non-checkpointed run, same estimator).
+
+    Cost note: each slice filters a fresh scan, so the input is read
+    ``checkpoint_slices`` times (the filter pushes to the scan but
+    parquet decode repeats) — the price of slice-granular resume;
+    size slices to the failure domain, not the core count."""
     from pyspark.sql import functions as F
 
     from outrank_spark.streaming.ranking_stream import (

@@ -79,20 +79,38 @@ def _session_fold(gap_us: int):
         else:
             start_us = last_us = -1
             n = 0
+        import numpy as np
+
         closed: list[tuple[int, int, int]] = []
         for pdf in pdfs:
             ts_us = (
                 pd.to_datetime(pdf["ts"]).astype("int64") // 1000
             ).to_numpy()
             ts_us.sort()
-            for t in ts_us:          # vectorizable; sessions per user
-                if n == 0:           # are few — clarity wins here
-                    start_us, last_us, n = t, t, 1
-                elif t - last_us > gap_us:
-                    closed.append((start_us, last_us, n))
-                    start_us, last_us, n = t, t, 1
+            if ts_us.size == 0:
+                continue
+            # vectorized fold: prepend the open session's last event so
+            # the gap test covers the state boundary, then split at
+            # out-of-gap jumps
+            if n > 0:
+                ts_all = np.concatenate(([last_us], ts_us))
+                seg_start0, seg_n0 = start_us, n
+            else:
+                ts_all = ts_us
+                seg_start0, seg_n0 = ts_us[0], 0
+            cut = np.flatnonzero(np.diff(ts_all) > gap_us) + 1
+            bounds = np.concatenate(([0], cut, [ts_all.size]))
+            for i in range(len(bounds) - 1):
+                lo, hi = bounds[i], bounds[i + 1]
+                if i == 0:
+                    start_us = seg_start0
+                    n = seg_n0 + (hi - lo) - (1 if seg_n0 else 0)
                 else:
-                    last_us, n = t, n + 1
+                    start_us = int(ts_all[lo])
+                    n = hi - lo
+                last_us = int(ts_all[hi - 1])
+                if i < len(bounds) - 2:   # all but the trailing segment
+                    closed.append((start_us, last_us, n))
         state.update((int(start_us), int(last_us), int(n)))
         if closed:
             out = pd.DataFrame(
