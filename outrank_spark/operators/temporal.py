@@ -41,6 +41,11 @@ def asof_join(left: DataFrame, right: DataFrame, by: str,
     ``left_time`` for the same ``by`` key; right columns are NULL when
     no prior right row exists.
     """
+    reserved = {"_key", "_t", "_side", "_r", "_match"}
+    clash = (reserved & set(left.columns) | reserved & set(right.columns)
+             | {c for c in left.columns if c.startswith("_l_")})
+    if clash:
+        raise ValueError(f"column names collide with internals: {clash}")
     r = right
     if tiebreak is not None:
         # deterministic winner among same-(key, time) right rows
@@ -101,6 +106,9 @@ def range_join(points: DataFrame, intervals: DataFrame, by: str,
     exploded rows + one hash join — pick ``bucket_seconds`` near the
     typical interval length so the blow-up factor stays small.
     """
+    clash = {"_b", "_rkey"} & (set(points.columns) | set(intervals.columns))
+    if clash:
+        raise ValueError(f"column names collide with internals: {clash}")
     p = points.withColumn(
         "_b", F.floor(F.col(point_col).cast("timestamp").cast("long")
                       / bucket_seconds),
