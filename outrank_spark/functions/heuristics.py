@@ -67,12 +67,21 @@ def exact_mi(x: np.ndarray, y: np.ndarray) -> float:
 
 def _expected_mi(a: np.ndarray, b: np.ndarray, n: int) -> float:
     """Exact E[MI] under the hypergeometric permutation model, with the
-    log-factorial table trick (no scipy needed)."""
-    lg = np.zeros(n + 1)
-    lg[1:] = np.cumsum(np.log(np.arange(1, n + 1)))
+    log-factorial via lgamma (no scipy needed).  lgamma instead of an
+    O(n) cumsum table: the table costs 8(n+1) bytes of driver memory —
+    fine for minibatches, an OOM for whole-table n (ami_table_scores
+    passes corpus row counts here); lgamma is O(1) per value and at
+    least as accurate as an accumulated log sum."""
+    import math
+
+    _lgamma = np.frompyfunc(math.lgamma, 1, 1)
 
     def logfact(k):
-        return lg[k]
+        if np.isscalar(k) or np.ndim(k) == 0:
+            return math.lgamma(int(k) + 1)
+        return _lgamma(np.asarray(k) + 1).astype(np.float64)
+
+    lg = logfact  # array form used below
 
     emi = 0.0
     logn = np.log(n)
@@ -91,7 +100,8 @@ def _expected_mi(a: np.ndarray, b: np.ndarray, n: int) -> float:
             logp = (
                 logfact(ai) + logfact(bj) + logfact(n - ai) + logfact(n - bj)
                 - logfact(n)
-                - lg[nij] - lg[ai - nij] - lg[bj - nij] - lg[n - ai - bj + nij]
+                - lg(nij) - lg(ai - nij) - lg(bj - nij)
+                - lg(n - ai - bj + nij)
             )
             emi += float((term1 * np.exp(logp)).sum())
     return emi

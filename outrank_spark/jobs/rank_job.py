@@ -27,8 +27,8 @@ Task dispatch (reference ``__main__.py:255-293``):
     selftest             -> generate 100k x 100, rank, assert the
                             201-row / label-(2; 100) golden
                             (task_selftest.py:19-42)
-    visualization        -> unsupported (matplotlib out of scope,
-                            SURVEY.md §3.3) — exits with a message
+    visualization        -> data-first artifact exports (TSV; images
+                            import-gated on matplotlib)
 """
 from __future__ import annotations
 
@@ -123,6 +123,14 @@ def _get_spark(args):
             "SPARK_ENV_LOADED"):
         # plain `python jobs/rank_job.py` without spark-submit
         b = b.master(os.environ.get("SPARK_GRAFT_MASTER", "local[*]"))
+    if not os.environ.get("SPARK_ENV_LOADED"):
+        # local-mode driver IS the executor: Spark's 1g default heap is
+        # too tight for wide (100+ column) validated scans + sketch
+        # state; spark-submit users size their own cluster instead
+        b = b.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"),
+        )
     if args.shuffle_partitions:
         b = b.config("spark.sql.shuffle.partitions",
                      str(args.shuffle_partitions))
@@ -233,7 +241,10 @@ def _run_ranking_checkpointed(spark, df, cfg, args):
     slice_expr = F.pmod(
         F.xxhash64(*[F.col(c) for c in columns]), F.lit(n),
     )
-    acc = StreamingRankingAccumulator(cfg, state_dir=args.checkpoint_dir)
+    acc = StreamingRankingAccumulator(
+        cfg, state_dir=args.checkpoint_dir,
+        context=f"cli-slices={n}",
+    )
     done = {b["batch_id"] for b in acc.batches_seen}
     if done:
         logger.info("checkpoint resume: slices %s already done",
@@ -265,7 +276,8 @@ def _task_ranking(spark, args) -> None:
 
     t0 = time.time()
     timings = []
-    info = read_dataset(spark, args.data_path, args.data_source)
+    info = read_dataset(spark, args.data_path, args.data_source,
+                        validate=True)
     if info.invalid_lines is not None:
         n_bad, samples = invalid_line_summary(info)
         if n_bad:
@@ -291,10 +303,7 @@ def _task_ranking(spark, args) -> None:
         from outrank_spark.plans.three_mr import three_mr_from_triplets
 
         three_mr = three_mr_from_triplets(
-            result.triplets_raw.rename(
-                columns={"FeatureA": "FeatureA", "FeatureB": "FeatureB"},
-            ),
-            args.label_column,
+            result.triplets_raw, args.label_column,
         )
 
     numeric_stats = numeric_feature_statistics(

@@ -170,6 +170,17 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     unbiased set similarity over the capped shingle space.
     """
     sh = shingle_df(df, text_col, id_col, n)
+    if max_shingle_freq is not None:
+        # stop-shingle frequencies over the FULL corpus, BEFORE any
+        # candidate pruning — otherwise the candidate-bounded path
+        # would filter against a different universe than the full join
+        # and return different Jaccard values for the same pair
+        stop = (
+            sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
+            .filter(F.col("f") > max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(stop), "shingle", "left_anti")
     if candidate_pairs is not None:
         cand = candidate_pairs.select("id_a", "id_b").distinct()
         cand_ids = (
@@ -178,13 +189,6 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .distinct()
         )
         sh = sh.join(cand_ids, id_col, "left_semi")
-    if max_shingle_freq is not None:
-        stop = (
-            sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
-            .filter(F.col("f") > max_shingle_freq)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(stop), "shingle", "left_anti")
     # numerator and denominator over the SAME (filtered) universe
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if candidate_pairs is None:

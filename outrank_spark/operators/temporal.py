@@ -41,11 +41,18 @@ def asof_join(left: DataFrame, right: DataFrame, by: str,
     ``left_time`` for the same ``by`` key; right columns are NULL when
     no prior right row exists.
     """
-    reserved = {"_key", "_t", "_side", "_r", "_match"}
+    reserved = {"_key", "_t", "_side", "_r", "_match", "_rk"}
     clash = (reserved & set(left.columns) | reserved & set(right.columns)
              | {c for c in left.columns if c.startswith("_l_")})
     if clash:
         raise ValueError(f"column names collide with internals: {clash}")
+    out_clash = {
+        f"{c}_asof" for c in right.columns if c != by
+    } & set(left.columns)
+    if out_clash:
+        raise ValueError(
+            f"output columns would collide with left columns: {out_clash}",
+        )
     r = right
     if tiebreak is not None:
         # deterministic winner among same-(key, time) right rows

@@ -41,10 +41,13 @@ def fit_langid(df: DataFrame, text_col: str = "text",
         sample = _langid_sample_plan(
             df, text_col, lang_col, sample_per_lang, keep,
         ).toPandas()
-        enough = (keep >= (1 << 20)
-                  or (sample.groupby(lang_col)[text_col].count()
-                      >= sample_per_lang).all())
-        if enough and len(sample):
+        # keep == 2^20 means the prefilter passed EVERYTHING — whatever
+        # came back is all there is (possibly nothing: empty corpus),
+        # so stop unconditionally rather than loop forever
+        if keep >= (1 << 20):
+            break
+        if len(sample) and (sample.groupby(lang_col)[text_col].count()
+                            >= sample_per_lang).all():
             break
         keep *= 4
     return fit_language_profiles(
@@ -128,7 +131,7 @@ def with_fingerprints(df: DataFrame, text_col: str = "text",
 
 
 def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
-                    k: int = 3):
+                    k: int = 3, decimals: int | None = None):
     """Top-k TF-IDF terms per document, corpus-level IDF.
 
     Smoothed sklearn-style idf = ln((1 + N) / (1 + df)) + 1 where df
@@ -160,8 +163,13 @@ def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
         (F.log((1.0 + float(n_docs)) / (1.0 + F.col("df"))) + 1.0)
         .alias("idf"),
     )
+    score = F.col("tf") * F.col("idf")
+    if decimals is not None:
+        # round BEFORE ranking: makes the ordering identical across
+        # engines' ln() implementations (cross-engine oracle use)
+        score = F.round(score, decimals)
     scored = tf.join(idf, "token").select(
-        id_col, "token", (F.col("tf") * F.col("idf")).alias("tfidf"),
+        id_col, "token", score.alias("tfidf"),
     )
     w = Window.partitionBy(id_col).orderBy(
         F.desc("tfidf"), F.asc("token"),

@@ -1593,33 +1593,16 @@ GROUP BY t.lang ORDER BY t.lang
 
 def q48_tfidf_top_terms(spark, sf_dir):
     """Corpus-level TF-IDF: top-3 terms per document for the 20 lowest
-    doc ids (operators/text.tfidf_top_terms — explode, two aggregates,
-    token-keyed join, windowed top-k; smoothed sklearn idf).  Scores
-    are rounded to 9 dp BEFORE ranking so the ordering is identical
-    across engines' ln() implementations."""
-    from pyspark.sql import Window
+    doc ids via operators/text.tfidf_top_terms (explode, two
+    aggregates, token-keyed join, windowed top-k; smoothed sklearn
+    idf).  Scores round to 9 dp BEFORE ranking so the ordering is
+    identical across engines' ln() implementations."""
+    from outrank_spark.operators.text import tfidf_top_terms
 
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"),
-    ).where(F.col("token") != "")
-    tf = toks.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).alias("tf"))
-    n_docs = docs.select("doc_id").distinct().count()
-    idf = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df")).select(
-        "token",
-        (F.log((1.0 + float(n_docs)) / (1.0 + F.col("df"))) + 1.0)
-        .alias("idf"),
-    )
-    scored = tf.join(idf, "token").select(
-        "doc_id", "token",
-        F.round(F.col("tf") * F.col("idf"), 9).alias("tfidf"),
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc("tfidf"), F.asc("token"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where((F.col("rank") <= 3) & (F.col("doc_id") < 20))
+        tfidf_top_terms(docs, k=3, decimals=9)
+        .where(F.col("doc_id") < 20)
         .select("doc_id", "rank", "token",
                 F.round("tfidf", 6).alias("tfidf"))
         .orderBy("doc_id", "rank")

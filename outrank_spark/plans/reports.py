@@ -36,6 +36,17 @@ __all__ = ["write_reports", "feature_memory_estimate",
            "numeric_feature_statistics", "write_rare_value_reports"]
 
 
+
+def _round_half_away(x, nd: int = 2):
+    """Round half AWAY from zero — what SQL engines (DuckDB ROUND) do;
+    Python's round() is banker's (half-to-even), which diverges from
+    the q33/q34 oracles exactly on .xx5-representable values."""
+    if x is None:
+        return None
+    import math
+
+    scale = 10 ** nd
+    return math.copysign(math.floor(abs(x) * scale + 0.5), x) / scale
 def feature_memory_estimate(df: DataFrame, columns: list[str]) -> dict[str, float]:
     """Average encoded bytes per value per column — exact one-pass
     version of ``compute_feature_memory_consumption``
@@ -82,12 +93,9 @@ def numeric_feature_statistics(df: DataFrame,
     out = [
         {
             "Feature": c,
-            "Minimum": round(row[f"__mn_{c}"], 2)
-            if row[f"__mn_{c}"] is not None else None,
-            "Maximum": round(row[f"__mx_{c}"], 2)
-            if row[f"__mx_{c}"] is not None else None,
-            "Median": round(row[f"__me_{c}"], 2)
-            if row[f"__me_{c}"] is not None else None,
+            "Minimum": _round_half_away(row[f"__mn_{c}"], 2),
+            "Maximum": _round_half_away(row[f"__mx_{c}"], 2),
+            "Median": _round_half_away(row[f"__me_{c}"], 2),
             "Num avg. unique (batch)": int(row[f"__nu_{c}"]),
         }
         for c in numeric_columns
@@ -127,7 +135,7 @@ def write_rare_value_reports(result: RankingResult, output_folder: str,
                               key=lambda kv: -kv[1]):
         card = max(1, int(result.cardinalities.get(col, 1)))
         final_rows.append({
-            "rare_proportion": round(100.0 * n_rare / card, 2),
+            "rare_proportion": _round_half_away(100.0 * n_rare / card, 2),
             "feature_type": "numeric" if col in numeric_columns
             else "nominal",
             "feature_name": col,

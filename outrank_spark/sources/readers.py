@@ -61,31 +61,42 @@ def _read_csv_validated(spark: SparkSession, path: str,
     keeps lines whose parsed width matches the header and queues the
     rest).
 
-    * valid rows: schema'd scan with ``mode=DROPMALFORMED`` — the CSV
-      parser drops width-mismatched lines JVM-side;
-    * invalid rows: a ``text`` scan + ``from_csv`` corrupt-record
-      channel (Spark disallows scanning *only* the internal corrupt
-      column of a csv source, so the raw-line relation comes from the
-      text reader — also what lets us report the ORIGINAL line like the
-      reference's invalid_line_queue).
+    ONE ``text`` scan + a ``from_csv`` corrupt-record expression drives
+    both relations, so valid and invalid use the SAME parser judgment
+    (the csv SOURCE's DROPMALFORMED null-pads under-width lines instead
+    of dropping them, and PERMISSIVE csv scans hit Spark's
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction — ``from_csv`` is an
+    expression, exempt from both):
+
+    * valid rows: corrupt column null, header line excluded (any data
+      line byte-identical to the header is dropped too — documented
+      divergence from the reference's skip-first-line, negligible on
+      real data);
+    * invalid rows: corrupt column set; the ORIGINAL line is reported
+      like the reference's invalid_line_queue.
     """
+    with open(path, encoding="iso-8859-1", newline="") as f:
+        raw_header = f.readline().rstrip("\r\n")
     schema = ", ".join(f"`{c}` string" for c in header)
-    valid = (
-        spark.read.option("header", True)
-        .option("encoding", "iso-8859-1")
-        .option("quote", '"')
-        .option("mode", "DROPMALFORMED")
-        .schema(schema)
-        .csv(path)
-    )
     opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_c"}
+    parsed = spark.read.text(path).select(
+        "value",
+        F.from_csv("value", schema + ", `_c` string", opts).alias("p"),
+    )
+    valid = (
+        parsed.filter(F.col("p._c").isNull()
+                      & (F.col("value") != raw_header))
+        .select("p")
+        # materialization barrier: without it, downstream plans that
+        # read k fields inline k copies of from_csv — k CSV parsers
+        # per task (OOMs a default-heap executor at ~100 columns).
+        # One cheap shuffle makes the struct concrete so every field
+        # access is a GetStructField on parsed rows.
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(*[F.col(f"p.`{c}`").alias(c) for c in header])
+    )
     invalid = (
-        spark.read.text(path)
-        .select(
-            "value",
-            F.from_csv("value", schema + ", `_c` string", opts).alias("p"),
-        )
-        .filter(F.col("p._c").isNotNull())
+        parsed.filter(F.col("p._c").isNotNull())
         .select(F.col("value").alias("line"))
     )
     return valid, invalid
@@ -256,9 +267,18 @@ _READERS = {
 
 
 def read_dataset(spark: SparkSession, data_path: str,
-                 data_source: str) -> DatasetInfo:
+                 data_source: str, validate: bool = False) -> DatasetInfo:
+    """``validate=True`` routes csv sources through the PERMISSIVE
+    valid-line filter (wrong-arity rows dropped + a bounded invalid
+    sample kept, reference core_ranking.py:648-653); non-csv sources
+    ignore the flag."""
     if data_source not in _READERS:
         raise ValueError(
             f"unknown data source {data_source!r}; one of {sorted(_READERS)}",
         )
-    return _READERS[data_source](spark, data_path)
+    reader = _READERS[data_source]
+    import inspect
+
+    if validate and "validate" in inspect.signature(reader).parameters:
+        return reader(spark, data_path, validate=True)
+    return reader(spark, data_path)

@@ -58,9 +58,11 @@ _TRIPLET_COLS = ["batch_key", "feature_a", "feature_b", "score"]
 class StreamingRankingAccumulator:
     """foreachBatch hook + accumulated ranking state."""
 
-    def __init__(self, cfg: RankingConfig, state_dir: str | None = None):
+    def __init__(self, cfg: RankingConfig, state_dir: str | None = None,
+                 context: str = ""):
         self.cfg = cfg
         self.state_dir = state_dir
+        self.context = context
         self.planner = CombinationPlanner(seed=cfg.seed)
         self.sketches = SketchCollection()
         self.triplets = pd.DataFrame(columns=_TRIPLET_COLS)
@@ -68,6 +70,18 @@ class StreamingRankingAccumulator:
         if state_dir:
             os.makedirs(state_dir, exist_ok=True)
             self._restore()
+
+    def _fingerprint(self) -> str:
+        """Everything a restored run must agree on — resuming with a
+        different plan would silently skip mismatched batches."""
+        cfg = self.cfg
+        return "|".join(str(x) for x in (
+            cfg.heuristic, cfg.label_column, cfg.subsampling,
+            cfg.minibatch_size, cfg.target_ranking_only,
+            cfg.combination_number_upper_bound,
+            cfg.mi_stratified_sampling_ratio,
+            sorted(cfg.feature_columns or []), self.context,
+        ))
 
     # -- state persistence -------------------------------------------
     def _state_path(self) -> str:
@@ -80,6 +94,7 @@ class StreamingRankingAccumulator:
         if not self.state_dir:
             return
         record = {
+            "fingerprint": self._fingerprint(),
             "blobs": {
                 f"{c}\x1f{k}": sk.to_bytes()
                 for (c, k), sk in self.sketches.items()
@@ -98,6 +113,14 @@ class StreamingRankingAccumulator:
             return
         with open(self._state_path(), "rb") as f:
             record = pickle.load(f)
+        saved = record.get("fingerprint")
+        if saved is not None and saved != self._fingerprint():
+            raise ValueError(
+                "ranking checkpoint was written under a different config "
+                f"(saved {saved!r} != current {self._fingerprint()!r}); "
+                "resuming would silently skip mismatched batches — use a "
+                "fresh state_dir or rerun with the original config",
+            )
         for key, blob in record["blobs"].items():
             c, k = key.split("\x1f")
             self.sketches[(c, k)] = sketch_from_bytes(k, blob)

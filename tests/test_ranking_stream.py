@@ -146,7 +146,8 @@ class TestStreamingRanking:
         with open(os.path.join(state_dir, "ranking_state.bin"), "rb") as f:
             record = pickle.load(f)
         assert set(record) == {
-            "blobs", "triplets", "prior_counts", "batches_seen",
+            "fingerprint", "blobs", "triplets", "prior_counts",
+            "batches_seen",
         }
 
 
@@ -187,7 +188,7 @@ class TestCheckpointedCliRanking:
         cols = list(df.columns)
         sl = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(4))
         acc = StreamingRankingAccumulator(
-            cfg, state_dir=args.checkpoint_dir)
+            cfg, state_dir=args.checkpoint_dir, context="cli-slices=4")
         for i in (0, 1):
             acc.process_batch(df.where(sl == i), batch_id=i)
         del acc  # crash
@@ -202,3 +203,20 @@ class TestCheckpointedCliRanking:
         assert all(m["wall_sec"] >= 0 for m in metrics)
         assert not os.path.exists(
             os.path.join(args.checkpoint_dir, "ranking_state.bin"))
+
+
+    def test_resume_with_different_config_refuses(self, spark, tmp_path):
+        rng = np.random.default_rng(8)
+        df = spark.createDataFrame(_chunk(rng, 300))
+        state_dir = str(tmp_path / "fp_state")
+        acc = StreamingRankingAccumulator(
+            _cfg(), state_dir=state_dir, context="cli-slices=8")
+        acc.process_batch(df, batch_id=0)
+        # different slicing -> different fingerprint -> refuse to resume
+        with pytest.raises(ValueError, match="different config"):
+            StreamingRankingAccumulator(
+                _cfg(), state_dir=state_dir, context="cli-slices=4")
+        # same config restores fine
+        again = StreamingRankingAccumulator(
+            _cfg(), state_dir=state_dir, context="cli-slices=8")
+        assert [b["batch_id"] for b in again.batches_seen] == [0]

@@ -195,3 +195,30 @@ class TestStreamingSketches:
             record = pickle.load(f)
         assert set(record) == {"blobs", "batches_seen"}
         assert [b["batch_id"] for b in record["batches_seen"]] == [0]
+
+
+class TestReadDatasetValidation:
+    def test_validate_flag_reaches_csv_reader(self, spark, tmp_path):
+        """The CLI passes validate=True through read_dataset — corrupt
+        lines must surface in info.invalid_lines (regression: the
+        PERMISSIVE filter used to be unreachable from the CLI)."""
+        d = tmp_path / "csvdata"
+        d.mkdir()
+        (d / "data.csv").write_text(
+            "a,b,label\n1,2,0\nbadline\n3,4,1\n",
+        )
+        from outrank_spark.sources.readers import (
+            invalid_line_summary,
+            read_dataset,
+        )
+
+        info = read_dataset(spark, str(d), "csv-raw", validate=True)
+        assert info.invalid_lines is not None
+        n_bad, samples = invalid_line_summary(info)
+        assert n_bad == 1
+        assert any("badline" in s for s in samples)
+        assert info.df.count() == 2
+
+        # default stays permissive-off (library callers unchanged)
+        info2 = read_dataset(spark, str(d), "csv-raw")
+        assert info2.invalid_lines is None
