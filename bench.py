@@ -107,6 +107,99 @@ def ranking_throughput(spark, n_pages: int, warmup: bool = False) -> tuple[float
     return dt, n_pages / dt
 
 
+def sketch_error_probe(spark, sf_dir: str) -> dict:
+    """Measured sketch-estimate error vs each algorithm's PUBLISHED
+    bound, on the benchmark tables themselves.  BASELINE.json's metric
+    is "feature-ranking throughput + sketch-estimate error vs published
+    bounds", so the per-round bench JSON carries both.  All four
+    families build in ONE distributed pass over lineitem (600k rows at
+    sf0.1) via the same mapInPandas + grouped-merge path the ranking
+    job uses; the exact references come from plain Spark aggregates.
+    """
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from outrank_spark.operators.sketch_build import SketchPlan, build_sketches
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plan = SketchPlan(
+        columns=["l_extendedprice", "l_suppkey", "l_orderkey"],
+        numeric_columns=["l_extendedprice"],
+        sketches={
+            "hll": {"p": 14},
+            "cms": {},                      # depth 6 x width 2^15
+            "kll": {"k": 200},
+            "bloom": {"capacity": 2_000_000, "fpr": 0.01},
+        },
+        kind_columns={
+            "hll": ["l_extendedprice"],     # 583k distinct at sf0.1
+            "cms": ["l_suppkey"],           # heavy-hitter counts
+            "kll": ["l_extendedprice"],
+            "bloom": ["l_orderkey"],
+        },
+    )
+    skc = build_sketches(li, plan)
+    exact = li.agg(
+        F.countDistinct("l_extendedprice").alias("nd"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("l_orderkey").alias("max_ok"),
+    ).first()
+    n = int(exact["n"])
+    out = {}
+
+    # HLL: relative error vs the published standard error 1.04/sqrt(m)
+    # (Flajolet et al. 2007); pytest bound-checks at 4 sigma, here we
+    # report the measured point.
+    est = int(skc[("l_extendedprice", "hll")].estimate())
+    sigma = 1.04 / math.sqrt(2 ** 14)
+    rel = abs(est - exact["nd"]) / exact["nd"]
+    out["hll_p14"] = {
+        "estimate": est, "exact": int(exact["nd"]),
+        "rel_err": round(rel, 6), "published_sigma": round(sigma, 6),
+        "within_3sigma": bool(rel <= 3 * sigma),
+    }
+
+    # CMS: one-sided overestimate on the 10 heaviest keys vs the
+    # eps*N guarantee (Cormode & Muthukrishnan 2005, prob 1-delta).
+    cms = skc[("l_suppkey", "cms")]
+    top = (li.groupBy("l_suppkey").count()
+           .orderBy(F.desc("count"), "l_suppkey").limit(10).collect())
+    errs = [int(cms.query(int(r["l_suppkey"]))) - int(r["count"]) for r in top]
+    out["cms_d6_w32768"] = {
+        "max_overestimate": max(errs), "eps_n_bound": round(cms.epsilon * n, 1),
+        "never_underestimates": bool(min(errs) >= 0),
+        "within_bound": bool(max(errs) <= cms.epsilon * n),
+    }
+
+    # KLL: normalized rank error of the estimated median vs the 2/k
+    # rank-error constant (Karnin-Lang-Liberty 2016) the sketch
+    # publishes; the true rank comes from an exact Spark count.
+    kll = skc[("l_extendedprice", "kll")]
+    med = float(kll.quantile(0.5))
+    rank = li.filter(F.col("l_extendedprice") <= med).count() / n
+    out["kll_k200"] = {
+        "median_estimate": med, "rank_of_estimate": round(rank, 5),
+        "rank_err": round(abs(rank - 0.5), 5),
+        "published_bound": kll.rank_error,
+        "within_bound": bool(abs(rank - 0.5) <= kll.rank_error),
+    }
+
+    # Bloom: measured FPR over 20k guaranteed-absent keys vs the
+    # configured target (no false negatives by construction;
+    # tests/test_sketches.py checks that side).
+    bloom = skc[("l_orderkey", "bloom")]
+    absent = np.arange(int(exact["max_ok"]) + 1,
+                       int(exact["max_ok"]) + 20_001, dtype=np.int64)
+    fpr = float(bloom.contains(absent).mean())
+    out["bloom_fpr01"] = {
+        "measured_fpr": round(fpr, 5), "target_fpr": bloom.fpr_target,
+        "within_bound": bool(fpr <= bloom.fpr_target),
+    }
+    return out
+
+
 def pair_fanout_throughput(spark, n_rows: int = 200_000,
                            n_features: int = 64) -> float:
     """Compute-bound scaling probe: broadcast one encoded batch, fan
@@ -224,6 +317,9 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
             times[name] = round(best, 3)
         rank_sec, pps = ranking_throughput(spark, N_PAGES, warmup=True)
         times["ranking_pages_job"] = round(rank_sec, 3)
+        t0 = time.time()
+        sketch_err = sketch_error_probe(spark, sf_dir)
+        times["sketch_error_probe"] = round(time.time() - t0, 3)
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
         return {
             "metric": "headline suite wall time",
@@ -234,6 +330,7 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
             "cpus": cpus,
             "pages_per_sec": round(pps, 1),
             "ranking_pages": N_PAGES,
+            "sketch_error": sketch_err,
         }
     finally:
         spark.stop()
