@@ -36,7 +36,8 @@ from pyspark.sql import DataFrame, functions as F
 from outrank_spark.hashing import derive_seeds, hash_with_seed
 
 __all__ = [
-    "exact_dedup", "shingle_df", "minhash_signatures",
+    "exact_dedup", "shingle_df", "contamination_scores",
+    "minhash_signatures",
     "minhash_lsh_candidates", "ngram_jaccard_pairs",
     "simhash_signatures", "simhash_candidates",
     "embedding_neardup_candidates", "near_dedup_corpus",
@@ -70,6 +71,49 @@ def shingle_df(df: DataFrame, text_col: str = "text",
     )
     return df.select(
         F.col(id_col), F.explode(F.expr(expr)).alias("shingle"),
+    )
+
+
+def contamination_scores(corpus: DataFrame, benchmark: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         n: int = 3,
+                         broadcast_benchmark: bool = True) -> DataFrame:
+    """Benchmark decontamination (train/test overlap): for each corpus
+    document, the fraction of its distinct token n-gram shingles that
+    occur anywhere in the benchmark set.  Returns
+    ``(id, n_shingles, n_contaminated, contamination)``.
+
+    Scale shape: the benchmark side is an evaluation suite (thousands
+    of documents, not billions), so it reduces to a distinct
+    shingle-hash set and is broadcast — the 100 TB corpus pays ONE
+    explode + broadcast hash join + one groupBy(id) shuffle, and is
+    never re-partitioned by shingle.  Set
+    ``broadcast_benchmark=False`` for an oversized benchmark; the
+    fallback shuffle join keys on the uniform xxhash64 shingle hash,
+    skew-free by construction.
+
+    The n-gram-overlap definition follows the published
+    decontamination procedure of large-LM training pipelines (GPT-3
+    appendix C; Gopher appendix A.3).  The reference engine has no
+    counterpart operator.
+    """
+    bench = (shingle_df(benchmark, text_col, id_col, n)
+             .select("shingle").distinct())
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    sh = shingle_df(corpus, text_col, id_col, n)
+    return (
+        sh.join(bench.withColumn("__hit", F.lit(1)), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 6),
+        )
     )
 
 

@@ -1677,6 +1677,45 @@ def q49_embedding_clusters(spark, sf_dir):
     )
 
 
+def q50_contamination(spark, sf_dir):
+    """Benchmark decontamination: every 10th document plays the held-out
+    benchmark; for each remaining corpus document, the fraction of its
+    distinct 3-gram shingles that appear anywhere in the benchmark
+    (operators/dedup.contamination_scores — benchmark shingle set
+    broadcast, corpus never re-partitioned by shingle)."""
+    from outrank_spark.operators.dedup import contamination_scores
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 10 == 0)
+    return (
+        contamination_scores(corpus, benchmark, n=3)
+        .orderBy(F.desc("contamination"), "doc_id")
+        .limit(20)
+    )
+
+
+ORACLE_Q50 = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct([
+      array_to_string(t[i:i+2], ' ')
+      FOR i IN range(1, greatest(len(t) - 1, 1))
+  ])) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+corp AS (SELECT * FROM sh WHERE doc_id % 10 <> 0)
+SELECT c.doc_id,
+       count(*) AS n_shingles,
+       CAST(count(b.shingle) AS BIGINT) AS n_contaminated,
+       round(count(b.shingle)::DOUBLE / count(*), 6) AS contamination
+FROM corp c LEFT JOIN bench b USING (shingle)
+GROUP BY 1
+ORDER BY contamination DESC, doc_id
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -1727,6 +1766,7 @@ QUERIES = {
     "q47_repetition_quality": q47_repetition_quality,
     "q48_tfidf_top_terms": q48_tfidf_top_terms,
     "q49_embedding_clusters": q49_embedding_clusters,
+    "q50_contamination": q50_contamination,
 }
 
 ORACLES = {
@@ -1767,6 +1807,7 @@ ORACLES = {
     "q46_range_join_activity": ORACLE_Q46,
     "q47_repetition_quality": ORACLE_Q47,
     "q48_tfidf_top_terms": ORACLE_Q48,
+    "q50_contamination": ORACLE_Q50,
     # q21-q23, q28-q32, q36: sketch/heuristic results — no SQL
     # equivalent (rows-only checks; accuracy bound-tested in tests/)
 }

@@ -554,3 +554,46 @@ class TestKmeansFit:
         }
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.8
+
+
+class TestContamination:
+    """Benchmark-decontamination scores (train/test n-gram overlap)."""
+
+    def _frames(self, spark):
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon zeta"),
+             (101, "one two three four five six seven")],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta"),   # exact copy
+             (2, "alpha beta gamma delta prime omega kappa"),  # partial
+             (3, "totally unrelated words appear here now")],  # clean
+            "doc_id long, text string",
+        )
+        return corpus, bench
+
+    def test_scores(self, spark):
+        from outrank_spark.operators.dedup import contamination_scores
+
+        corpus, bench = self._frames(spark)
+        rows = {r["doc_id"]: r for r in
+                contamination_scores(corpus, bench, n=3).collect()}
+        assert rows[1]["contamination"] == 1.0
+        # doc 2: 5 distinct 3-grams, 2 of them ("alpha beta gamma",
+        # "beta gamma delta") occur in the benchmark
+        assert rows[2]["n_shingles"] == 5
+        assert rows[2]["n_contaminated"] == 2
+        assert rows[2]["contamination"] == pytest.approx(0.4)
+        assert rows[3]["contamination"] == 0.0
+
+    def test_benchmark_side_broadcast(self, spark):
+        from outrank_spark.operators.dedup import contamination_scores
+
+        corpus, bench = self._frames(spark)
+        plan = contamination_scores(corpus, bench)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        shuffle_fallback = contamination_scores(
+            corpus, bench, broadcast_benchmark=False)
+        assert shuffle_fallback.count() == 3
