@@ -1,0 +1,74 @@
+"""Deterministic sampling operators for training-mix construction.
+
+A large-scale pipeline assembles its training mix by quota: "k
+documents per language / source / domain", reproducibly, regardless of
+row order, partitioning, or cluster size.  :func:`stratified_sample`
+does that with a portable salted hash as the pseudo-random order (the
+same md5-derived key as the deterministic subsampling filter, so DuckDB
+can replay the exact selection as a SQL oracle).
+
+The reference engine subsamples only by row position
+(``core_ranking.py:641-642`` every-n-th-line); per-stratum quotas have
+no counterpart there — this is part of the LLM-data-pipeline family.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["stratified_sample"]
+
+_KEY_SPACE = 1 << 32  # md5-prefix keys are uniform in [0, 2^32)
+
+
+def _md5_key(id_col: str):
+    """Uniform 32-bit key from any id, identical in Spark and DuckDB:
+    first 8 hex chars of md5(id-as-string) parsed as a long."""
+    return F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10,
+    ).cast("long")
+
+
+def stratified_sample(df: DataFrame, strata_col: str, k: int,
+                      id_col: str = "doc_id",
+                      keep_frac: float | None = None) -> DataFrame:
+    """The ``k`` rows with the smallest salted hash of ``id_col`` per
+    stratum — a reproducible, order-free quota sample (ties broken by
+    id, so the result is a pure function of the data).
+
+    Scale shape: an exact quota needs a per-stratum rank, i.e. one
+    window sort *within each stratum*.  At 100 TB that sort must not
+    touch the full corpus, so ``keep_frac`` installs a hash-threshold
+    prefilter (``key < keep_frac * 2^32``) ahead of the window — the
+    same pushed-filter pattern as the langid fit sample.  Because the
+    sample IS the k smallest keys, any threshold that keeps >= k rows
+    of a stratum preserves that stratum's sample bitwise; strata the
+    prefilter left deficient (possible for tiny or unlucky strata) are
+    detected with one aggregate and re-pooled from the unfiltered rows
+    of just those strata, so the output is IDENTICAL for every
+    ``keep_frac`` — the knob trades scan width for sort width only.
+    Size it so expected survivors per stratum ~ 10k on real data
+    (e.g. quota 1k over 1e9-row strata -> keep_frac 1e-5).
+    """
+    keyed = df.withColumn("_key", _md5_key(id_col))
+    pool = keyed
+    if keep_frac is not None:
+        thresh = int(keep_frac * _KEY_SPACE)
+        surv = keyed.filter(F.col("_key") < thresh)
+        ok = (
+            surv.groupBy(strata_col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= k)
+            .select(strata_col)
+        )
+        # strata fully covered by the prefilter use the thin pool;
+        # deficient ones (incl. strata with zero survivors) fall back
+        # to their unfiltered rows — exactness is never at stake
+        pool = surv.join(ok, strata_col, "left_semi").unionByName(
+            keyed.join(ok, strata_col, "left_anti"),
+        )
+    w = Window.partitionBy(strata_col).orderBy("_key", id_col)
+    return (
+        pool.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_key", "_rn")
+    )

@@ -1716,6 +1716,38 @@ LIMIT 20
 """
 
 
+def q51_stratified_sample(spark, sf_dir):
+    """Per-language quota sample of the documents table: the 5 docs
+    with the smallest md5-derived key per lang
+    (operators/sampling.stratified_sample), run WITH the hash-threshold
+    prefilter to exercise the scale path — the result is bitwise
+    identical with or without it."""
+    from outrank_spark.operators.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, "lang", 5, id_col="doc_id", keep_frac=0.5)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
+ORACLE_Q51 = """
+WITH keyed AS (
+  SELECT lang, doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           AS key
+  FROM documents
+)
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY key, doc_id) AS rn
+  FROM keyed
+) WHERE rn <= 5
+ORDER BY lang, doc_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -1767,6 +1799,7 @@ QUERIES = {
     "q48_tfidf_top_terms": q48_tfidf_top_terms,
     "q49_embedding_clusters": q49_embedding_clusters,
     "q50_contamination": q50_contamination,
+    "q51_stratified_sample": q51_stratified_sample,
 }
 
 ORACLES = {
@@ -1808,6 +1841,7 @@ ORACLES = {
     "q47_repetition_quality": ORACLE_Q47,
     "q48_tfidf_top_terms": ORACLE_Q48,
     "q50_contamination": ORACLE_Q50,
+    "q51_stratified_sample": ORACLE_Q51,
     # q21-q23, q28-q32, q36: sketch/heuristic results — no SQL
     # equivalent (rows-only checks; accuracy bound-tested in tests/)
 }

@@ -1,0 +1,41 @@
+"""stratified_sample: quota semantics + prefilter invariance."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from outrank_spark.operators.sampling import stratified_sample
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # 3 strata of very different sizes: 200 / 40 / 3 rows
+    rows = [(i, "big") for i in range(200)]
+    rows += [(1000 + i, "mid") for i in range(40)]
+    rows += [(2000 + i, "tiny") for i in range(3)]
+    return spark.createDataFrame(rows, "doc_id long, lang string").cache()
+
+
+def _ids(df):
+    return sorted((r["lang"], r["doc_id"]) for r in df.collect())
+
+
+class TestStratifiedSample:
+    def test_quota_per_stratum(self, docs):
+        out = stratified_sample(docs, "lang", 5, id_col="doc_id")
+        counts = {r["lang"]: r["n"] for r in
+                  out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+        # quota where the stratum is big enough, the whole stratum where not
+        assert counts == {"big": 5, "mid": 5, "tiny": 3}
+
+    def test_prefilter_never_changes_the_sample(self, docs):
+        exact = _ids(stratified_sample(docs, "lang", 5, id_col="doc_id"))
+        for frac in (0.5, 0.05, 0.001):  # 0.001 leaves every stratum deficient
+            assert _ids(stratified_sample(
+                docs, "lang", 5, id_col="doc_id", keep_frac=frac)) == exact
+
+    def test_order_and_partitioning_free(self, docs):
+        a = _ids(stratified_sample(docs.repartition(13), "lang", 5))
+        b = _ids(stratified_sample(docs.orderBy(F.desc("doc_id")).coalesce(1),
+                                   "lang", 5))
+        assert a == b
