@@ -1748,6 +1748,42 @@ ORDER BY lang, doc_id
 """
 
 
+def q52_vocab_overlap(spark, sf_dir):
+    """Estimated distinct-token-vocabulary overlap between language
+    pairs via HLL set algebra (sketches/hll.hll_union /
+    hll_intersection_estimate): one salted grouped build of a per-lang
+    token HLL, then driver-side inclusion-exclusion over the few blobs.
+    Approximate by nature -> rows-only (accuracy bound-tested in
+    tests/test_sketches.py against exact set counts)."""
+    from outrank_spark.sketches import HyperLogLog
+    from outrank_spark.sketches.hll import (
+        hll_intersection_estimate, hll_jaccard_estimate, hll_union,
+    )
+    from outrank_spark.operators.sketch_build import build_grouped_sketches
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("token"),
+    )
+    blobs = build_grouped_sketches(toks, "lang", "token",
+                                   kind="hll", params={"p": 14})
+    per_lang = {r["key"]: HyperLogLog.from_bytes(bytes(r["blob"]))
+                for r in blobs.collect()}
+    langs = sorted(per_lang)[:4]
+    rows = []
+    for i, la in enumerate(langs):
+        for lb in langs[i + 1:]:
+            a, b = per_lang[la], per_lang[lb]
+            rows.append((la, lb,
+                         int(hll_union(a, b).estimate()),
+                         hll_intersection_estimate(a, b),
+                         round(hll_jaccard_estimate(a, b), 4)))
+    return spark.createDataFrame(
+        rows, "lang_a string, lang_b string, union_est long, "
+              "inter_est long, jaccard_est double",
+    ).orderBy("lang_a", "lang_b")
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -1800,6 +1836,7 @@ QUERIES = {
     "q49_embedding_clusters": q49_embedding_clusters,
     "q50_contamination": q50_contamination,
     "q51_stratified_sample": q51_stratified_sample,
+    "q52_vocab_overlap": q52_vocab_overlap,
 }
 
 ORACLES = {

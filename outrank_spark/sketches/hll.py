@@ -31,7 +31,8 @@ import numpy as np
 
 from outrank_spark.hashing import hash_values
 
-__all__ = ["HyperLogLog", "ParityHyperLogLog"]
+__all__ = ["HyperLogLog", "ParityHyperLogLog", "hll_union",
+           "hll_intersection_estimate", "hll_jaccard_estimate"]
 
 _ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
 
@@ -236,3 +237,37 @@ class ParityHyperLogLog:
             out.warmup = None
             out.bitmap = np.frombuffer(blob, dtype=np.uint8, offset=off).copy()
         return out
+
+
+# -- set algebra --------------------------------------------------------
+def hll_union(a: HyperLogLog, b: HyperLogLog) -> HyperLogLog:
+    """Non-destructive union: a fresh sketch whose registers are
+    max(a, b).  Lossless — bitwise identical to having built one
+    sketch over A followed by B (unlike :meth:`HyperLogLog.merge`,
+    neither input is mutated)."""
+    if a.p != b.p:
+        raise ValueError("cannot union HLLs with different precision")
+    return HyperLogLog(p=a.p, registers=np.maximum(a.registers, b.registers))
+
+
+def hll_intersection_estimate(a: HyperLogLog, b: HyperLogLog) -> int:
+    """|A intersect B| by inclusion-exclusion:
+    est(A) + est(B) - est(A union B).
+
+    The absolute error is ~sigma * |A union B| (each term carries the
+    union-scale standard error), so the RELATIVE error on the
+    intersection blows up when the overlap is a small fraction of the
+    union — use only when the expected overlap is non-trivial, and
+    size p accordingly.  Clamped at 0 (the subtraction can go
+    negative within noise on near-disjoint sets)."""
+    est = a.estimate() + b.estimate() - hll_union(a, b).estimate()
+    return max(0, int(est))
+
+
+def hll_jaccard_estimate(a: HyperLogLog, b: HyperLogLog) -> float:
+    """Jaccard similarity |A∩B| / |A∪B| from two HLLs; inherits the
+    inclusion-exclusion caveat of :func:`hll_intersection_estimate`."""
+    union = hll_union(a, b).estimate()
+    if union == 0:
+        return 0.0
+    return hll_intersection_estimate(a, b) / union

@@ -349,3 +349,59 @@ class TestBoundedCounter:
         c = BoundedCounter(bound=5).update(np.array(["q"] * 3, dtype=object))
         c2 = sketch_from_bytes("counter", c.to_bytes())
         assert c2.query("q") == 3
+
+
+class TestHLLSetAlgebra:
+    """Union / intersection / Jaccard via inclusion-exclusion."""
+
+    def _pair(self, n_a=300_000, n_b=300_000, overlap=100_000, p=14):
+        import numpy as np
+        from outrank_spark.sketches.hll import HyperLogLog
+
+        a_vals = np.arange(0, n_a).astype(str)
+        b_vals = np.arange(n_a - overlap, n_a - overlap + n_b).astype(str)
+        a, b = HyperLogLog(p=p), HyperLogLog(p=p)
+        a.update(a_vals)
+        b.update(b_vals)
+        return a, b
+
+    def test_union_is_lossless_and_nondestructive(self):
+        import numpy as np
+        from outrank_spark.sketches.hll import HyperLogLog, hll_union
+
+        a, b = self._pair()
+        before = a.registers.copy()
+        u = hll_union(a, b)
+        assert np.array_equal(a.registers, before)  # inputs untouched
+        # identical to one sketch built over both streams
+        single = HyperLogLog(p=14)
+        single.update(np.arange(0, 300_000).astype(str))
+        single.update(np.arange(200_000, 500_000).astype(str))
+        assert np.array_equal(u.registers, single.registers)
+
+    def test_intersection_within_union_scale_error(self):
+        from outrank_spark.sketches.hll import hll_intersection_estimate
+
+        a, b = self._pair()
+        est = hll_intersection_estimate(a, b)
+        # error budget: ~3 sigma on each of the three union-scale terms
+        sigma = 1.04 / (2 ** 7)  # p=14
+        assert abs(est - 100_000) <= 3 * sigma * 500_000 * 3
+
+    def test_jaccard_and_disjoint_clamp(self):
+        from outrank_spark.sketches.hll import (
+            hll_intersection_estimate, hll_jaccard_estimate,
+        )
+
+        a, b = self._pair()
+        assert abs(hll_jaccard_estimate(a, b) - 0.2) < 0.05
+        da, db = self._pair(overlap=0)
+        assert hll_intersection_estimate(da, db) >= 0  # clamped
+        assert hll_jaccard_estimate(da, db) < 0.05
+
+    def test_mismatched_precision_raises(self):
+        import pytest as _pytest
+        from outrank_spark.sketches.hll import HyperLogLog, hll_union
+
+        with _pytest.raises(ValueError):
+            hll_union(HyperLogLog(p=12), HyperLogLog(p=14))
