@@ -18,6 +18,7 @@ from outrank_spark.functions.text import (
 )
 
 __all__ = ["fit_langid", "with_language_id", "with_quality_features",
+           "redact_pii", "PII_PATTERNS",
            "with_token_counts", "with_fingerprints", "tfidf_top_terms"]
 
 
@@ -178,3 +179,43 @@ def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+# PII patterns chosen for identical semantics under Java regex (Spark)
+# and RE2 (DuckDB oracle): character classes + greedy quantifiers only,
+# no backreferences or lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d[\d().\- ]{6,}\d\b",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               kinds: tuple[str, ...] = ("email", "ipv4", "phone"),
+               out_col: str | None = None) -> DataFrame:
+    """Corpus PII scrubbing: replace email / IPv4 / phone matches with
+    ``[KIND]`` tokens and count matches per kind.
+
+    Adds ``<out_col>`` (default: redacts ``text_col`` in place) plus
+    one ``n_<kind>`` count column per requested kind.  Pure JVM
+    ``regexp_replace`` / ``regexp_extract_all`` — a scan-level
+    projection with zero shuffle, so it composes into any cleaning
+    pipeline for free at 100 TB.  Redaction order is the ``kinds``
+    order: earlier patterns consume their text before later ones run
+    (email before phone keeps digits inside addresses from
+    double-matching).  The reference engine has no PII stage; the
+    pattern set follows the C4/CCNet-style cleaning recipes.
+    """
+    out_col = out_col or text_col
+    red = F.col(text_col)
+    counts = []
+    for kind in kinds:
+        pat = PII_PATTERNS[kind]
+        counts.append(
+            F.size(F.regexp_extract_all(red, F.lit(pat), F.lit(0)))
+            .alias(f"n_{kind}"),
+        )
+        red = F.regexp_replace(red, pat, f"[{kind.upper()}]")
+    other = [c for c in df.columns if c != out_col]
+    return df.select(*other, red.alias(out_col), *counts)

@@ -1784,6 +1784,70 @@ def q52_vocab_overlap(spark, sf_dir):
     ).orderBy("lang_a", "lang_b")
 
 
+def q53_pii_redaction(spark, sf_dir):
+    """PII scrubbing (operators/text.redact_pii): synthesize contact
+    strings from customer rows (the parquet tables contain no real
+    PII), then redact email -> ipv4 -> phone with per-kind match
+    counts.  Pure JVM regexp projection, zero shuffle."""
+    from outrank_spark.operators.text import redact_pii
+
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 50)
+    contact = F.concat(
+        F.lower(F.regexp_replace("c_name", " ", ".")),
+        F.lit("@example.com call +1 (555) 123-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."),
+        (F.col("c_custkey") % 256).cast("string"), F.lit(".1"),
+    )
+    df = cust.select("c_custkey", contact.alias("contact"))
+    return (
+        redact_pii(df, "contact")
+        .select("c_custkey", "contact", "n_email", "n_ipv4", "n_phone")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_Q53 = r"""
+WITH base AS (
+  SELECT c_custkey,
+         lower(replace(c_name, ' ', '.'))
+         || '@example.com call +1 (555) 123-'
+         || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+         || ' ip 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.1'
+           AS contact
+  FROM customer WHERE c_custkey <= 50
+),
+e AS (
+  SELECT c_custkey,
+         CAST(len(regexp_extract_all(contact,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+           AS n_email,
+         regexp_replace(contact,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           '[EMAIL]', 'g') AS t1
+  FROM base
+),
+i AS (
+  SELECT *,
+         CAST(len(regexp_extract_all(t1,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+         regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                        '[IPV4]', 'g') AS t2
+  FROM e
+),
+p AS (
+  SELECT *,
+         CAST(len(regexp_extract_all(t2,
+           '\+?\d[\d().\- ]{6,}\d\b')) AS INT) AS n_phone,
+         regexp_replace(t2, '\+?\d[\d().\- ]{6,}\d\b', '[PHONE]', 'g')
+           AS t3
+  FROM i
+)
+SELECT c_custkey, t3 AS contact, n_email, n_ipv4, n_phone
+FROM p ORDER BY c_custkey
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -1837,6 +1901,7 @@ QUERIES = {
     "q50_contamination": q50_contamination,
     "q51_stratified_sample": q51_stratified_sample,
     "q52_vocab_overlap": q52_vocab_overlap,
+    "q53_pii_redaction": q53_pii_redaction,
 }
 
 ORACLES = {
@@ -1879,6 +1944,7 @@ ORACLES = {
     "q48_tfidf_top_terms": ORACLE_Q48,
     "q50_contamination": ORACLE_Q50,
     "q51_stratified_sample": ORACLE_Q51,
+    "q53_pii_redaction": ORACLE_Q53,
     # q21-q23, q28-q32, q36: sketch/heuristic results — no SQL
     # equivalent (rows-only checks; accuracy bound-tested in tests/)
 }

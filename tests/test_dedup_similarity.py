@@ -597,3 +597,46 @@ class TestContamination:
         shuffle_fallback = contamination_scores(
             corpus, bench, broadcast_benchmark=False)
         assert shuffle_fallback.count() == 3
+
+
+class TestPIIRedaction:
+    def test_redacts_and_counts(self, spark):
+        from outrank_spark.operators.text import redact_pii
+
+        df = spark.createDataFrame(
+            [(1, "mail bob.smith+x@sub.example.org and alice@ex.io now"),
+             (2, "server 192.168.0.1 then call +44 (20) 7946-0958 ok"),
+             (3, "clean text with no personal data at all"),
+             (4, "edge 999.999.999.999 and order number 12345678901")],
+            "id long, text string",
+        )
+        rows = {r["id"]: r for r in redact_pii(df, "text").collect()}
+        assert rows[1]["n_email"] == 2
+        assert rows[1]["text"] == "mail [EMAIL] and [EMAIL] now"
+        assert rows[2]["n_ipv4"] == 1 and rows[2]["n_phone"] == 1
+        assert rows[2]["text"] == "server [IPV4] then call [PHONE] ok"
+        assert rows[3]["text"].startswith("clean")
+        assert (rows[3]["n_email"], rows[3]["n_ipv4"], rows[3]["n_phone"]) \
+            == (0, 0, 0)
+        # the dotted-quad pattern takes anything shaped like an IP
+        # (byte-range validation is downstream's job); long digit runs
+        # fall to the phone pattern
+        assert rows[4]["n_ipv4"] == 1 and rows[4]["n_phone"] == 1
+
+    def test_email_consumed_before_phone(self, spark):
+        from outrank_spark.operators.text import redact_pii
+
+        df = spark.createDataFrame(
+            [(1, "a12345678@example.com")], "id long, text string")
+        r = redact_pii(df, "text").collect()[0]
+        # digits inside the address must not double-count as a phone
+        assert r["n_email"] == 1 and r["n_phone"] == 0
+        assert r["text"] == "[EMAIL]"
+
+    def test_no_shuffle_in_plan(self, spark):
+        from outrank_spark.operators.text import redact_pii
+
+        df = spark.createDataFrame([(1, "x@y.io")], "id long, text string")
+        plan = redact_pii(df, "text")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan  # scan-level projection only
