@@ -21,7 +21,8 @@ import pandas as pd
 
 from outrank_spark.hashing import GOLDEN_GAMMA, splitmix64
 
-__all__ = ["generate_pages", "pages_pandas", "PAGES_SCHEMA", "LANGS", "TLDS"]
+__all__ = ["generate_pages", "pages_pandas", "read_pages_table",
+           "PAGES_SCHEMA", "PAGES_COLUMNS", "LANGS", "TLDS"]
 
 PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
@@ -151,3 +152,56 @@ def generate_pages(spark, n_rows: int, seed: int = 42,
                                max_tokens=max_tokens)
 
     return rng_df.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+PAGES_COLUMNS = ("url", "warc_ts", "html", "text", "lang")
+
+
+def read_pages_table(spark, source: str, fmt: str = "auto"):
+    """Load a pages table from its production home (an Iceberg table)
+    or the in-sandbox stand-in (a parquet directory), normalized to the
+    north-rule shape ``(url, warc_ts, html, text, lang)``.
+
+    Resolution: ``fmt='iceberg'`` forces the Iceberg DataSource (raises
+    a clear error when the runtime jar is absent, as in this sandbox);
+    ``fmt='auto'`` treats a dotted name with no path separator as a
+    catalog table (``spark.read.table`` — how an Iceberg catalog is
+    addressed), a directory containing ``metadata/`` as an Iceberg
+    path, and anything else as parquet.  Extra columns are dropped so
+    downstream plans can rely on the canonical five; Catalyst still
+    prunes ``html`` from the physical scan unless a consumer asks for
+    it (plan-asserted in tests/test_plan_audit.py).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    if fmt == "auto":
+        if "/" not in source and "." in source:
+            df = spark.read.table(source)
+        elif os.path.isdir(os.path.join(source, "metadata")):
+            fmt = "iceberg"
+        else:
+            fmt = "parquet"
+    if fmt == "iceberg":
+        try:
+            df = spark.read.format("iceberg").load(source)
+        except Exception as exc:  # jar absent in-sandbox
+            raise RuntimeError(
+                "Iceberg DataSource unavailable — submit with "
+                "--packages org.apache.iceberg:iceberg-spark-runtime-"
+                "<spark-version> (and a catalog config); parquet "
+                "stand-in: read_pages_table(spark, path, fmt='parquet')",
+            ) from exc
+    elif fmt == "parquet":
+        df = spark.read.parquet(source)
+    missing = [c for c in PAGES_COLUMNS if c not in df.columns]
+    if missing:
+        raise ValueError(f"pages table at {source} lacks {missing}")
+    return df.select(
+        F.col("url").cast("string"),
+        F.col("warc_ts").cast("timestamp"),
+        F.col("html").cast("binary"),
+        F.col("text").cast("string"),
+        F.col("lang").cast("string"),
+    )

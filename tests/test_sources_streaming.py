@@ -222,3 +222,40 @@ class TestReadDatasetValidation:
         # default stays permissive-off (library callers unchanged)
         info2 = read_dataset(spark, str(d), "csv-raw")
         assert info2.invalid_lines is None
+
+
+class TestReadPagesTable:
+    def test_parquet_roundtrip_and_schema(self, spark, tmp_path):
+        from outrank_spark.sources.pages import generate_pages, read_pages_table
+
+        path = str(tmp_path / "pages")
+        generate_pages(spark, 200, seed=7).withColumn(
+            "extra", F.lit(1)).write.parquet(path)
+        df = read_pages_table(spark, path)
+        assert df.columns == ["url", "warc_ts", "html", "text", "lang"]
+        assert df.count() == 200
+        assert dict(df.dtypes)["warc_ts"] == "timestamp"
+        assert dict(df.dtypes)["html"] == "binary"
+
+    def test_html_pruned_unless_requested(self, spark, tmp_path):
+        from outrank_spark.sources.pages import generate_pages, read_pages_table
+
+        path = str(tmp_path / "pages2")
+        generate_pages(spark, 50, seed=7).write.parquet(path)
+        plan = read_pages_table(spark, path).select("url", "lang") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "html" not in plan.split("ReadSchema")[1][:200]
+
+    def test_missing_columns_rejected(self, spark, tmp_path):
+        from outrank_spark.sources.pages import read_pages_table
+
+        path = str(tmp_path / "notpages")
+        spark.range(5).write.parquet(path)
+        with pytest.raises(ValueError, match="lacks"):
+            read_pages_table(spark, path)
+
+    def test_iceberg_error_is_actionable(self, spark, tmp_path):
+        from outrank_spark.sources.pages import read_pages_table
+
+        with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+            read_pages_table(spark, str(tmp_path), fmt="iceberg")
