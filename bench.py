@@ -319,7 +319,9 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         times["ranking_pages_job"] = round(rank_sec, 3)
         t0 = time.time()
         sketch_err = sketch_error_probe(spark, sf_dir)
-        times["sketch_error_probe"] = round(time.time() - t0, 3)
+        # kept OUT of `times`: the summed headline metric must stay
+        # comparable with prior rounds' BENCH_r{N}.json
+        probe_sec = round(time.time() - t0, 3)
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
         return {
             "metric": "headline suite wall time",
@@ -331,6 +333,7 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
             "pages_per_sec": round(pps, 1),
             "ranking_pages": N_PAGES,
             "sketch_error": sketch_err,
+            "sketch_error_probe_sec": probe_sec,
         }
     finally:
         spark.stop()

@@ -49,6 +49,12 @@ def stratified_sample(df: DataFrame, strata_col: str, k: int,
     Size it so expected survivors per stratum ~ 10k on real data
     (e.g. quota 1k over 1e9-row strata -> keep_frac 1e-5).
     """
+    clash = {"_key", "_rn"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"column names collide with stratified_sample internals: "
+            f"{sorted(clash)}; rename them first",
+        )
     keyed = df.withColumn("_key", _md5_key(id_col))
     pool = keyed
     if keep_frac is not None:

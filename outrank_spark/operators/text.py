@@ -208,6 +208,14 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     pattern set follows the C4/CCNet-style cleaning recipes.
     """
     out_col = out_col or text_col
+    clash = {f"n_{k}" for k in kinds} & set(df.columns)
+    if out_col != text_col and out_col in df.columns:
+        clash.add(out_col)
+    if clash:
+        raise ValueError(
+            f"column names collide with redact_pii outputs: "
+            f"{sorted(clash)}; rename them first",
+        )
     red = F.col(text_col)
     counts = []
     for kind in kinds:

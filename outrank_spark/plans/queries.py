@@ -1774,10 +1774,10 @@ def q52_vocab_overlap(spark, sf_dir):
     for i, la in enumerate(langs):
         for lb in langs[i + 1:]:
             a, b = per_lang[la], per_lang[lb]
-            rows.append((la, lb,
-                         int(hll_union(a, b).estimate()),
-                         hll_intersection_estimate(a, b),
-                         round(hll_jaccard_estimate(a, b), 4)))
+            union_est = int(hll_union(a, b).estimate())
+            rows.append((la, lb, union_est,
+                         hll_intersection_estimate(a, b, union_est),
+                         round(hll_jaccard_estimate(a, b, union_est), 4)))
     return spark.createDataFrame(
         rows, "lang_a string, lang_b string, union_est long, "
               "inter_est long, jaccard_est double",

@@ -250,7 +250,8 @@ def hll_union(a: HyperLogLog, b: HyperLogLog) -> HyperLogLog:
     return HyperLogLog(p=a.p, registers=np.maximum(a.registers, b.registers))
 
 
-def hll_intersection_estimate(a: HyperLogLog, b: HyperLogLog) -> int:
+def hll_intersection_estimate(a: HyperLogLog, b: HyperLogLog,
+                              union_est: int | None = None) -> int:
     """|A intersect B| by inclusion-exclusion:
     est(A) + est(B) - est(A union B).
 
@@ -259,15 +260,20 @@ def hll_intersection_estimate(a: HyperLogLog, b: HyperLogLog) -> int:
     intersection blows up when the overlap is a small fraction of the
     union — use only when the expected overlap is non-trivial, and
     size p accordingly.  Clamped at 0 (the subtraction can go
-    negative within noise on near-disjoint sets)."""
-    est = a.estimate() + b.estimate() - hll_union(a, b).estimate()
+    negative within noise on near-disjoint sets).  Pass ``union_est``
+    when the union estimate is already in hand to skip rebuilding it."""
+    if union_est is None:
+        union_est = hll_union(a, b).estimate()
+    est = a.estimate() + b.estimate() - union_est
     return max(0, int(est))
 
 
-def hll_jaccard_estimate(a: HyperLogLog, b: HyperLogLog) -> float:
+def hll_jaccard_estimate(a: HyperLogLog, b: HyperLogLog,
+                         union_est: int | None = None) -> float:
     """Jaccard similarity |A∩B| / |A∪B| from two HLLs; inherits the
     inclusion-exclusion caveat of :func:`hll_intersection_estimate`."""
-    union = hll_union(a, b).estimate()
-    if union == 0:
+    if union_est is None:
+        union_est = hll_union(a, b).estimate()
+    if union_est == 0:
         return 0.0
-    return hll_intersection_estimate(a, b) / union
+    return hll_intersection_estimate(a, b, union_est) / union_est

@@ -176,6 +176,7 @@ def read_pages_table(spark, source: str, fmt: str = "auto"):
 
     from pyspark.sql import functions as F
 
+    df = None
     if fmt == "auto":
         if "/" not in source and "." in source:
             df = spark.read.table(source)
@@ -183,18 +184,29 @@ def read_pages_table(spark, source: str, fmt: str = "auto"):
             fmt = "iceberg"
         else:
             fmt = "parquet"
-    if fmt == "iceberg":
+    if df is None and fmt == "iceberg":
         try:
             df = spark.read.format("iceberg").load(source)
-        except Exception as exc:  # jar absent in-sandbox
-            raise RuntimeError(
-                "Iceberg DataSource unavailable — submit with "
-                "--packages org.apache.iceberg:iceberg-spark-runtime-"
-                "<spark-version> (and a catalog config); parquet "
-                "stand-in: read_pages_table(spark, path, fmt='parquet')",
-            ) from exc
-    elif fmt == "parquet":
+        except Exception as exc:
+            msg = str(exc)
+            # only blame the jar when the DataSource itself is missing;
+            # real read errors (table absent, bad metadata, permissions)
+            # surface untouched
+            if ("Failed to find" in msg or "ClassNotFound" in msg
+                    or "DATA_SOURCE_NOT_FOUND" in msg):
+                raise RuntimeError(
+                    "Iceberg DataSource unavailable — submit with "
+                    "--packages org.apache.iceberg:iceberg-spark-runtime-"
+                    "<spark-version> (and a catalog config); parquet "
+                    "stand-in: read_pages_table(spark, path, "
+                    "fmt='parquet')",
+                ) from exc
+            raise
+    elif df is None and fmt == "parquet":
         df = spark.read.parquet(source)
+    elif df is None:
+        raise ValueError(f"unknown fmt {fmt!r}: use 'auto', 'iceberg' "
+                         "or 'parquet'")
     missing = [c for c in PAGES_COLUMNS if c not in df.columns]
     if missing:
         raise ValueError(f"pages table at {source} lacks {missing}")

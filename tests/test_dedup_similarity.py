@@ -640,3 +640,12 @@ class TestPIIRedaction:
         plan = redact_pii(df, "text")._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan  # scan-level projection only
+
+
+def test_redact_pii_output_collision_rejected(spark):
+    from outrank_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame([(1, "x@y.io", 0)],
+                               "id long, text string, n_email int")
+    with pytest.raises(ValueError, match="n_email"):
+        redact_pii(df, "text")

@@ -39,3 +39,8 @@ class TestStratifiedSample:
         b = _ids(stratified_sample(docs.orderBy(F.desc("doc_id")).coalesce(1),
                                    "lang", 5))
         assert a == b
+
+
+def test_internal_column_collision_rejected(docs):
+    with pytest.raises(ValueError, match="_key"):
+        stratified_sample(docs.withColumn("_key", F.lit(1)), "lang", 5)

@@ -259,3 +259,10 @@ class TestReadPagesTable:
 
         with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
             read_pages_table(spark, str(tmp_path), fmt="iceberg")
+
+
+def test_read_pages_unknown_fmt_rejected(spark, tmp_path):
+    from outrank_spark.sources.pages import read_pages_table
+
+    with pytest.raises(ValueError, match="unknown fmt"):
+        read_pages_table(spark, str(tmp_path), fmt="orc")
