@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
-from typing import Iterable, Iterator
+from typing import Iterable, Iterator, Sequence
 
 import numpy as np
 import pandas as pd
@@ -39,7 +39,7 @@ import pandas as pd
 from outrank_spark.sketches import SKETCH_REGISTRY, sketch_from_bytes
 
 __all__ = ["SketchPlan", "SketchCollection", "build_sketches",
-           "build_grouped_sketches"]
+           "build_grouped_sketches", "grouped_quantiles"]
 
 _NUMERIC_ONLY = {"kll", "tdigest"}
 _BLOB_SCHEMA = "column string, kind string, blob binary"
@@ -296,3 +296,39 @@ def _fold_blobs(kind: str, blobs: Iterable[bytes]) -> bytes:
         sk = sketch_from_bytes(kind, bytes(b))
         acc = sk if acc is None else acc.merge(sk)
     return acc.to_bytes()
+
+
+def grouped_quantiles(df, key_col: str, value_col: str,
+                      qs: Sequence[float] = (0.25, 0.5, 0.75),
+                      kind: str = "kll", params: dict | None = None,
+                      salt: int = 8):
+    """Per-key approximate quantiles: one salted grouped build of a
+    quantile sketch (kll or tdigest) per key, finalized EXECUTOR-side
+    from the blob rows — ``(key, q, value)`` comes back as a
+    DataFrame, the driver never touches a blob.
+
+    This is the hypertable-rollup shape at 100 TB: the scan shuffles
+    once on (key, salt), the merge once on key, and the finalize pass
+    maps over one tiny blob row per key.  Accuracy inherits the
+    sketch's published bound (KLL rank error 2/k; bound-tested in
+    tests/test_spark_sketch_build.py against exact percentiles).
+    """
+    if kind not in _NUMERIC_ONLY:
+        raise ValueError(f"grouped_quantiles needs kll or tdigest, got {kind}")
+    blobs = build_grouped_sketches(
+        df, key_col, value_col, kind=kind,
+        params=params or ({"k": 200} if kind == "kll" else {"delta": 200}),
+        salt=salt,
+    )
+    qs_list = [float(q) for q in qs]
+
+    def finalize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, blob in zip(pdf["key"], pdf["blob"]):
+                sk = sketch_from_bytes(kind, bytes(blob))
+                for q in qs_list:
+                    rows.append((key, q, float(sk.quantile(q))))
+            yield pd.DataFrame(rows, columns=["key", "q", "value"])
+
+    return blobs.mapInPandas(finalize, "key string, q double, value double")

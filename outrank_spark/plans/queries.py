@@ -1848,6 +1848,23 @@ FROM p ORDER BY c_custkey
 """
 
 
+def q54_grouped_quantile_sketch(spark, sf_dir):
+    """Per-returnflag l_extendedprice quartiles via grouped KLL
+    (operators/sketch_build.grouped_quantiles): salted per-key build,
+    executor-side finalize, driver never touches a blob.  Approximate
+    -> rows-only (KLL 2/k rank bound asserted vs exact percentiles in
+    tests/test_spark_sketch_build.py)."""
+    from outrank_spark.operators.sketch_build import grouped_quantiles
+
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        grouped_quantiles(li, "l_returnflag", "l_extendedprice",
+                          qs=(0.25, 0.5, 0.75), kind="kll")
+        .withColumnRenamed("key", "l_returnflag")
+        .orderBy("l_returnflag", "q")
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -1902,6 +1919,7 @@ QUERIES = {
     "q51_stratified_sample": q51_stratified_sample,
     "q52_vocab_overlap": q52_vocab_overlap,
     "q53_pii_redaction": q53_pii_redaction,
+    "q54_grouped_quantile_sketch": q54_grouped_quantile_sketch,
 }
 
 ORACLES = {

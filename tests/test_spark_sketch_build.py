@@ -186,3 +186,49 @@ class TestGroupedSketches:
         top = max(exact, key=exact.get)
         for host in [top, min(exact, key=exact.get)]:
             assert abs(est[host] - exact[host]) / max(exact[host], 1) < 0.1
+
+
+class TestGroupedQuantiles:
+    def test_within_kll_rank_bound(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(11)
+        pdf = pd.DataFrame({
+            "grp": np.repeat(["a", "b", "c"], 20_000),
+            "x": np.concatenate([
+                rng.normal(0, 1, 20_000),
+                rng.exponential(5, 20_000),
+                rng.uniform(-3, 7, 20_000),
+            ]),
+        })
+        df = spark.createDataFrame(pdf).repartition(8)
+        from outrank_spark.operators.sketch_build import grouped_quantiles
+
+        out = grouped_quantiles(df, "grp", "x", qs=(0.25, 0.5, 0.75),
+                                kind="kll").collect()
+        assert len(out) == 9
+        for r in out:
+            grp_x = np.sort(pdf.loc[pdf["grp"] == r["key"], "x"].to_numpy())
+            true_rank = np.searchsorted(grp_x, r["value"]) / len(grp_x)
+            assert abs(true_rank - r["q"]) <= 3 * (2.0 / 200)
+
+    def test_rejects_non_quantile_kind(self, spark):
+        from outrank_spark.operators.sketch_build import grouped_quantiles
+
+        df = spark.createDataFrame([("a", 1.0)], "grp string, x double")
+        with pytest.raises(ValueError, match="kll or tdigest"):
+            grouped_quantiles(df, "grp", "x", kind="hll")
+
+    def test_tdigest_backend(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from outrank_spark.operators.sketch_build import grouped_quantiles
+
+        pdf = pd.DataFrame({"grp": ["a"] * 5000,
+                            "x": np.arange(5000, dtype=float)})
+        out = grouped_quantiles(spark.createDataFrame(pdf), "grp", "x",
+                                qs=(0.5,), kind="tdigest").collect()
+        assert len(out) == 1
+        assert abs(out[0]["value"] - 2499.5) < 100
