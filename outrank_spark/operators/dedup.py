@@ -44,18 +44,37 @@ __all__ = [
 ]
 
 
+def _content_key(text_col: str):
+    """128-bit content key as two independent 64-bit xxhash64 lanes.
+
+    A single 64-bit hash hits birthday collisions around ~4B documents
+    (p(collision) ~ n^2 / 2^65), which is inside this engine's target
+    scale — a collision would silently merge distinct documents into
+    one 'exact' cluster and drop one of them.  Two lanes (the second
+    seeded by a constant prefix) push the birthday bound to 2^64 docs
+    while keeping the key a narrow 16-byte pair of longs (vs 32/64
+    bytes for hex md5/sha2) and staying in WholeStageCodegen."""
+    return (
+        F.xxhash64(F.col(text_col)),
+        F.xxhash64(F.lit("outrank-lane2"), F.col(text_col)),
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """Exact dedup: ``(hash, keeper_id, n_copies)`` — survivors keep
-    the minimum id.  Single shuffle keyed by the content hash."""
+    """Exact dedup: ``(hash, hash2, keeper_id, n_copies)`` — survivors
+    keep the minimum id.  Single shuffle keyed by the 128-bit content
+    key (see :func:`_content_key` for why not one xxhash64)."""
+    h1, h2 = _content_key(text_col)
     return (
-        df.withColumn("_h", F.xxhash64(F.col(text_col)))
-        .groupBy("_h")
+        df.withColumn("_h", h1).withColumn("_h2", h2)
+        .groupBy("_h", "_h2")
         .agg(
             F.min(id_col).alias("keeper_" + id_col),
             F.count(F.lit(1)).alias("n_copies"),
         )
         .withColumnRenamed("_h", "content_hash")
+        .withColumnRenamed("_h2", "content_hash2")
     )
 
 
@@ -429,12 +448,13 @@ def near_dedup_corpus(df: DataFrame, text_col: str = "text",
     """
     from outrank_spark.operators.components import keep_canonical
 
+    h1, h2 = _content_key(text_col)
     hashed = df.select(
-        F.col(id_col), F.xxhash64(F.col(text_col)).alias("_h"),
+        F.col(id_col), h1.alias("_h"), h2.alias("_h2"),
     )
-    mins = hashed.groupBy("_h").agg(F.min(id_col).alias("dst"))
+    mins = hashed.groupBy("_h", "_h2").agg(F.min(id_col).alias("dst"))
     exact_edges = (
-        hashed.join(mins, "_h")
+        hashed.join(mins, ["_h", "_h2"])
         .where(F.col(id_col) != F.col("dst"))
         .select(F.col(id_col).alias("src"), "dst")
     )

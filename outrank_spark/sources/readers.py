@@ -50,7 +50,32 @@ class DatasetInfo:
     invalid_lines: DataFrame | None = None
 
 
+def _require_local_file(path: str, what: str) -> None:
+    """The csv readers peek at the header with a driver-side ``open``,
+    so they accept exactly one LOCAL file — not globs, directories, or
+    remote URIs (hdfs://, s3://...), which ``spark.read`` would happily
+    take but whose first line the driver cannot read (and whose
+    per-file headers a single byte-match could not exclude).  Fail
+    loudly up front instead of a confusing FileNotFoundError later."""
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"{what} requires a local file; got remote URI {path!r}. "
+            "Stage the file locally or use the parquet/Iceberg readers "
+            "for distributed storage.",
+        )
+    local = path[len("file://"):] if path.startswith("file://") else path
+    if any(ch in local for ch in "*?[") or os.path.isdir(local):
+        raise ValueError(
+            f"{what} requires a single local CSV file; got glob or "
+            f"directory {path!r} (the header is read driver-side, and "
+            "per-file header exclusion is undefined across files).",
+        )
+    if not os.path.isfile(local):
+        raise FileNotFoundError(f"{what}: no such file {path!r}")
+
+
 def _csv_header(path: str, encoding: str = "iso-8859-1") -> list[str]:
+    _require_local_file(path, "csv header probe")
     with open(path, encoding=encoding, newline="") as f:
         return next(csv.reader(f))
 
@@ -74,7 +99,12 @@ def _read_csv_validated(spark: SparkSession, path: str,
       real data);
     * invalid rows: corrupt column set; the ORIGINAL line is reported
       like the reference's invalid_line_queue.
+
+    Contract: ``path`` must be one local file (enforced) — the header
+    line is read driver-side and excluded by byte-match, which is only
+    well-defined for a single file.
     """
+    _require_local_file(path, "validated csv read")
     with open(path, encoding="iso-8859-1", newline="") as f:
         raw_header = f.readline().rstrip("\r\n")
     schema = ", ".join(f"`{c}` string" for c in header)

@@ -145,6 +145,17 @@ class StreamingRankingAccumulator:
                                           key_cols=columns)
 
         delta = build_sketches(sub, sketch_plan_for(cfg, columns))
+        if not delta:
+            # Empty micro-batch (normal in Structured Streaming — idle
+            # triggers — and the CLI's per-slice resume can feed an
+            # empty hash slice): record it for idempotent replay and
+            # return before any sketch/scoring access would KeyError.
+            self.batches_seen.append({
+                "batch_id": int(batch_id), "rows": 0, "pairs": 0,
+                "wall_sec": round(time.time() - t0, 3),
+            })
+            self._persist()
+            return
         for key, sk in delta.items():
             if key in self.sketches:
                 self.sketches[key].merge(sk)

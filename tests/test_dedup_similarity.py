@@ -649,3 +649,16 @@ def test_redact_pii_output_collision_rejected(spark):
                                "id long, text string, n_email int")
     with pytest.raises(ValueError, match="n_email"):
         redact_pii(df, "text")
+
+
+class TestContentKeyWidth:
+    def test_exact_dedup_key_is_128_bit(self, corpus):
+        """exact_dedup keys on two independent xxhash64 lanes (a single
+        64-bit key birthday-collides at multi-billion-doc scale); the
+        output exposes both lanes and they are not identical columns."""
+        res = exact_dedup(corpus)
+        assert {"content_hash", "content_hash2"} <= set(res.columns)
+        rows = res.collect()
+        assert any(r["content_hash"] != r["content_hash2"] for r in rows)
+        # grouping unchanged: one cluster of 2, rest singletons
+        assert sorted(r["n_copies"] for r in rows)[-1] == 2

@@ -220,3 +220,23 @@ class TestCheckpointedCliRanking:
         again = StreamingRankingAccumulator(
             _cfg(), state_dir=state_dir, context="cli-slices=8")
         assert [b["batch_id"] for b in again.batches_seen] == [0]
+
+    def test_empty_micro_batch_is_recorded_not_crashed(self, spark, tmp_path):
+        """Empty micro-batches are normal in foreachBatch (idle
+        triggers; empty resume slices) — they must be journaled for
+        idempotent replay, not KeyError on the empty SketchCollection."""
+        acc = StreamingRankingAccumulator(
+            _cfg(), state_dir=str(tmp_path / "state"))
+        empty = spark.createDataFrame([], SCHEMA)
+        acc.process_batch(empty, 0)
+        assert len(acc.batches_seen) == 1
+        assert acc.batches_seen[0]["batch_id"] == 0
+        assert acc.batches_seen[0]["rows"] == 0
+        # replay of the same empty batch is a no-op
+        acc.process_batch(empty, 0)
+        assert len(acc.batches_seen) == 1
+        # a real batch afterwards still works end-to-end
+        rng = np.random.default_rng(7)
+        acc.process_batch(spark.createDataFrame(_chunk(rng, 400)), 1)
+        assert acc.batches_seen[1]["rows"] > 0
+        assert len(acc.result().pairwise) > 0

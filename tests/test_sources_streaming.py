@@ -266,3 +266,21 @@ def test_read_pages_unknown_fmt_rejected(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown fmt"):
         read_pages_table(spark, str(tmp_path), fmt="orc")
+
+
+class TestLocalFileContract:
+    """The validated csv readers peek at the header driver-side, so
+    they accept exactly one local file — globs/dirs/remote URIs must
+    fail with an actionable error, not a late FileNotFoundError."""
+
+    def test_remote_uri_rejected(self, spark):
+        with pytest.raises(ValueError, match="remote URI"):
+            read_csv_raw(spark, "s3://bucket/data", validate=True)
+
+    def test_glob_rejected(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="glob or directory"):
+            read_csv_raw(spark, str(tmp_path / "part-*"), validate=True)
+
+    def test_missing_file_clear_error(self, spark, tmp_path):
+        with pytest.raises(FileNotFoundError, match="no such file"):
+            read_csv_raw(spark, str(tmp_path / "nope"), validate=True)
