@@ -54,7 +54,12 @@ _ELEMENTWISE = {
     "minimum", "sinc", "polyval", "nan_to_num", "floor", "ceil",
     "logical_not", "searchsorted",
 }
-STAT_FUNCS = {"mean", "median", "std", "var", "min", "max", "percentile"}
+STAT_FUNCS = {
+    "mean", "median", "std", "var", "min", "max", "percentile",
+    # nan-variants: aggregate ignoring NaN (numpy semantics); the
+    # Spark slot computation null-masks NaN before aggregating
+    "nanmean", "nanmedian", "nanstd", "nanvar", "nanmax", "nanmin",
+}
 _ORDER_DEPENDENT = {"cumsum", "cumprod", "diff", "sort", "argsort"}
 
 _ALLOWED_FUNCS = _ELEMENTWISE | STAT_FUNCS | _ORDER_DEPENDENT | {
@@ -69,6 +74,10 @@ class ParsedExpr:
     source: str
     tree: ast.Expression
     stat_slots: list[tuple[str, str]] = field(default_factory=list)
+    # the actual ast.Call nodes, parallel to stat_slots — lets callers
+    # translate a stat's INNER expression (np.median(np.square(X)))
+    # instead of assuming the stat is over raw X
+    stat_nodes: list = field(default_factory=list)
     order_dependent: bool = False
 
     # -- numpy backend ------------------------------------------------
@@ -77,7 +86,8 @@ class ParsedExpr:
 
         def fn(X: np.ndarray) -> np.ndarray:
             with np.errstate(all="ignore"):
-                out = eval(code, {"np": np, "__builtins__": {}}, {"X": X})
+                out = eval(code, {"np": np, "len": len,
+                                  "__builtins__": {}}, {"X": X})
             return np.broadcast_to(np.asarray(out), X.shape).copy() \
                 if np.ndim(out) == 0 else np.asarray(out)
 
@@ -104,13 +114,15 @@ def parse_expr(source: str) -> ParsedExpr:
     v.visit(tree.body)
     return ParsedExpr(
         source=source, tree=tree,
-        stat_slots=v.stat_slots, order_dependent=v.order_dependent,
+        stat_slots=v.stat_slots, stat_nodes=v.stat_nodes,
+        order_dependent=v.order_dependent,
     )
 
 
 class _Validator(ast.NodeVisitor):
     def __init__(self):
         self.stat_slots: list[tuple[str, str]] = []
+        self.stat_nodes: list = []
         self.order_dependent = False
 
     def generic_visit(self, node):
@@ -126,6 +138,12 @@ class _Validator(ast.NodeVisitor):
     def visit_Name(self, node):
         if node.id not in ("X", "len"):
             raise ExprError(f"unknown name {node.id!r}")
+
+    def visit_Attribute(self, node):
+        # bare np.<const> (not a call): numeric constants only
+        if not (isinstance(node.value, ast.Name) and node.value.id == "np"
+                and node.attr in ("e", "pi", "nan", "inf", "euler_gamma")):
+            raise ExprError(f"attribute {ast.unparse(node)!r} not allowed")
 
     def visit_List(self, node):
         for el in node.elts:
@@ -178,11 +196,15 @@ class _Validator(ast.NodeVisitor):
             self.order_dependent = True
         if fname in STAT_FUNCS:
             self.stat_slots.append((fname, ast.unparse(node)))
+            self.stat_nodes.append(node)
         for a in node.args:
             self.visit(a)
         for kw in node.keywords:
-            if kw.arg not in ("out", "where", "prepend", "side"):
+            if kw.arg not in ("out", "where", "prepend", "side", "nan"):
                 raise ExprError(f"keyword {kw.arg!r} not allowed")
+            if kw.arg == "side" and isinstance(kw.value, ast.Constant) \
+                    and isinstance(kw.value.value, str):
+                continue  # searchsorted side label (numpy backend only)
             self.visit(kw.value)
 
 
@@ -208,6 +230,23 @@ class _SparkTranslator:
     def t_Name(self, node):
         return self.x
 
+    def t_Attribute(self, node):
+        return self.F.lit(float(getattr(np, node.attr)))
+
+    def _np_div(self, num, den):
+        """IEEE-754 float division (numpy semantics): x/0 -> +-inf,
+        0/0 -> NaN.  Spark 4 ANSI mode raises DIVIDE_BY_ZERO even for
+        doubles, so guard with a lazy CASE (branches don't evaluate
+        unless selected in codegen)."""
+        F = self.F
+        inf, nan = float("inf"), float("nan")
+        return (
+            F.when(den != 0, num / den)
+            .when(num > 0, F.lit(inf))
+            .when(num < 0, F.lit(-inf))
+            .otherwise(F.lit(nan))
+        )
+
     def t_BinOp(self, node):
         left, right = self.visit(node.left), self.visit(node.right)
         op = type(node.op)
@@ -218,7 +257,7 @@ class _SparkTranslator:
         if op is ast.Mult:
             return left * right
         if op is ast.Div:
-            return left / right
+            return self._np_div(left, right)
         if op is ast.Pow:
             return self.F.pow(left, right)
         if op is ast.Mod:
@@ -241,6 +280,37 @@ class _SparkTranslator:
             ast.Eq: left == right, ast.NotEq: left != right,
         }[op]
 
+    def _as_condition(self, node):
+        """Translate a node in BOOLEAN context (np.where condition).
+
+        numpy predicates (isnan, greater, ...) double as masks and as
+        0/1 numerics; the value translation numericizes them, so the
+        condition path re-derives the raw boolean instead."""
+        F = self.F
+        if isinstance(node, ast.Compare):
+            return self.visit(node)
+        if (isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)):
+            name = node.func.attr
+            if name == "isnan":
+                return F.isnan(self.visit(node.args[0]))
+            if name == "isinf":
+                v = self.visit(node.args[0])
+                return F.abs(v) == F.lit(float("inf"))
+            if name == "isfinite":
+                v = self.visit(node.args[0])
+                return ~(F.isnan(v) | (F.abs(v) == F.lit(float("inf"))))
+            if name == "greater":
+                return self.visit(node.args[0]) > self.visit(node.args[1])
+            if name == "less":
+                return self.visit(node.args[0]) < self.visit(node.args[1])
+            if name == "equal":
+                return self.visit(node.args[0]) == self.visit(node.args[1])
+            if name == "logical_not":
+                return ~self._as_condition(node.args[0])
+        # numpy truthiness: nonzero is true
+        return self.visit(node) != self.F.lit(0.0)
+
     def t_Call(self, node):
         F = self.F
         name = node.func.attr
@@ -255,7 +325,7 @@ class _SparkTranslator:
             return F.when(c, F.lit(1.0)).otherwise(F.lit(0.0))
 
         if name == "where":
-            cond = self.visit(args[0])
+            cond = self._as_condition(args[0])
             return F.when(cond, self.visit(args[1])).otherwise(self.visit(args[2]))
         if name == "divide":
             num, den = self.visit(args[0]), self.visit(args[1])
@@ -264,8 +334,9 @@ class _SparkTranslator:
                 cond = self.visit(
                     next(kw.value for kw in node.keywords if kw.arg == "where"),
                 )
-                return F.when(cond, num / den).otherwise(F.lit(0.0))
-            return num / den
+                return F.when(cond, self._np_div(num, den)) \
+                    .otherwise(F.lit(0.0))
+            return self._np_div(num, den)
         if name == "reciprocal":
             v = self.visit(args[0])
             guarded = any(kw.arg == "where" for kw in node.keywords)
@@ -273,8 +344,9 @@ class _SparkTranslator:
                 cond = self.visit(
                     next(kw.value for kw in node.keywords if kw.arg == "where"),
                 )
-                return F.when(cond, F.lit(1.0) / v).otherwise(F.lit(0.0))
-            return F.lit(1.0) / v
+                return F.when(cond, self._np_div(F.lit(1.0), v)) \
+                    .otherwise(F.lit(0.0))
+            return self._np_div(F.lit(1.0), v)
         if name == "clip":
             v = self.visit(args[0])
             lo, hi = self.visit(args[1]), self.visit(args[2])
@@ -300,7 +372,8 @@ class _SparkTranslator:
         if name == "sinc":
             v = self.visit(args[0])
             pix = F.lit(float(np.pi)) * v
-            return F.when(v == 0, F.lit(1.0)).otherwise(F.sin(pix) / pix)
+            return F.when(v == 0, F.lit(1.0)) \
+                .otherwise(self._np_div(F.sin(pix), pix))
         if name in ("maximum", "minimum"):
             a, b = self.visit(args[0]), self.visit(args[1])
             return F.greatest(a, b) if name == "maximum" else F.least(a, b)
@@ -336,7 +409,7 @@ class _SparkTranslator:
             return F.log(v + F.sqrt(v * v - 1))
         if name == "arctanh":
             v = self.visit(args[0])
-            return F.lit(0.5) * F.log((1 + v) / (1 - v))
+            return F.lit(0.5) * F.log(self._np_div(1 + v, 1 - v))
         if name == "exp2":
             return F.pow(F.lit(2.0), self.visit(args[0]))
         if name == "expm1":
@@ -347,7 +420,11 @@ class _SparkTranslator:
             return F.cbrt(self.visit(args[0]))
         if name == "nan_to_num":
             v = self.visit(args[0])
-            return F.when(F.isnan(v), F.lit(0.0)).otherwise(v)
+            fill = F.lit(0.0)
+            for kw in node.keywords:
+                if kw.arg == "nan":
+                    fill = self.visit(kw.value)
+            return F.when(F.isnan(v), fill).otherwise(v)
         simple = {
             "sqrt": F.sqrt, "log": F.log, "log2": F.log2, "log10": F.log10,
             "exp": F.exp, "sin": F.sin, "cos": F.cos, "tan": F.tan,

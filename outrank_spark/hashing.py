@@ -21,7 +21,20 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+def qcol(name: str):
+    """Column reference by EXACT name, backtick-quoted.
+
+    ``F.col(name)`` parses dots as struct-field access, so derived
+    feature names containing dots (e.g. the verbose vault's
+    ``f1_tr_boxcox_lambda_0.5``) resolve to nothing.  Quoting makes
+    the name literal; backticks inside the name are escaped."""
+    from pyspark.sql import functions as F
+
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 __all__ = [
+    "qcol",
     "splitmix64",
     "hash_values",
     "hash_with_seed",

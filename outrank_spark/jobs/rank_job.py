@@ -39,6 +39,8 @@ import os
 import shutil
 import time
 
+from outrank_spark.hashing import qcol
+
 logging.basicConfig(format="%(asctime)s - %(message)s",
                     datefmt="%d-%b-%y %H:%M:%S")
 logger = logging.getLogger("outrank-spark")
@@ -115,6 +117,7 @@ def _get_spark(args):
     )
 
     from pyspark.sql import SparkSession
+
 
     b = SparkSession.builder.appName("outrank-spark")
     if args.spark_master:
@@ -205,6 +208,15 @@ def _enrich(df, info, args):
         new_cols += names
         df, names = with_baseline_features(df)
         new_cols += names
+    if len(new_cols) > 128:
+        # Wide vaults (verbose: ~200 exprs/column) produce a relation
+        # whose every downstream stage would fuse hundreds of deep
+        # expression trees into one whole-stage-codegen method —
+        # janino's compile alone blows the driver heap.  Materialize
+        # the enriched projection once; downstream plans (sketch scan,
+        # scoring) then codegen over plain columns, and the expression
+        # forest is computed once instead of once per pass.
+        df = df.localCheckpoint(eager=False)
     return df, new_cols
 
 
@@ -236,10 +248,10 @@ def _run_ranking_checkpointed(spark, df, cfg, args):
     columns = cfg.feature_columns or list(df.columns)
     # subsampling happens inside process_batch (the accumulator owns
     # it), so slices are cut from the full relation
-    sub = df.select(*columns)
+    sub = df.select(*[qcol(c).alias(c) for c in columns])
     n = max(1, args.checkpoint_slices)
     slice_expr = F.pmod(
-        F.xxhash64(*[F.col(c) for c in columns]), F.lit(n),
+        F.xxhash64(*[qcol(c) for c in columns]), F.lit(n),
     )
     acc = StreamingRankingAccumulator(
         cfg, state_dir=args.checkpoint_dir,
@@ -351,15 +363,34 @@ def _task_ranking_summary(spark, args) -> None:
 
 
 def _task_data_generator(spark, args) -> None:
-    """csv-raw synthetic dataset folder (task_generators.py)."""
-    from outrank_spark.sources.ranking_matrix import ranking_matrix_pandas
+    """csv-raw synthetic dataset folder (task_generators.py).
 
+    ``--generator_type cc`` routes through the distributed
+    CategoricalClassification companion (sources/categorical_generator
+    — the reference exposes cc_generator.py as a library only; here
+    it is also a CLI path, generated as a Spark plan so the row count
+    can exceed driver memory)."""
     out_dir = args.output_synthetic_df_name
     os.makedirs(out_dir, exist_ok=True)
-    pdf = ranking_matrix_pandas(
-        args.num_synthetic_features, args.num_synthetic_rows,
-        args.generator_type, seed=123,
-    )
+    if args.generator_type == "cc":
+        from outrank_spark.sources.categorical_generator import (
+            generate_cc_dataframe,
+        )
+
+        df = generate_cc_dataframe(
+            spark, n_features=args.num_synthetic_features,
+            n_samples=args.num_synthetic_rows, seed=123,
+        ).drop("row_id")
+        pdf = df.toPandas()  # csv-raw layout is a single local file
+    else:
+        from outrank_spark.sources.ranking_matrix import (
+            ranking_matrix_pandas,
+        )
+
+        pdf = ranking_matrix_pandas(
+            args.num_synthetic_features, args.num_synthetic_rows,
+            args.generator_type, seed=123,
+        )
     pdf.to_csv(os.path.join(out_dir, "data.csv"), index=False)
     logger.info("Wrote %d x %d synthetic matrix to %s/data.csv",
                 pdf.shape[0], pdf.shape[1], out_dir)

@@ -24,6 +24,9 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from outrank_spark.hashing import qcol
+
+
 from outrank_spark.functions.heuristics import score_pair
 
 __all__ = ["deterministic_subsample", "assign_batches", "score_batches",
@@ -44,15 +47,15 @@ def deterministic_subsample(df: DataFrame, every_nth: int,
     """
     if every_nth <= 1:
         return df
-    key = (F.xxhash64(*[F.col(c) for c in key_cols]) if key_cols
-           else F.xxhash64(*[F.col(c) for c in df.columns]))
+    key = (F.xxhash64(*[qcol(c) for c in key_cols]) if key_cols
+           else F.xxhash64(*[qcol(c) for c in df.columns]))
     return df.filter(F.pmod(key, F.lit(every_nth)) == 0)
 
 
 def assign_batches(df: DataFrame, n_batches: int,
                    key_cols: Sequence[str] | None = None) -> DataFrame:
     """Add ``batch_id`` + stable intra-batch order key ``_rk``."""
-    cols = [F.col(c) for c in (key_cols or df.columns)]
+    cols = [qcol(c) for c in (key_cols or df.columns)]
     key = F.xxhash64(*cols)
     return (
         df.withColumn("_rk", key)
@@ -149,15 +152,23 @@ def score_batches(df: DataFrame, columns: Sequence[str],
             and mi_stratified_sampling_ratio >= 1.0
             and not model_features
         )
-    base = df.select(*columns)
+    # positional channel names through Spark (classic mapInPandas /
+    # applyInPandas re-resolve every column by name, which breaks on
+    # derived feature names containing dots); pandas renames them back
+    # to the real feature names inside the worker
+    safe = {c: f"__f{i}" for i, c in enumerate(columns)}
+    base = df.select(*[qcol(c).alias(safe[c]) for c in columns])
     if precode:
         base = base.select(
-            *[F.xxhash64(F.col(c)).alias(c) for c in columns],
+            *[F.xxhash64(F.col(safe[c])).alias(safe[c]) for c in columns],
         )
-    batched = assign_batches(base, n_batches,
-                             key_cols=columns if key_cols is None else key_cols)
+    batch_keys = ([safe[c] for c in columns] if key_cols is None
+                  else [safe.get(c, c) for c in key_cols])
+    batched = assign_batches(base, n_batches, key_cols=batch_keys)
+    unsafe = {v: k for k, v in safe.items()}
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.rename(columns=unsafe)
         pdf = pdf.sort_values("_rk", kind="stable").reset_index(drop=True)
         # The hash sort gives a deterministic, partition-independent
         # order — but it CLUSTERS identical rows into runs, which

@@ -37,6 +37,7 @@ import numpy as np
 import pandas as pd
 
 from outrank_spark.sketches import SKETCH_REGISTRY, sketch_from_bytes
+from outrank_spark.hashing import qcol
 
 __all__ = ["SketchPlan", "SketchCollection", "build_sketches",
            "build_grouped_sketches", "grouped_quantiles"]
@@ -111,6 +112,15 @@ class SketchCollection(dict):
 _HASH_INPUT = {"hll", "parity_hll"}
 
 
+def _chan(col: str) -> str:
+    """Internal channel name for a feature column: dots replaced, so
+    classic pyspark's mapInPandas (which re-resolves every column by
+    name, parsing dots as struct access) accepts derived feature names
+    like ``f1_tr_boxcox_lambda_0.5``.  The blob output still carries
+    the ORIGINAL column name."""
+    return col.replace(".", "\x1f")
+
+
 def _build_partition(plan: SketchPlan):
     """Stage-1 worker: one pass over the partition's Arrow batches.
 
@@ -129,14 +139,15 @@ def _build_partition(plan: SketchPlan):
         for pdf in batches:
             saw = True
             for (col, kind), sk in local.items():
-                if kind in _HASH_INPUT and f"__h_{col}" in pdf.columns:
-                    h = pdf[f"__h_{col}"].to_numpy(np.int64).astype(np.uint64)
+                ch = _chan(col)
+                if kind in _HASH_INPUT and f"__h_{ch}" in pdf.columns:
+                    h = pdf[f"__h_{ch}"].to_numpy(np.int64).astype(np.uint64)
                     sk.update_hashes(h)
                     continue
-                if kind == "coverage" and f"__m_{col}" in pdf.columns:
-                    sk.update_flags(pdf[f"__m_{col}"].to_numpy())
+                if kind == "coverage" and f"__m_{ch}" in pdf.columns:
+                    sk.update_flags(pdf[f"__m_{ch}"].to_numpy())
                     continue
-                vals = pdf[col]
+                vals = pdf[ch]
                 if kind in _NUMERIC_ONLY:
                     sk.update(pd.to_numeric(vals, errors="coerce").to_numpy())
                 elif kind == "coverage":
@@ -160,6 +171,7 @@ def _scan_inputs(df, plan: SketchPlan, jvm_prehash: bool):
     for kinds that require values, hash/flag longs for the rest."""
     from pyspark.sql import functions as F
 
+
     keys = plan.keys()
     raw_needed = set()
     hash_cols: list[str] = []
@@ -172,17 +184,18 @@ def _scan_inputs(df, plan: SketchPlan, jvm_prehash: bool):
             flag_specs.append((col, plan.sketches[kind]))
         else:
             raw_needed.add(col)
-    exprs = [F.col(c) for c in dict.fromkeys(plan.columns) if c in raw_needed]
+    exprs = [qcol(c).alias(_chan(c)) for c in dict.fromkeys(plan.columns)
+             if c in raw_needed]
     for c in hash_cols:
-        exprs.append(F.xxhash64(F.col(c)).alias(f"__h_{c}"))
+        exprs.append(F.xxhash64(qcol(c)).alias(f"__h_{_chan(c)}"))
     for c, params in flag_specs:
         missing = tuple(params.get("missing_symbols", ("", "{}")))
-        cond = F.col(c).isNull()
+        cond = qcol(c).isNull()
         if missing:
-            cond = cond | F.col(c).cast("string").isin(*missing)
+            cond = cond | qcol(c).cast("string").isin(*missing)
         exprs.append(
             F.when(cond, F.lit(1)).otherwise(F.lit(0))
-            .cast("tinyint").alias(f"__m_{c}"),
+            .cast("tinyint").alias(f"__m_{_chan(c)}"),
         )
     return df.select(*exprs)
 

@@ -22,7 +22,9 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from outrank_spark.functions.expr_vault import ExprError, ParsedExpr, parse_expr
+from outrank_spark.functions.expr_vault import (
+    ExprError, ParsedExpr, _SparkTranslator, parse_expr,
+)
 from outrank_spark.functions.vault import resolve_preset
 
 __all__ = ["BatchTransformer", "enrich_with_transformations",
@@ -30,6 +32,7 @@ __all__ = ["BatchTransformer", "enrich_with_transformations",
 
 MAX_MAJORITY_SUPPORT = 0.80
 NAN_PROP_SUPPORT = 0.75
+_GATE_CHUNK = 48  # candidates per gate aggregate pass (codegen bound)
 
 
 def _coerce_numeric_batch(series: pd.Series) -> np.ndarray:
@@ -84,11 +87,17 @@ class BatchTransformer:
 
 
 def _numeric_col(col: str):
-    """Spark equivalent of the reference's string->float coercion."""
-    cleaned = F.regexp_replace(F.col(col).cast("string"), '"', "")
+    """Spark equivalent of the reference's string->float coercion.
+
+    ``try_cast`` (not ``cast``): under ANSI mode a stray non-numeric
+    value must coerce to null like pandas ``to_numeric(errors=
+    'coerce')``, not abort the job."""
+    from outrank_spark.hashing import qcol
+
+    cleaned = F.regexp_replace(qcol(col).cast("string"), '"', "")
     return (
         F.when(F.length(cleaned) == 0, F.lit(0.0))
-        .otherwise(cleaned.cast("double"))
+        .otherwise(cleaned.try_cast("double"))
     )
 
 
@@ -115,44 +124,60 @@ def enrich_with_transformations(
         return df, []
 
     # ---- stage 0: global stat slots (one aggregate pass) ------------
+    # A stat call's argument may itself be an expression
+    # (np.median(np.square(X)) in the verbose vault), so each slot
+    # aggregates over the TRANSLATED inner expression, not raw X.
+    # nan-variants null-mask NaN first: Spark's avg already skips
+    # nulls, but NaN would poison avg and sort above every value in
+    # max — masking reproduces numpy's nan-ignoring semantics.
     stat_map = {"mean": F.avg, "min": F.min, "max": F.max,
-                "std": F.stddev_pop, "var": F.var_pop}
+                "std": F.stddev_pop, "var": F.var_pop,
+                "nanmean": F.avg, "nanmin": F.min, "nanmax": F.max,
+                "nanstd": F.stddev_pop, "nanvar": F.var_pop}
     slot_exprs = {}
     for col in numeric_columns:
         x = _numeric_col(col)
         for p in parsed.values():
-            for kind, key in p.stat_slots:
+            for (kind, key), node in zip(p.stat_slots, p.stat_nodes):
                 slot_key = f"{col}\x1f{key}"
                 if slot_key in slot_exprs:
                     continue
-                if kind == "median":
-                    slot_exprs[slot_key] = F.expr(
-                        f"percentile({_numeric_sql(col)}, 0.5)",
-                    )
+                try:
+                    inner = _SparkTranslator(x, {}).visit(node.args[0])
+                except ExprError:
+                    continue  # nested stats — candidate dropped later
+                if kind.startswith("nan"):
+                    inner = F.when(F.isnan(inner), F.lit(None)) \
+                        .otherwise(inner)
+                if kind in ("median", "nanmedian"):
+                    slot_exprs[slot_key] = F.median(inner)
                 elif kind == "percentile":
                     # np.percentile(X, q) — q is the 2nd literal arg
-                    q = float(key.rsplit(",", 1)[-1].rstrip(")"))
-                    slot_exprs[slot_key] = F.expr(
-                        f"percentile({_numeric_sql(col)}, {q / 100})",
+                    q = float(node.args[1].value)
+                    slot_exprs[slot_key] = F.percentile(
+                        inner, F.lit(q / 100.0),
                     )
                 else:
-                    slot_exprs[slot_key] = stat_map[kind](x)
-    stats_row = (
-        df.agg(*[e.alias(f"s{i}") for i, e in enumerate(slot_exprs.values())])
-        .first()
-        if slot_exprs else None
-    )
-    stats_by_slot = (
-        dict(zip(slot_exprs.keys(),
-                 [stats_row[f"s{i}"] for i in range(len(slot_exprs))]))
-        if stats_row is not None else {}
-    )
+                    slot_exprs[slot_key] = stat_map[kind](inner)
+    # chunked like the gates below: one giant agg over every slot
+    # (n_cols x n_stat_exprs) overwhelms codegen at vault scale
+    stats_by_slot: dict[str, float] = {}
+    slot_items = list(slot_exprs.items())
+    for lo in range(0, len(slot_items), 4 * _GATE_CHUNK):
+        part = slot_items[lo:lo + 4 * _GATE_CHUNK]
+        row = df.agg(*[e.alias(f"s{i}") for i, (_, e) in enumerate(part)]) \
+            .first()
+        for i, (k, _) in enumerate(part):
+            stats_by_slot[k] = row[f"s{i}"]
 
     # ---- candidate expressions --------------------------------------
     candidates = {}
     for col in numeric_columns:
         x = _numeric_col(col)
         for name, p in parsed.items():
+            if any(f"{col}\x1f{key}" not in stats_by_slot
+                   for _, key in p.stat_slots):
+                continue  # slot was untranslatable (e.g. nested stats)
             stats = {
                 key: stats_by_slot[f"{col}\x1f{key}"]
                 for _, key in p.stat_slots
@@ -170,55 +195,69 @@ def enrich_with_transformations(
             out = out.withColumn(fname, expr)
         return out, list(candidates)
 
-    # ---- gates: two wide aggregate passes ---------------------------
+    # ---- gates: two aggregate passes, chunked -----------------------
+    # Each chunk probes <= _GATE_CHUNK candidates (3 aggregates each in
+    # pass 1, 1 in pass 2).  One monolithic agg over a verbose-sized
+    # candidate set (2 cols x ~215 exprs -> ~1300 aggregate
+    # expressions) makes janino's generated-code compile blow the
+    # driver heap; chunking bounds codegen size at a small constant,
+    # at the price of ceil(n/chunk) scans of the (column-pruned)
+    # input — an explicit wide-vault tradeoff.
     names = list(candidates)
-    probe = df.select(
-        *[candidates[n].alias(f"c{i}") for i, n in enumerate(names)],
-    )
-    agg1 = probe.agg(
-        *[F.approx_count_distinct(f"c{i}").alias(f"d{i}") for i in range(len(names))],
-        *[
-            F.avg(
-                F.when(
-                    F.col(f"c{i}").isNull() | F.isnan(F.col(f"c{i}")), 1.0,
-                ).otherwise(0.0),
-            ).alias(f"n{i}")
-            for i in range(len(names))
-        ],
-        *[F.mode(f"c{i}").alias(f"m{i}") for i in range(len(names))],
-    ).first()
-    share_exprs = []
-    for i in range(len(names)):
-        m = agg1[f"m{i}"]
-        if m is None or (isinstance(m, float) and np.isnan(m)):
-            share_exprs.append(
-                F.avg(
-                    F.when(
-                        F.col(f"c{i}").isNull() | F.isnan(F.col(f"c{i}")),
-                        1.0,
-                    ).otherwise(0.0),
-                ).alias(f"f{i}"),
-            )
-        else:
-            share_exprs.append(
-                F.avg(
-                    F.when(F.col(f"c{i}") == F.lit(m), 1.0).otherwise(0.0),
-                ).alias(f"f{i}"),
-            )
-    agg2 = probe.agg(*share_exprs).first()
 
     def _default(v, dflt):
         return dflt if v is None else v
 
     kept = []
-    out = df
-    for i, n in enumerate(names):
-        distinct_ok = _default(agg1[f"d{i}"], 0) > 1
-        nan_ok = _default(agg1[f"n{i}"], 1.0) < NAN_PROP_SUPPORT
-        maj_ok = _default(agg2[f"f{i}"], 1.0) < MAX_MAJORITY_SUPPORT
-        if distinct_ok and nan_ok and maj_ok:
-            out = out.withColumn(n, candidates[n])
-            kept.append(n)
+    for lo in range(0, len(names), _GATE_CHUNK):
+        chunk = names[lo:lo + _GATE_CHUNK]
+        probe = df.select(
+            *[candidates[n].alias(f"c{i}") for i, n in enumerate(chunk)],
+        )
+        agg1 = probe.agg(
+            *[F.approx_count_distinct(f"c{i}").alias(f"d{i}")
+              for i in range(len(chunk))],
+            *[
+                F.avg(
+                    F.when(
+                        F.col(f"c{i}").isNull() | F.isnan(F.col(f"c{i}")),
+                        1.0,
+                    ).otherwise(0.0),
+                ).alias(f"n{i}")
+                for i in range(len(chunk))
+            ],
+            *[F.mode(f"c{i}").alias(f"m{i}") for i in range(len(chunk))],
+        ).first()
+        share_exprs = []
+        for i in range(len(chunk)):
+            m = agg1[f"m{i}"]
+            if m is None or (isinstance(m, float) and np.isnan(m)):
+                share_exprs.append(
+                    F.avg(
+                        F.when(
+                            F.col(f"c{i}").isNull()
+                            | F.isnan(F.col(f"c{i}")),
+                            1.0,
+                        ).otherwise(0.0),
+                    ).alias(f"f{i}"),
+                )
+            else:
+                share_exprs.append(
+                    F.avg(
+                        F.when(F.col(f"c{i}") == F.lit(m), 1.0)
+                        .otherwise(0.0),
+                    ).alias(f"f{i}"),
+                )
+        agg2 = probe.agg(*share_exprs).first()
+        for i, n in enumerate(chunk):
+            distinct_ok = _default(agg1[f"d{i}"], 0) > 1
+            nan_ok = _default(agg1[f"n{i}"], 1.0) < NAN_PROP_SUPPORT
+            maj_ok = _default(agg2[f"f{i}"], 1.0) < MAX_MAJORITY_SUPPORT
+            if distinct_ok and nan_ok and maj_ok:
+                kept.append(n)
+    # single flat projection (a withColumn-per-feature loop builds n
+    # nested Projects -> quadratic analysis time at vault scale)
+    out = df.select("*", *[candidates[n].alias(n) for n in kept])
     return out, kept
 
 

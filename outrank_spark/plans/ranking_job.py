@@ -28,6 +28,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+
 from outrank_spark.operators.pair_scoring import (
     deterministic_subsample,
     score_batches,
@@ -35,6 +36,7 @@ from outrank_spark.operators.pair_scoring import (
 )
 from outrank_spark.operators.sketch_build import SketchPlan, build_sketches
 from outrank_spark.plans.combinations import CombinationPlanner
+from outrank_spark.hashing import qcol
 
 __all__ = ["RankingConfig", "RankingResult", "run_ranking",
            "feature_singles_summary", "aggregate_interactions"]
@@ -132,7 +134,7 @@ def run_ranking(spark, df: DataFrame, cfg: RankingConfig,
     # two lazy passes over the (possibly upstream-cached) input —
     # a cache write of wide string columns costs more than the scans,
     # and the coverage sketch doubles as the row counter
-    sub = deterministic_subsample(df.select(*columns), cfg.subsampling,
+    sub = deterministic_subsample(df.select(*[qcol(c).alias(c) for c in columns]), cfg.subsampling,
                                   key_cols=columns)
 
     # --- ONE sketch scan: cardinality + value counts + coverage ------

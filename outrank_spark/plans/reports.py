@@ -51,14 +51,25 @@ def feature_memory_estimate(df: DataFrame, columns: list[str]) -> dict[str, floa
     """Average encoded bytes per value per column — exact one-pass
     version of ``compute_feature_memory_consumption``
     (core_ranking.py:394-406)."""
-    row = df.agg(
-        *[
-            F.avg(F.length(F.encode(F.col(c).cast("string"), "utf-8")))
-            .alias(c)
-            for c in columns
-        ],
-    ).first()
-    return {c: float(row[c]) if row[c] is not None else 0.0 for c in columns}
+    from outrank_spark.hashing import qcol
+
+    out: dict[str, float] = {}
+    # chunked (vault-enriched relations reach 400+ columns; one agg
+    # with that many expressions strains codegen); positional aliases
+    # because feature names may contain dots
+    for lo in range(0, len(columns), 192):
+        part = columns[lo:lo + 192]
+        row = df.agg(
+            *[
+                F.avg(F.length(F.encode(qcol(c).cast("string"), "utf-8")))
+                .alias(f"s{i}")
+                for i, c in enumerate(part)
+            ],
+        ).first()
+        for i, c in enumerate(part):
+            v = row[f"s{i}"]
+            out[c] = float(v) if v is not None else 0.0
+    return out
 
 
 def numeric_feature_statistics(df: DataFrame,

@@ -109,9 +109,13 @@ def _read_csv_validated(spark: SparkSession, path: str,
         raw_header = f.readline().rstrip("\r\n")
     schema = ", ".join(f"`{c}` string" for c in header)
     opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_c"}
+    # spark.read.text splits on \n and keeps a trailing \r from CRLF
+    # files — strip it, or the header byte-match misses and the last
+    # field of every row carries \r
+    line = F.regexp_replace(F.col("value"), "\r$", "")
     parsed = spark.read.text(path).select(
-        "value",
-        F.from_csv("value", schema + ", `_c` string", opts).alias("p"),
+        line.alias("value"),
+        F.from_csv(line, schema + ", `_c` string", opts).alias("p"),
     )
     valid = (
         parsed.filter(F.col("p._c").isNull()

@@ -116,3 +116,26 @@ class TestCliRankingRoundTrip:
             tmp_path / "out" / "feature_sparsity_summary.tsv", sep="\t",
         )
         assert len(sparsity) > 0
+
+
+def test_data_generator_cc(tmp_path):
+    """--task data_generator --generator_type cc writes a ranked-able
+    csv-raw folder from the distributed CC generator."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "cc_data"
+    r = subprocess.run(
+        [sys.executable, "jobs/rank_job.py", "--task", "data_generator",
+         "--generator_type", "cc", "--num_synthetic_features", "4",
+         "--num_synthetic_rows", "500",
+         "--output_synthetic_df_name", str(out)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import pandas as pd
+
+    pdf = pd.read_csv(out / "data.csv")
+    assert len(pdf) == 500
+    assert list(pdf.columns) == ["f0", "f1", "f2", "f3", "label"]
+    assert set(pdf["label"].unique()) <= {0, 1}

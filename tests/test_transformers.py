@@ -195,3 +195,66 @@ class TestSparkBackendEquivalence:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+class TestVerboseVault:
+    """`verbose` namespace parity (reference default_transformers.py:54,
+    exported via feature_transformer_vault/__init__.py:16)."""
+
+    def test_count_parity(self):
+        from outrank_spark.functions.vault import VERBOSE_TRANSFORMERS
+
+        assert len(VERBOSE_TRANSFORMERS) == 232
+        assert len(resolve_preset("verbose")) == 232
+        # superset sanity: every default transformer appears verbatim
+        for k, v in DEFAULT_TRANSFORMERS.items():
+            assert VERBOSE_TRANSFORMERS[k] == v
+
+    def test_whole_namespace_parses_and_evaluates(self):
+        from outrank_spark.functions.vault import VERBOSE_TRANSFORMERS
+
+        X = np.array([0.0, 1.0, -2.5, 3.7, 10.0, -0.1, 42.0, 0.5])
+        for name, src in VERBOSE_TRANSFORMERS.items():
+            p = parse_expr(src)  # would raise ExprError on a bad expr
+            out = p.to_numpy()(X)
+            assert out.shape == X.shape, name
+
+    def test_batch_transformer_accepts_verbose(self):
+        bt = BatchTransformer(["f1"], preset="verbose")
+        pdf = pd.DataFrame({"f1": np.arange(1.0, 41.0).astype(str)})
+        out = bt.construct_new_features(pdf)
+        assert "f1_tr_sqrt" in out.columns
+        assert "f1_tr_relu" in out.columns          # verbose-only
+        assert "f1_tr_fill_zero_with_mean" in out.columns
+        expected = np.sqrt(np.arange(1.0, 41.0)).astype(str)
+        assert (out["f1_tr_sqrt"].to_numpy() == expected).all()
+
+    def test_enrich_spark_verbose_nested_stats(self, spark):
+        """Stat calls over inner expressions (np.median(np.square(X)))
+        must aggregate the translated inner expression, not raw X."""
+        from pyspark.sql import functions as F
+
+        X = np.arange(1.0, 101.0)
+        sdf = spark.createDataFrame(pd.DataFrame({"a": X}))
+        out, kept = enrich_with_transformations(
+            sdf, ["a"], preset="verbose", gate=False,
+        )
+        got = out.select("`a_tr_round_squared(div(x,median))`").toPandas()
+        exp = np.round(np.square(X) / np.median(np.square(X)), 0)
+        assert np.allclose(
+            got.iloc[:, 0].to_numpy(dtype=float), exp)
+        # nan-variant stat: fill-with-nanmean on a NaN-free column is
+        # identity off the filled positions
+        got2 = out.select("a", "a_tr_fill_zero_with_mean").toPandas()
+        assert np.allclose(got2["a_tr_fill_zero_with_mean"], got2["a"])
+
+    def test_enrich_verbose_stays_jvm_side(self, spark):
+        pdf = pd.DataFrame({"a": np.arange(1.0, 101.0)})
+        sdf = spark.createDataFrame(pdf)
+        out, kept = enrich_with_transformations(
+            sdf, ["a"], preset="verbose", gate=False,
+        )
+        assert len(kept) > 150  # most of the namespace survives
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
