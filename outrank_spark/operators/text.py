@@ -136,11 +136,13 @@ def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
     """Top-k TF-IDF terms per document, corpus-level IDF.
 
     Smoothed sklearn-style idf = ln((1 + N) / (1 + df)) + 1 where df
-    counts documents containing the term.  All-JVM plan: one explode,
-    tf via groupBy(doc, token), df via groupBy(token) over the distinct
-    (doc, token) relation (reused, no second scan of the text), idf
-    joined back, row_number top-k with (score desc, token asc)
-    tiebreak so results are total-ordered.
+    counts documents containing the term.  All-JVM, fully LAZY plan
+    (no action until the caller runs one): one explode, tf via
+    groupBy(doc, token), df via groupBy(token) over the distinct
+    (doc, token) relation, N as a broadcast 1-row countDistinct
+    aggregate, idf joined back, row_number top-k with (score desc,
+    token asc) tiebreak so results are total-ordered.  The text
+    column is scanned exactly once (plan-asserted).
 
     Scale: shuffles keyed by token are Zipf-skewed — the df aggregate
     is a partial-agg groupBy (map-side combine absorbs the head), and
@@ -155,21 +157,32 @@ def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
     tf = toks.groupBy(id_col, "token").agg(
         F.count(F.lit(1)).alias("tf"),
     )
-    n_docs = df.select(id_col).distinct().count()
-    doc_freq = tf.groupBy("token").agg(
-        F.count(F.lit(1)).alias("df"),
+    # N inside the DAG: a 1-row countDistinct aggregate broadcast onto
+    # the scored relation.  No eager action — calling this function
+    # must not run a Spark job (it used to `.count()` here: a second
+    # full pass over the corpus before the real job, and an eager
+    # surprise in composed pipelines).  The aggregate scans only the
+    # id column (parquet-pruned), so the text column is read exactly
+    # once.
+    n_docs_df = df.agg(
+        F.count_distinct(F.col(id_col)).alias("__n_docs"),
     )
-    idf = doc_freq.select(
-        "token",
-        (F.log((1.0 + float(n_docs)) / (1.0 + F.col("df"))) + 1.0)
-        .alias("idf"),
+    # df(token) as a window over tf rather than groupBy+join: tf rows
+    # are exactly the distinct (doc, token) pairs, so counting over a
+    # token window IS the document frequency — and it keeps ONE linear
+    # lineage (a groupBy branch re-joined back makes Spark scan/shuffle
+    # the tf subtree twice) while dropping a whole shuffle stage.
+    w_tok = Window.partitionBy("token")
+    idf = (
+        F.log((1.0 + F.col("__n_docs"))
+              / (1.0 + F.count(F.lit(1)).over(w_tok))) + 1.0
     )
-    score = F.col("tf") * F.col("idf")
+    score = F.col("tf") * idf
     if decimals is not None:
         # round BEFORE ranking: makes the ordering identical across
         # engines' ln() implementations (cross-engine oracle use)
         score = F.round(score, decimals)
-    scored = tf.join(idf, "token").select(
+    scored = tf.crossJoin(F.broadcast(n_docs_df)).select(
         id_col, "token", score.alias("tfidf"),
     )
     w = Window.partitionBy(id_col).orderBy(

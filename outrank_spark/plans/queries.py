@@ -1315,8 +1315,16 @@ def q42_bloom_membership(spark, sf_dir):
     """Distributed Bloom filter over customer keys probed with (a) all
     order customers (must be 100% found — no false negatives) and (b)
     shifted non-member keys (false-positive rate must respect the
-    filter's design bound).  rows-only; FPR bound-tested in pytest."""
-    from outrank_spark.operators.sketch_build import SketchPlan, build_sketches
+    filter's design bound).
+
+    Fully distributed probe: the serialized filter is broadcast and
+    evaluated inside ``mapInPandas`` (operators/sketch_build.
+    probe_bloom) — the member population never collects to the driver
+    (plan-asserted in test_plan_audit).  rows-only; FPR bound-tested
+    in pytest."""
+    from outrank_spark.operators.sketch_build import (
+        SketchPlan, build_sketches, probe_bloom,
+    )
 
     cust = load(spark, sf_dir, "customer")
     n_cust = cust.count()
@@ -1326,19 +1334,19 @@ def q42_bloom_membership(spark, sf_dir):
                                              "fpr": 0.01}}),
     )
     bloom = skc[("c_custkey", "bloom")]
-    members = [
-        str(r[0])
-        for r in load(spark, sf_dir, "orders")
-        .select("o_custkey").distinct().collect()
-    ]
-    nonmembers = [str(10 ** 12 + i) for i in range(5000)]
-    found = bloom.contains(members)
-    fp = bloom.contains(nonmembers)
+    blob = bloom.to_bytes()
+
+    members = load(spark, sf_dir, "orders").select("o_custkey").distinct()
+    nonmembers = spark.range(5000).select(
+        (F.lit(10 ** 12) + F.col("id")).cast("string").alias("key"),
+    )
+    m = probe_bloom(members, "o_custkey", blob).first()
+    nm = probe_bloom(nonmembers, "key", blob).first()
     rows = [(
-        len(members), int(found.sum()),
-        len(nonmembers), int(fp.sum()),
+        int(m["n_probed"]), int(m["n_found"]),
+        int(nm["n_probed"]), int(nm["n_found"]),
         round(float(bloom.estimated_fpr()), 6),
-        bool(found.all()),
+        bool(m["n_found"] == m["n_probed"]),
     )]
     return spark.createDataFrame(
         rows,
@@ -1748,17 +1756,18 @@ ORDER BY lang, doc_id
 """
 
 
-def q52_vocab_overlap(spark, sf_dir):
+def q52_vocab_overlap(spark, sf_dir, langs=None):
     """Estimated distinct-token-vocabulary overlap between language
-    pairs via HLL set algebra (sketches/hll.hll_union /
-    hll_intersection_estimate): one salted grouped build of a per-lang
-    token HLL, then driver-side inclusion-exclusion over the few blobs.
-    Approximate by nature -> rows-only (accuracy bound-tested in
-    tests/test_sketches.py against exact set counts)."""
+    pairs via HLL set algebra (sketches/hll.hll_overlap_matrix): one
+    salted grouped build of a per-lang token HLL, then driver-side
+    inclusion-exclusion over the few kilobyte blobs.
+
+    ``langs`` defaults to every language present in the data (sorted)
+    — the pair list is data-driven, not hardcoded.  Approximate by
+    nature -> rows-only (accuracy bound-tested in tests/
+    test_sketches.py against exact set counts)."""
     from outrank_spark.sketches import HyperLogLog
-    from outrank_spark.sketches.hll import (
-        hll_intersection_estimate, hll_jaccard_estimate, hll_union,
-    )
+    from outrank_spark.sketches.hll import hll_overlap_matrix
     from outrank_spark.operators.sketch_build import build_grouped_sketches
 
     docs = load(spark, sf_dir, "documents")
@@ -1769,15 +1778,9 @@ def q52_vocab_overlap(spark, sf_dir):
                                    kind="hll", params={"p": 14})
     per_lang = {r["key"]: HyperLogLog.from_bytes(bytes(r["blob"]))
                 for r in blobs.collect()}
-    langs = sorted(per_lang)[:4]
-    rows = []
-    for i, la in enumerate(langs):
-        for lb in langs[i + 1:]:
-            a, b = per_lang[la], per_lang[lb]
-            union_est = int(hll_union(a, b).estimate())
-            rows.append((la, lb, union_est,
-                         hll_intersection_estimate(a, b, union_est),
-                         round(hll_jaccard_estimate(a, b, union_est), 4)))
+    if langs is not None:
+        per_lang = {k: v for k, v in per_lang.items() if k in set(langs)}
+    rows = hll_overlap_matrix(per_lang)
     return spark.createDataFrame(
         rows, "lang_a string, lang_b string, union_est long, "
               "inter_est long, jaccard_est double",

@@ -32,7 +32,8 @@ import numpy as np
 from outrank_spark.hashing import hash_values
 
 __all__ = ["HyperLogLog", "ParityHyperLogLog", "hll_union",
-           "hll_intersection_estimate", "hll_jaccard_estimate"]
+           "hll_intersection_estimate", "hll_jaccard_estimate",
+           "hll_overlap_matrix"]
 
 _ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
 
@@ -277,3 +278,27 @@ def hll_jaccard_estimate(a: HyperLogLog, b: HyperLogLog,
     if union_est == 0:
         return 0.0
     return hll_intersection_estimate(a, b, union_est) / union_est
+
+
+def hll_overlap_matrix(per_key: dict) -> list[tuple]:
+    """Pairwise set-overlap estimates over ANY key set.
+
+    ``per_key`` maps key -> HyperLogLog.  Returns sorted
+    ``(key_a, key_b, union_est, intersection_est, jaccard_est)``
+    tuples for every unordered pair — the driver-side finale of a
+    grouped sketch build (operators/sketch_build.
+    build_grouped_sketches): k blobs of ~2^p bytes each, so the
+    driver cost is O(k^2) sketch merges on kilobyte objects, never a
+    data-scale operation."""
+    keys = sorted(per_key)
+    out = []
+    for i, ka in enumerate(keys):
+        for kb in keys[i + 1:]:
+            a, b = per_key[ka], per_key[kb]
+            union_est = int(hll_union(a, b).estimate())
+            out.append((
+                ka, kb, union_est,
+                hll_intersection_estimate(a, b, union_est),
+                round(hll_jaccard_estimate(a, b, union_est), 4),
+            ))
+    return out

@@ -239,3 +239,56 @@ class TestPipelineQueryPlans:
         plan = plan_of(q39_duplicate_clusters(spark, SF))
         assert plan.count("Scan parquet") <= 6
         assert "CartesianProduct" not in plan
+
+
+class TestDistributedProbesAndLaziness:
+    def test_bloom_probe_is_distributed(self, spark):
+        """probe_bloom evaluates membership inside mapInPandas — the
+        probed population never collects to the driver (the q42 shape
+        VERDICT r2 flagged as a driver OOM at scale)."""
+        from outrank_spark.operators.sketch_build import probe_bloom
+        from outrank_spark.sketches.bloom import BloomFilter
+
+        bloom = BloomFilter(capacity=1000, fpr=0.01)
+        bloom.update([str(i) for i in range(100)])
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        probe = probe_bloom(
+            orders.select("o_custkey").distinct(), "o_custkey",
+            bloom.to_bytes(),
+        )
+        plan = plan_of(probe)
+        assert "MapInPandas" in plan
+        row = probe.first()
+        assert row["n_probed"] > 0
+        # q42's source no longer collects the member population
+        import inspect
+
+        from outrank_spark.plans import queries
+
+        src = inspect.getsource(queries.q42_bloom_membership)
+        assert ".collect()" not in src
+
+    def test_tfidf_is_lazy_and_single_text_scan(self, spark):
+        """Constructing tfidf_top_terms must trigger NO Spark job, and
+        the text column must be scanned exactly once (N comes from a
+        pruned id-only aggregate)."""
+        from outrank_spark.operators.text import tfidf_top_terms
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+        # laziness: build over a relation that explodes on any action
+        def boom(batches):
+            raise RuntimeError("action ran")
+            yield  # pragma: no cover
+
+        poisoned = docs.mapInPandas(boom, schema=docs.schema)
+        tfidf_top_terms(poisoned)  # must not raise
+
+        out = tfidf_top_terms(docs, k=2)
+        plan = plan_of(out)
+        text_scans = sum(
+            "text" in seg.split("\n")[0]
+            for seg in plan.split("ReadSchema:")[1:]
+        )
+        assert text_scans == 1, plan
+        assert out.count() > 0

@@ -405,3 +405,38 @@ class TestHLLSetAlgebra:
 
         with _pytest.raises(ValueError):
             hll_union(HyperLogLog(p=12), HyperLogLog(p=14))
+
+
+class TestHllOverlapMatrix:
+    def test_pairwise_overlap_any_keyset(self):
+        """hll_overlap_matrix works over any key set and tracks exact
+        Jaccard within HLL tolerance."""
+        import numpy as np
+
+        from outrank_spark.sketches import HyperLogLog
+        from outrank_spark.sketches.hll import hll_overlap_matrix
+
+        universes = {
+            "a": {f"t{i}" for i in range(0, 6000)},
+            "b": {f"t{i}" for i in range(3000, 9000)},   # |∩ a| = 3000
+            "c": {f"t{i}" for i in range(20000, 26000)},  # disjoint
+        }
+        per_key = {}
+        for k, vals in universes.items():
+            h = HyperLogLog(p=14)
+            h.update(np.array(sorted(vals)))
+            per_key[k] = h
+        rows = hll_overlap_matrix(per_key)
+        assert [(r[0], r[1]) for r in rows] == [
+            ("a", "b"), ("a", "c"), ("b", "c"),
+        ]
+        by_pair = {(r[0], r[1]): r for r in rows}
+        ab = by_pair[("a", "b")]
+        exact_j = 3000 / 9000
+        assert abs(ab[4] - exact_j) < 0.05
+        assert abs(ab[2] - 9000) / 9000 < 0.05     # union estimate
+        ac = by_pair[("a", "c")]
+        assert ac[4] < 0.05                         # disjoint ~ 0
+        # subset selection: a 2-key matrix has exactly one pair
+        assert len(hll_overlap_matrix(
+            {k: per_key[k] for k in ("a", "c")})) == 1
