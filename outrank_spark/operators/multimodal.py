@@ -27,7 +27,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["DecoderRegistry", "media_schema", "with_media_metadata",
-           "decode_and_featurize", "sample_video_frames"]
+           "decode_and_featurize", "sample_video_frames",
+           "decode_ppm", "decode_wav", "wav_sample_rate",
+           "default_registry", "media_quality_gate"]
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, mime string, payload binary, "
@@ -59,6 +61,132 @@ class DecoderRegistry:
             "codecs are not available in this environment (STUB); register "
             "one with DecoderRegistry.register(kind, fn)",
         )
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Pure-numpy binary PPM (P6) decoder -> (h, w, 3) uint8.
+
+    A REAL codec path (not the deterministic fake): PPM is the
+    simplest uncompressed RGB container, decodable with numpy alone —
+    which is exactly what this sandbox has.  Handles comments and
+    maxval <= 255."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header: magic, width, height, maxval — whitespace/comment
+    # separated, then one whitespace byte, then raw RGB
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    i += 1  # the single whitespace after maxval
+    data = np.frombuffer(payload, dtype=np.uint8,
+                         count=w * h * 3, offset=i)
+    return data.reshape(h, w, 3).copy()
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """Pure-numpy RIFF/WAVE PCM16 decoder -> (n_samples, n_channels)
+    int16.  Walks RIFF chunks (fmt / data), rejects non-PCM."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n_channels, bits, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt = int.from_bytes(body[0:2], "little")
+            if audio_fmt != 1:
+                raise ValueError(f"non-PCM wav (format {audio_fmt})")
+            n_channels = int.from_bytes(body[2:4], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if data is None or n_channels is None:
+        raise ValueError("wav missing fmt/data chunk")
+    if bits != 16:
+        raise ValueError(f"{bits}-bit PCM not supported (16 only)")
+    samples = np.frombuffer(data, dtype="<i2")
+    return samples.reshape(-1, n_channels).copy()
+
+
+def wav_sample_rate(payload: bytes) -> int:
+    """Sample rate from the fmt chunk (for duration gating)."""
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        if cid == b"fmt ":
+            return int.from_bytes(payload[pos + 12:pos + 16], "little")
+        pos += 8 + size + (size & 1)
+    raise ValueError("wav missing fmt chunk")
+
+
+def default_registry() -> DecoderRegistry:
+    """Registry with the REAL pure-numpy codecs registered
+    (image/ppm, audio/wav); every other kind still raises the
+    documented NotImplementedError until a library decoder is
+    registered."""
+    reg = DecoderRegistry()
+    reg.register("image/ppm", decode_ppm)
+    reg.register("audio/wav", decode_wav)
+    return reg
+
+
+def media_quality_gate(df: DataFrame, registry: DecoderRegistry,
+                       min_pixels: int = 64,
+                       min_audio_samples: int = 256) -> DataFrame:
+    """Decode-verified quality gate: keep media whose DECODED shape
+    clears the floor (images: h*w >= min_pixels; audio: samples >=
+    min_audio_samples) — metadata lies, payloads don't.  Undecodable
+    payloads are dropped (corrupt media is exactly what a cleaning
+    pipeline removes).  Output: (media_id, kind, decoded_h, decoded_w,
+    keep) — join back on media_id to filter the full table without
+    re-shipping payloads."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, hs, ws, keeps = [], [], [], [], []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"],
+            ):
+                try:
+                    arr = registry.decode(kind, bytes(payload))
+                except Exception:
+                    arr, keep = None, False
+                if arr is not None:
+                    if arr.ndim == 3:      # image (h, w, c)
+                        keep = arr.shape[0] * arr.shape[1] >= min_pixels
+                    else:                  # audio (samples, channels)
+                        keep = arr.shape[0] >= min_audio_samples
+                ids.append(int(mid))
+                kinds.append(kind)
+                hs.append(int(arr.shape[0]) if arr is not None else -1)
+                ws.append(int(arr.shape[1]) if arr is not None else -1)
+                keeps.append(bool(keep))
+            yield pd.DataFrame({
+                "media_id": ids, "kind": kinds, "decoded_h": hs,
+                "decoded_w": ws, "keep": keeps,
+            })
+
+    return df.select("media_id", "kind", "payload").mapInPandas(
+        fn, schema="media_id long, kind string, decoded_h int, "
+                   "decoded_w int, keep boolean",
+    )
 
 
 def deterministic_fake_decoder(shape=(8, 8, 3)):

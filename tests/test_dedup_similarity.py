@@ -662,3 +662,80 @@ class TestContentKeyWidth:
         assert any(r["content_hash"] != r["content_hash2"] for r in rows)
         # grouping unchanged: one cluster of 2, rest singletons
         assert sorted(r["n_copies"] for r in rows)[-1] == 2
+
+
+class TestRealCodecs:
+    """Pure-numpy PPM/WAV decoders — a REAL codec path end to end
+    (no image/audio library in this sandbox), exercised against
+    committed byte fixtures."""
+
+    def test_ppm_fixture_decodes_exact(self):
+        from outrank_spark.operators.multimodal import decode_ppm
+
+        payload = open("tests/fixtures/tiny.ppm", "rb").read()
+        arr = decode_ppm(payload)
+        assert arr.shape == (3, 4, 3)
+        assert arr.dtype == np.uint8
+        # deterministic gradient written by the fixture generator
+        assert np.array_equal(
+            arr.reshape(-1), np.arange(36, dtype=np.uint8))
+
+    def test_wav_fixture_decodes_exact(self):
+        from outrank_spark.operators.multimodal import (
+            decode_wav, wav_sample_rate,
+        )
+
+        payload = open("tests/fixtures/tiny.wav", "rb").read()
+        arr = decode_wav(payload)
+        assert arr.shape == (400, 1)
+        assert arr.dtype == np.int16
+        assert np.array_equal(
+            arr[:, 0], (np.arange(400, dtype=np.int16) * 7 - 1400))
+        assert wav_sample_rate(payload) == 8000
+
+    def test_corrupt_payloads_rejected(self):
+        from outrank_spark.operators.multimodal import (
+            decode_ppm, decode_wav,
+        )
+
+        with pytest.raises(ValueError, match="PPM"):
+            decode_ppm(b"GIF89a....")
+        with pytest.raises(ValueError, match="RIFF"):
+            decode_wav(b"not a wav")
+
+    def test_quality_gate_end_to_end(self, spark):
+        """decode-verified gate: good image kept, sub-floor image and
+        corrupt payload dropped, audio gated on sample count."""
+        from outrank_spark.operators.multimodal import (
+            decode_and_featurize,
+            default_registry,
+            media_quality_gate,
+        )
+
+        ppm = open("tests/fixtures/tiny.ppm", "rb").read()
+        wav = open("tests/fixtures/tiny.wav", "rb").read()
+        rows = [
+            (1, "image/ppm", "image/ppm", ppm, 4, 3, 0),
+            (2, "image/ppm", "image/ppm", b"garbage", 4, 3, 0),
+            (3, "audio/wav", "audio/wav", wav, 0, 0, 50),
+        ]
+        media = spark.createDataFrame(
+            rows,
+            "media_id long, kind string, mime string, payload binary, "
+            "width int, height int, duration_ms int",
+        )
+        reg = default_registry()
+        gate = media_quality_gate(media, reg, min_pixels=10,
+                                  min_audio_samples=256)
+        got = {r["media_id"]: r for r in gate.collect()}
+        assert got[1]["keep"] and got[1]["decoded_h"] == 3
+        assert not got[2]["keep"] and got[2]["decoded_h"] == -1
+        assert got[3]["keep"] and got[3]["decoded_h"] == 400
+        # strict floor drops the 12-pixel image
+        strict = media_quality_gate(media, reg, min_pixels=1000)
+        assert not [r for r in strict.collect()
+                    if r["media_id"] == 1][0]["keep"]
+        # the real codec also flows through decode_and_featurize
+        feats = decode_and_featurize(
+            media.where(F.col("media_id") == 1), reg).collect()
+        assert len(feats) == 1 and len(feats[0]["feature"]) == 8

@@ -284,3 +284,51 @@ class TestLocalFileContract:
     def test_missing_file_clear_error(self, spark, tmp_path):
         with pytest.raises(FileNotFoundError, match="no such file"):
             read_csv_raw(spark, str(tmp_path / "nope"), validate=True)
+
+
+class TestZstInput:
+    """`.zst` line streams decode via pyarrow's zstd codec (reference
+    core_ranking.py:625-632 reads .zst; no Hadoop codec jar here)."""
+
+    def _write_vw_fixture(self, tmp_path, compress):
+        import pyarrow as pa
+
+        (tmp_path / "vw_namespace_map.csv").write_text(
+            "0,f0_f32\n1,f1\n",
+        )
+        lines = "\n".join(
+            f"{i % 2} |A f0_{i % 3} |B f1_{i % 5}" for i in range(40)
+        ) + "\n"
+        if compress == "zst":
+            with pa.CompressedOutputStream(
+                    str(tmp_path / "data.vw.zst"), "zstd") as out:
+                out.write(lines.encode())
+        else:
+            (tmp_path / "data.vw").write_text(lines)
+
+    def test_zst_roundtrip_matches_plain(self, spark, tmp_path):
+        plain_dir = tmp_path / "plain"
+        zst_dir = tmp_path / "zst"
+        plain_dir.mkdir()
+        zst_dir.mkdir()
+        self._write_vw_fixture(plain_dir, "plain")
+        self._write_vw_fixture(zst_dir, "zst")
+        a = read_ob_vw(spark, str(plain_dir))
+        b = read_ob_vw(spark, str(zst_dir))
+        pa_ = a.df.orderBy(*a.df.columns).toPandas()
+        pb_ = b.df.orderBy(*b.df.columns).toPandas()
+        assert pa_.equals(pb_)
+        assert len(pa_) == 40
+
+    def test_read_zst_lines_direct(self, spark, tmp_path):
+        import pyarrow as pa
+
+        from outrank_spark.sources.readers import read_zst_lines
+
+        payload = "alpha\r\nbeta\ngamma\n"
+        path = tmp_path / "x.zst"
+        with pa.CompressedOutputStream(str(path), "zstd") as out:
+            out.write(payload.encode())
+        rows = [r["value"] for r in
+                read_zst_lines(spark, str(path)).collect()]
+        assert rows == ["alpha", "beta", "gamma"]
