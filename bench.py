@@ -282,6 +282,60 @@ def skew_probe(spark, n_pages: int = 2_000_000) -> dict:
     return out
 
 
+
+def asof_probe(spark, n_left: int = 4_000_000,
+               n_right: int = 1_000_000) -> float:
+    """Temporal-operator scale probe: as-of join of n_left events onto
+    n_right quotes over 10k keys — all generated JVM-side from
+    spark.range (no driver data).  Returns wall seconds for the full
+    join + count."""
+    from pyspark.sql import functions as F
+
+    from outrank_spark.operators.temporal import asof_join
+
+    keys = 10_000
+    left = spark.range(n_left).select(
+        (F.col("id") % keys).alias("k"),
+        (F.xxhash64("id") % 1_000_000_000).alias("ts"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(n_right).select(
+        (F.col("id") % keys).alias("k"),
+        (F.xxhash64("id", F.lit(1)) % 1_000_000_000).alias("qts"),
+        (F.col("id") * 2).alias("q"),
+    )
+    t0 = time.time()
+    out = asof_join(left, right, by="k", left_time="ts",
+                    right_time="qts")
+    n = out.count()
+    dt = time.time() - t0
+    assert n == n_left
+    return dt
+
+
+def components_probe(spark, n_edges: int = 4_000_000) -> float:
+    """Graph-operator scale probe: large-star/small-star connected
+    components over n_edges edges forming ~n_edges/8 chained clusters
+    (chains stress the iteration count more than stars).  Returns
+    wall seconds to converge + count."""
+    from pyspark.sql import functions as F
+
+    from outrank_spark.operators.components import connected_components
+
+    chain = 8  # nodes per cluster, wired as a path
+    edges = spark.range(n_edges).select(
+        F.col("id").alias("src"),
+        F.when(F.col("id") % chain == chain - 1, F.col("id"))
+        .otherwise(F.col("id") + 1).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    t0 = time.time()
+    comp = connected_components(edges)
+    n_clusters = comp.select("cluster_id").distinct().count()
+    dt = time.time() - t0
+    assert n_clusters == n_edges // chain
+    return dt
+
+
 def run_suite(cpus: int, sf_dir: str) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from outrank_spark.plans.queries import QUERIES
@@ -408,6 +462,47 @@ def main() -> None:
             f"fanout_t{lo}_sec": round(out[lo][1], 2),
             f"fanout_t{hi}_sec": round(out[hi][1], 2),
         }))
+        return
+
+    if "--scaling-ops" in sys.argv:
+        # item 9: measured (not argued) scale evidence for the
+        # temporal + graph operators at two parallelism levels
+        lo, hi = SCALING_N, 4 * SCALING_N
+        out = {}
+        for n in (lo, hi):
+            r = subprocess.run(
+                [sys.executable, __file__, "--scaling-ops-child", str(n)],
+                capture_output=True, text=True, check=True,
+            )
+            asof, comp = r.stdout.strip().splitlines()[-1].split()
+            out[n] = (float(asof), float(comp))
+        print(json.dumps({
+            "metric": f"asof/components scaling local[{lo}]->local[{hi}]",
+            "unit": "efficiency",
+            "asof_rows": 4_000_000, "components_edges": 4_000_000,
+            f"asof_t{lo}_sec": round(out[lo][0], 2),
+            f"asof_t{hi}_sec": round(out[hi][0], 2),
+            "asof_efficiency": round((out[lo][0] / out[hi][0]) / 4.0, 3),
+            f"components_t{lo}_sec": round(out[lo][1], 2),
+            f"components_t{hi}_sec": round(out[hi][1], 2),
+            "components_efficiency":
+                round((out[lo][1] / out[hi][1]) / 4.0, 3),
+        }))
+        return
+
+    if "--scaling-ops-child" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--scaling-ops-child") + 1])
+        spark = make_spark(n)
+        try:
+            asof_probe(spark, 400_000, 100_000)   # JIT warmup
+            components_probe(spark, 200_000)
+            best_asof = min(asof_probe(spark)
+                            for _ in range(SCALING_REPS))
+            best_comp = min(components_probe(spark)
+                            for _ in range(SCALING_REPS))
+        finally:
+            spark.stop()
+        print(best_asof, best_comp)
         return
 
     if "--scaling-child" in sys.argv:

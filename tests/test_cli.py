@@ -139,3 +139,57 @@ def test_data_generator_cc(tmp_path):
     assert len(pdf) == 500
     assert list(pdf.columns) == ["f0", "f1", "f2", "f3", "label"]
     assert set(pdf["label"].unique()) <= {0, 1}
+
+
+@pytest.mark.slow
+class TestTaskAllParity:
+    def test_task_all_full_artifact_directory(self, tmp_path):
+        """One `--task all` run (ranking -> summary -> visualization,
+        reference __main__.py:268) over the selftest fixture, asserting
+        the COMPLETE artifact directory against the selftest goldens —
+        the end-to-end surface the piecewise tests cover in parts."""
+        cwd = str(tmp_path)
+        # selftest SHAPE (100 features -> the 201-row golden and the
+        # f30 needle) at 40% of the selftest row count so the whole
+        # three-task chain fits one CI subprocess budget; the goldens
+        # asserted below are row-count-invariant
+        res = _run(["--task", "data_generator",
+                    "--num_synthetic_rows", "40000"], cwd)
+        assert res.returncode == 0, res.stderr[-4000:]
+
+        res = _run(["--task", "all",
+                    "--data_path", "test_data_synthetic",
+                    "--data_source", "csv-raw",
+                    "--subsampling", "4",
+                    "--output_folder", "out"], cwd)
+        assert res.returncode == 0, res.stderr[-4000:]
+
+        out = tmp_path / "out"
+        # ranking sinks
+        pairwise = pd.read_csv(out / "pairwise_ranks.tsv", sep="\t")
+        assert pairwise.shape == (201, 3)  # selftest golden
+        top = pairwise.iloc[-1]
+        assert (top["FeatureA"] == "label-(2; 100)"
+                or top["FeatureB"] == "label-(2; 100)")
+        singles = pd.read_csv(out / "feature_singles.tsv", sep="\t")
+        assert len(singles) == 101  # 100 features + label
+        assert singles.iloc[0]["Feature"] == "label-(2; 100)"
+        # f30 needle: best real feature (naive generator binarizes it)
+        non_label = singles[~singles["Feature"].str.startswith("label")]
+        assert non_label.iloc[0]["Feature"].startswith("f30")
+        # JSON / TSV sinks
+        for artifact in ("arguments.json", "timings.json",
+                         "combination_estimation_counts.json",
+                         "value_repetitions.json", "memory.tsv"):
+            assert (out / artifact).exists(), artifact
+        import json as _json
+
+        args_sink = _json.loads((out / "arguments.json").read_text())
+        assert args_sink["heuristic"] == "MI-numba-randomized"
+        # visualization artifacts
+        for artifact in ("heatmap.tsv", "TopClustering.tsv",
+                         "SilhouetteProfile.tsv",
+                         "dendrogram_complete.tsv"):
+            assert (out / artifact).exists(), artifact
+        clusters = pd.read_csv(out / "TopClustering.tsv", sep="\t")
+        assert len(clusters) == len(pairwise["FeatureA"].unique())
