@@ -283,8 +283,8 @@ def skew_probe(spark, n_pages: int = 2_000_000) -> dict:
 
 
 
-def asof_probe(spark, n_left: int = 4_000_000,
-               n_right: int = 1_000_000) -> float:
+def asof_probe(spark, n_left: int = 16_000_000,
+               n_right: int = 4_000_000) -> float:
     """Temporal-operator scale probe: as-of join of n_left events onto
     n_right quotes over 10k keys — all generated JVM-side from
     spark.range (no driver data).  Returns wall seconds for the full
@@ -307,9 +307,14 @@ def asof_probe(spark, n_left: int = 4_000_000,
     t0 = time.time()
     out = asof_join(left, right, by="k", left_time="ts",
                     right_time="qts")
-    n = out.count()
+    # aggregate over the matched column: a bare count() lets Catalyst
+    # prune the (non-filtering) window away and measures nothing
+    row = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.coalesce(F.col("q_asof"), F.lit(0))).alias("s"),
+    ).first()
     dt = time.time() - t0
-    assert n == n_left
+    assert row["n"] == n_left and row["s"] is not None
     return dt
 
 
@@ -479,7 +484,7 @@ def main() -> None:
         print(json.dumps({
             "metric": f"asof/components scaling local[{lo}]->local[{hi}]",
             "unit": "efficiency",
-            "asof_rows": 4_000_000, "components_edges": 4_000_000,
+            "asof_rows": 16_000_000, "components_edges": 4_000_000,
             f"asof_t{lo}_sec": round(out[lo][0], 2),
             f"asof_t{hi}_sec": round(out[hi][0], 2),
             "asof_efficiency": round((out[lo][0] / out[hi][0]) / 4.0, 3),
@@ -494,8 +499,11 @@ def main() -> None:
         n = int(sys.argv[sys.argv.index("--scaling-ops-child") + 1])
         spark = make_spark(n)
         try:
-            asof_probe(spark, 400_000, 100_000)   # JIT warmup
-            components_probe(spark, 200_000)
+            # warm at FULL size: a small-shape warmup leaves the large
+            # probe's first run paying shuffle-file + JIT costs, which
+            # min-of-reps then misreads as steady state
+            asof_probe(spark)
+            components_probe(spark)
             best_asof = min(asof_probe(spark)
                             for _ in range(SCALING_REPS))
             best_comp = min(components_probe(spark)

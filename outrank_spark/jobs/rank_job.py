@@ -373,6 +373,9 @@ def _task_data_generator(spark, args) -> None:
     out_dir = args.output_synthetic_df_name
     os.makedirs(out_dir, exist_ok=True)
     if args.generator_type == "cc":
+        import glob
+        import tempfile
+
         from outrank_spark.sources.categorical_generator import (
             generate_cc_dataframe,
         )
@@ -381,7 +384,18 @@ def _task_data_generator(spark, args) -> None:
             spark, n_features=args.num_synthetic_features,
             n_samples=args.num_synthetic_rows, seed=123,
         ).drop("row_id")
-        pdf = df.toPandas()  # csv-raw layout is a single local file
+        # csv-raw layout is one data.csv: write executor-side (a
+        # coalesce(1) task STREAMS rows — the driver never holds the
+        # dataset, unlike toPandas()) then move the part file in place
+        with tempfile.TemporaryDirectory(dir=out_dir) as tmp:
+            target = os.path.join(tmp, "csv")
+            df.coalesce(1).write.option("header", True).csv(target)
+            part = glob.glob(os.path.join(target, "part-*.csv"))[0]
+            os.replace(part, os.path.join(out_dir, "data.csv"))
+        logger.info("Wrote %d x %d cc dataset to %s/data.csv",
+                    args.num_synthetic_rows,
+                    args.num_synthetic_features + 1, out_dir)
+        return
     else:
         from outrank_spark.sources.ranking_matrix import (
             ranking_matrix_pandas,

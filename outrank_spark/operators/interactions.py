@@ -20,6 +20,7 @@ import itertools
 from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
+from outrank_spark.hashing import qcol
 
 __all__ = [
     "with_interaction_features",
@@ -189,7 +190,7 @@ def with_noise_features(
         F.monotonically_increasing_id().cast("string")
         .alias("CONTROL-int-sequence"),
         F.lower(
-            F.hex(F.xxhash64(*[F.col(c).cast("string") for c in df.columns])),
+            F.hex(F.xxhash64(*[qcol(c).cast("string") for c in df.columns])),
         ).alias("CONTROL-volume"),
     ]
     names = [

@@ -36,6 +36,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from outrank_spark.hashing import qcol
+
 __all__ = ["mi_contingency", "mi_table_scores", "ami_table_scores"]
 
 # sentinel so genuine data NULLs stay a distinct category (the
@@ -55,7 +57,7 @@ def _labelled_cells(df: DataFrame,
                 group_cols.append(c)
 
     proj = df.select(*[
-        F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL)).alias(c)
+        F.coalesce(qcol(c).cast("string"), F.lit(_NULL_SENTINEL)).alias(c)
         for c in group_cols
     ])
 

@@ -91,7 +91,12 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     w, h, maxval = fields
     if maxval > 255:
         raise ValueError("16-bit PPM not supported")
-    i += 1  # the single whitespace after maxval
+    # the single whitespace after maxval — Windows writers emit \r\n,
+    # which must consume BOTH bytes or the raster shifts by one and
+    # every pixel silently corrupts
+    i += 2 if payload[i:i + 2] == b"\r\n" else 1
+    if len(payload) - i < w * h * 3:
+        raise ValueError("PPM raster truncated")
     data = np.frombuffer(payload, dtype=np.uint8,
                          count=w * h * 3, offset=i)
     return data.reshape(h, w, 3).copy()

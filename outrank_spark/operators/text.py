@@ -132,24 +132,31 @@ def with_fingerprints(df: DataFrame, text_col: str = "text",
 
 
 def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
-                    k: int = 3, decimals: int | None = None):
+                    k: int = 3, decimals: int | None = None,
+                    cache_tf: bool = True):
     """Top-k TF-IDF terms per document, corpus-level IDF.
 
     Smoothed sklearn-style idf = ln((1 + N) / (1 + df)) + 1 where df
     counts documents containing the term.  All-JVM, fully LAZY plan
     (no action until the caller runs one): one explode, tf via
-    groupBy(doc, token), df via groupBy(token) over the distinct
-    (doc, token) relation, N as a broadcast 1-row countDistinct
-    aggregate, idf joined back, row_number top-k with (score desc,
-    token asc) tiebreak so results are total-ordered.  The text
-    column is scanned exactly once (plan-asserted).
+    groupBy(doc, token), df via a partial-agg groupBy(token) over tf,
+    N as a broadcast 1-row countDistinct aggregate over the pruned id
+    column, idf joined back, row_number top-k with (score desc,
+    token asc) tiebreak so results are total-ordered.
 
     Scale: shuffles keyed by token are Zipf-skewed — the df aggregate
-    is a partial-agg groupBy (map-side combine absorbs the head), and
-    the tf->idf join is keyed by token with AQE skew splitting; nothing
-    collects the vocabulary to the driver.
+    is a partial-agg groupBy (map-side combine collapses the head
+    token to one row per map task), and the tf->idf join gets AQE
+    skew splitting.  A window over token would be one lineage but NO
+    skew mitigation (every row of a stopword token in one task — a
+    job killer on a web corpus), so the branch-and-join shape is
+    deliberate.  ``cache_tf=True`` persists the tf relation
+    (MEMORY_AND_DISK, spill-safe: |distinct(doc, token)| rows, no raw
+    text) so both consumers materialize the text scan once; pass
+    False to trade a second corpus scan for zero cache footprint.
     """
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token"),
@@ -157,32 +164,30 @@ def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
     tf = toks.groupBy(id_col, "token").agg(
         F.count(F.lit(1)).alias("tf"),
     )
+    if cache_tf:
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     # N inside the DAG: a 1-row countDistinct aggregate broadcast onto
-    # the scored relation.  No eager action — calling this function
-    # must not run a Spark job (it used to `.count()` here: a second
-    # full pass over the corpus before the real job, and an eager
-    # surprise in composed pipelines).  The aggregate scans only the
-    # id column (parquet-pruned), so the text column is read exactly
-    # once.
+    # the idf relation.  No eager action — calling this function must
+    # not run a Spark job (it used to `.count()` here: a second full
+    # pass over the corpus before the real job, and an eager surprise
+    # in composed pipelines).
     n_docs_df = df.agg(
         F.count_distinct(F.col(id_col)).alias("__n_docs"),
     )
-    # df(token) as a window over tf rather than groupBy+join: tf rows
-    # are exactly the distinct (doc, token) pairs, so counting over a
-    # token window IS the document frequency — and it keeps ONE linear
-    # lineage (a groupBy branch re-joined back makes Spark scan/shuffle
-    # the tf subtree twice) while dropping a whole shuffle stage.
-    w_tok = Window.partitionBy("token")
-    idf = (
-        F.log((1.0 + F.col("__n_docs"))
-              / (1.0 + F.count(F.lit(1)).over(w_tok))) + 1.0
+    doc_freq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
     )
-    score = F.col("tf") * idf
+    idf = doc_freq.crossJoin(F.broadcast(n_docs_df)).select(
+        "token",
+        (F.log((1.0 + F.col("__n_docs")) / (1.0 + F.col("df"))) + 1.0)
+        .alias("idf"),
+    )
+    score = F.col("tf") * F.col("idf")
     if decimals is not None:
         # round BEFORE ranking: makes the ordering identical across
         # engines' ln() implementations (cross-engine oracle use)
         score = F.round(score, decimals)
-    scored = tf.crossJoin(F.broadcast(n_docs_df)).select(
+    scored = tf.join(idf, "token").select(
         id_col, "token", score.alias("tfidf"),
     )
     w = Window.partitionBy(id_col).orderBy(

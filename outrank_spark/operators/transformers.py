@@ -152,7 +152,17 @@ def enrich_with_transformations(
                 if kind in ("median", "nanmedian"):
                     slot_exprs[slot_key] = F.median(inner)
                 elif kind == "percentile":
-                    # np.percentile(X, q) — q is the 2nd literal arg
+                    # np.percentile(X, q) — q must be a numeric
+                    # literal; anything else (user JSON vaults can
+                    # pass arbitrary expressions) drops this ONE
+                    # candidate instead of aborting the enrichment
+                    import ast as _ast
+
+                    if not (len(node.args) > 1
+                            and isinstance(node.args[1], _ast.Constant)
+                            and isinstance(node.args[1].value,
+                                           (int, float))):
+                        continue
                     q = float(node.args[1].value)
                     slot_exprs[slot_key] = F.percentile(
                         inner, F.lit(q / 100.0),
@@ -190,9 +200,9 @@ def enrich_with_transformations(
                 continue
 
     if not gate:
-        out = df
-        for fname, expr in candidates.items():
-            out = out.withColumn(fname, expr)
+        out = df.select(
+            "*", *[expr.alias(n) for n, expr in candidates.items()],
+        )
         return out, list(candidates)
 
     # ---- gates: two aggregate passes, chunked -----------------------
@@ -289,9 +299,9 @@ def with_baseline_features(
     missing = tuple(missing_value_symbols)
     flags = []
     for c in cols:
-        cond = F.col(c).isNull()
+        cond = qcol(c).isNull()
         if missing:
-            cond = cond | F.col(c).cast("string").isin(*missing)
+            cond = cond | qcol(c).cast("string").isin(*missing)
         flags.append(F.when(cond, 1).otherwise(0))
     prop = F.round(
         sum(flags[1:], flags[0]) / F.lit(float(len(cols))), 1,

@@ -88,23 +88,43 @@ def read_zst_lines(spark: SparkSession, path: str) -> DataFrame:
     (\n split, trailing \r stripped, no trailing empty line)."""
     bf = spark.read.format("binaryFile").load(path)
 
+    chunk_bytes = 32 << 20  # decode window; bounds worker memory
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow as pa
 
         for pdf in batches:
             for content in pdf["content"]:
+                # stream the decompression in bounded chunks — one
+                # .read() of the whole file would hold decompressed
+                # bytes + decoded str + a per-line list all at once
+                # (3-4x the decompressed size resident in one task)
                 stream = pa.CompressedInputStream(
                     pa.BufferReader(bytes(content)), "zstd",
                 )
-                text = bytes(stream.read()).decode(
-                    "iso-8859-1", errors="replace",
-                )
-                lines = text.split("\n")
-                if lines and lines[-1] == "":
-                    lines.pop()
-                yield pd.DataFrame(
-                    {"value": [ln.rstrip("\r") for ln in lines]},
-                )
+                tail = b""
+                while True:
+                    block = bytes(stream.read(chunk_bytes))
+                    if not block:
+                        break
+                    data = tail + block
+                    cut = data.rfind(b"\n")
+                    if cut < 0:
+                        tail = data
+                        continue
+                    tail = data[cut + 1:]
+                    lines = data[:cut].decode(
+                        "iso-8859-1", errors="replace",
+                    ).split("\n")
+                    yield pd.DataFrame(
+                        {"value": [ln.rstrip("\r") for ln in lines]},
+                    )
+                if tail:  # last line without trailing newline
+                    yield pd.DataFrame(
+                        {"value": [tail.decode("iso-8859-1",
+                                               errors="replace")
+                                   .rstrip("\r")]},
+                    )
 
     return bf.select("content").mapInPandas(fn, schema="value string")
 

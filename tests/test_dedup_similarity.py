@@ -739,3 +739,14 @@ class TestRealCodecs:
         feats = decode_and_featurize(
             media.where(F.col("media_id") == 1), reg).collect()
         assert len(feats) == 1 and len(feats[0]["feature"]) == 8
+
+    def test_ppm_crlf_header(self):
+        """Windows-written P6 (CRLF header terminator) must decode the
+        raster from the right offset, not shift by one byte."""
+        from outrank_spark.operators.multimodal import decode_ppm
+
+        pix = np.arange(12, dtype=np.uint8)
+        arr = decode_ppm(b"P6\r\n2 2\r\n255\r\n" + pix.tobytes())
+        assert np.array_equal(arr.reshape(-1), pix)
+        with pytest.raises(ValueError, match="truncated"):
+            decode_ppm(b"P6\n2 2\n255\n" + b"\x00" * 5)
