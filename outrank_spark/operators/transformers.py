@@ -26,6 +26,7 @@ from outrank_spark.functions.expr_vault import (
     ExprError, ParsedExpr, _SparkTranslator, parse_expr,
 )
 from outrank_spark.functions.vault import resolve_preset
+from outrank_spark.hashing import qcol
 
 __all__ = ["BatchTransformer", "enrich_with_transformations",
            "with_baseline_features"]
@@ -92,8 +93,6 @@ def _numeric_col(col: str):
     ``try_cast`` (not ``cast``): under ANSI mode a stray non-numeric
     value must coerce to null like pandas ``to_numeric(errors=
     'coerce')``, not abort the job."""
-    from outrank_spark.hashing import qcol
-
     cleaned = F.regexp_replace(qcol(col).cast("string"), '"', "")
     return (
         F.when(F.length(cleaned) == 0, F.lit(0.0))
