@@ -1868,6 +1868,171 @@ def q54_grouped_quantile_sketch(spark, sf_dir):
     )
 
 
+
+def q55_transformer_enrichment(spark, sf_dir):
+    """The full derived-feature transformer operator (operators/
+    transformers.enrich_with_transformations, default vault) gated
+    against an exact DuckDB oracle: every expression — including the
+    np.max stat slot (global aggregate) and the np.round -> bround
+    banker's-rounding path (DuckDB round_even) — must match bitwise
+    after round-6 normalization.  gate=False keeps the column set
+    deterministic."""
+    from outrank_spark.operators.transformers import (
+        enrich_with_transformations,
+    )
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") <= 100)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+    out, names = enrich_with_transformations(
+        li, ["l_quantity"], preset="default", gate=False,
+    )
+    renames = {
+        "l_quantity_tr_sqrt": "tr_sqrt",
+        "l_quantity_tr_log(x+1)": "tr_log_x1",
+        "l_quantity_tr_sqrt(abs(x))": "tr_sqrt_abs",
+        "l_quantity_tr_log(abs(x)+1)": "tr_log_abs1",
+        "l_quantity_tr_div(x,abs(x))*log(abs(x))": "tr_signlog",
+        "l_quantity_tr_log(x + sqrt(pow(x,2), 1)": "tr_asinh_log",
+        "l_quantity_tr_log*sqrt": "tr_log_sqrt",
+        "l_quantity_tr_log*100": "tr_log100",
+        "l_quantity_tr_nonzero": "tr_nonzero",
+        "l_quantity_tr_round(div(x,max))": "tr_div_max",
+    }
+    assert set(renames) == set(names), sorted(names)
+    from outrank_spark.hashing import qcol
+
+    return (
+        out.select(
+            "l_orderkey", "l_linenumber",
+            *[F.round(qcol(src), 6).alias(dst)
+              for src, dst in renames.items()],
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+ORACLE_Q55 = """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS q
+  FROM lineitem WHERE l_orderkey <= 100
+), s AS (SELECT max(q) AS qmax FROM base)
+SELECT l_orderkey, l_linenumber,
+  round(sqrt(q), 6)                    AS tr_sqrt,
+  round(ln(q + 1), 6)                  AS tr_log_x1,
+  round(sqrt(abs(q)), 6)               AS tr_sqrt_abs,
+  round(ln(abs(q) + 1), 6)             AS tr_log_abs1,
+  round((q / abs(q)) * ln(abs(q)), 6)  AS tr_signlog,
+  round(ln(q + sqrt(q * q + 1)), 6)    AS tr_asinh_log,
+  round(ln(q + 1) * sqrt(q), 6)        AS tr_log_sqrt,
+  round(round_even(ln(q + 1) * 100, 0), 6) AS tr_log100,
+  round(CASE WHEN q != 0 THEN 1.0 ELSE 0.0 END, 6) AS tr_nonzero,
+  round(round_even(q / qmax, 0), 6)    AS tr_div_max
+FROM base, s
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def q56_cc_generator_profile(spark, sf_dir):
+    """Distributed CategoricalClassification generator (sources/
+    categorical_generator.generate_cc_dataframe): 2000 hash-derived
+    rows x 4 features, percentile-threshold labels, profiled per
+    (label, f0).  Deterministic and partition-invariant by
+    construction (pytest-asserted bitwise across parallelism) but the
+    hash derivation isn't SQL-expressible -> rows-only."""
+    from outrank_spark.sources.categorical_generator import (
+        generate_cc_dataframe,
+    )
+
+    df = generate_cc_dataframe(spark, n_features=4, n_samples=2000,
+                               cardinality=5, seed=11)
+    return (
+        df.groupBy("label", "f0")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("f1"), 6).alias("avg_f1"),
+            F.round(F.avg("f2" ), 6).alias("avg_f2"),
+        )
+        .orderBy("label", "f0")
+    )
+
+
+def q57_media_quality_gate(spark, sf_dir):
+    """Multimodal decode-verified quality gate end to end: synthesize
+    deterministic P6/WAV payloads from document rows (the parquet
+    tables carry no binary media), decode with the REAL pure-numpy
+    codecs, gate on DECODED shape, and profile keep/drop per kind.
+    Every 7th payload is corrupted to exercise the drop path.
+    Binary synthesis + codecs aren't SQL-expressible -> rows-only."""
+    import struct
+
+    import numpy as np
+
+    from outrank_spark.operators.multimodal import (
+        default_registry, media_quality_gate,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "payload": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                seed = np.uint64(did * 2654435761 % (2 ** 32))
+                rng = np.random.Generator(np.random.PCG64(int(seed)))
+                if did % 7 == 0:
+                    payload, kind = b"corrupted-payload", (
+                        "image/ppm" if did % 2 == 0 else "audio/wav")
+                elif did % 2 == 0:
+                    w, h = 2 + did % 6, 2 + did % 4
+                    payload = (f"P6\n{w} {h}\n255\n".encode()
+                               + rng.integers(0, 256, w * h * 3)
+                               .astype(np.uint8).tobytes())
+                    kind = "image/ppm"
+                else:
+                    n = 100 + (did % 5) * 200
+                    data = rng.integers(-1000, 1000, n) \
+                        .astype("<i2").tobytes()
+                    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000,
+                                      2, 16)
+                    payload = (b"RIFF"
+                               + struct.pack("<I", 20 + len(fmt)
+                                             + len(data))
+                               + b"WAVEfmt "
+                               + struct.pack("<I", len(fmt)) + fmt
+                               + b"data"
+                               + struct.pack("<I", len(data)) + data)
+                    kind = "audio/wav"
+                rows["media_id"].append(did)
+                rows["kind"].append(kind)
+                rows["payload"].append(payload)
+            import pandas as pd
+
+            yield pd.DataFrame(rows)
+
+    media = docs.mapInPandas(
+        synth, schema="media_id long, kind string, payload binary",
+    )
+    gate = media_quality_gate(media, default_registry(),
+                              min_pixels=12, min_audio_samples=300)
+    return (
+        gate.groupBy("kind", "keep")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("decoded_h").alias("max_h"),
+            F.min("decoded_h").alias("min_h"),
+        )
+        .orderBy("kind", "keep")
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -1923,6 +2088,9 @@ QUERIES = {
     "q52_vocab_overlap": q52_vocab_overlap,
     "q53_pii_redaction": q53_pii_redaction,
     "q54_grouped_quantile_sketch": q54_grouped_quantile_sketch,
+    "q55_transformer_enrichment": q55_transformer_enrichment,
+    "q56_cc_generator_profile": q56_cc_generator_profile,
+    "q57_media_quality_gate": q57_media_quality_gate,
 }
 
 ORACLES = {
@@ -1968,4 +2136,5 @@ ORACLES = {
     "q53_pii_redaction": ORACLE_Q53,
     # q21-q23, q28-q32, q36: sketch/heuristic results — no SQL
     # equivalent (rows-only checks; accuracy bound-tested in tests/)
+    "q55_transformer_enrichment": ORACLE_Q55,
 }
