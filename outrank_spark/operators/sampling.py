@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["stratified_sample"]
+__all__ = ["stratified_sample", "weighted_sample"]
 
 _KEY_SPACE = 1 << 32  # md5-prefix keys are uniform in [0, 2^32)
 
@@ -77,4 +77,39 @@ def stratified_sample(df: DataFrame, strata_col: str, k: int,
         pool.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_key", "_rn")
+    )
+
+
+def weighted_sample(df: DataFrame, weight_col: str, frac: float,
+                    id_col: str = "doc_id",
+                    seed: str = "ws1") -> DataFrame:
+    """Quality-weighted deterministic sampling (the DSIR/temperature-
+    resampling shape): keep each row with probability
+    ``min(1, frac * w / mean(w))`` so the expected kept fraction is
+    ~``frac`` while higher-weight rows are over-represented.
+
+    The acceptance uniform is the md5-prefix key of ``(seed, id)`` —
+    engine-portable (md5 is bit-identical everywhere, unlike
+    xxhash64), order-free, and reproducible at any parallelism.  The
+    only global state is one broadcast mean — a 1-row aggregate, so
+    the plan stays a scan + filter at 100 TB.  Raise ``frac`` toward
+    the cap-aware effective fraction if many weights saturate
+    ``min(1, .)``."""
+    stats = df.agg(F.avg(F.col(weight_col)).alias("__mean_w"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed),
+                               F.col(id_col).cast("string"))), 1, 8,
+            ), 16, 10,
+        ).cast("double") / F.lit(float(_KEY_SPACE))
+    )
+    keep_p = F.least(
+        F.lit(1.0), F.lit(float(frac)) * F.col(weight_col)
+        / F.col("__mean_w"),
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .where(u < keep_p)
+        .drop("__mean_w")
     )

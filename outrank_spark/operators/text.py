@@ -19,7 +19,8 @@ from outrank_spark.functions.text import (
 
 __all__ = ["fit_langid", "with_language_id", "with_quality_features",
            "redact_pii", "PII_PATTERNS",
-           "with_token_counts", "with_fingerprints", "tfidf_top_terms"]
+           "with_token_counts", "with_fingerprints", "tfidf_top_terms",
+           "ngram_logprob_scores"]
 
 
 def fit_langid(df: DataFrame, text_col: str = "text",
@@ -245,3 +246,48 @@ def redact_pii(df: DataFrame, text_col: str = "text",
         red = F.regexp_replace(red, pat, f"[{kind.upper()}]")
     other = [c for c in df.columns if c != out_col]
     return df.select(*other, red.alias(out_col), *counts)
+
+
+def ngram_logprob_scores(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         alpha: float = 0.5) -> DataFrame:
+    """Corpus-trained bigram-LM quality scores (the CCNet/Gopher
+    LM-filter shape): mean ln P(w2 | w1) per document with Laplace
+    smoothing, P = (C(w1,w2) + alpha) / (C(w1) + alpha * V), where
+    counts and vocabulary V (= distinct successor words) come from the
+    corpus itself.  Low scores flag gibberish/boilerplate; high scores
+    flag natural repetition of corpus-frequent transitions.
+
+    All-JVM: one explode into bigrams, two partial-agg groupBys for
+    the counts, joins back keyed by (w1, w2) / w1 (Zipf-skewed heads
+    handled by map-side combine on the aggregates and AQE skew
+    splitting on the joins), V and nothing else crosses as a 1-row
+    broadcast.  Output: (id, avg_logprob, n_bigrams); documents with
+    fewer than 2 tokens have no bigrams and are absent.
+    """
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("a"),
+    ).where(F.size("a") >= 2)
+    big = toks.select(
+        id_col,
+        F.explode(F.expr(
+            "transform(sequence(1, size(a) - 1), "
+            "i -> struct(element_at(a, i) AS w1, "
+            "element_at(a, i + 1) AS w2))",
+        )).alias("bg"),
+    ).select(id_col, "bg.w1", "bg.w2")
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = big.agg(F.count_distinct("w2").alias("v"))
+    a = float(alpha)
+    return (
+        big.join(c2, ["w1", "w2"]).join(c1, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(F.log(
+                (F.col("c2") + a) / (F.col("c1") + a * F.col("v")),
+            )), 6).alias("avg_logprob"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )

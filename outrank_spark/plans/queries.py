@@ -2033,6 +2033,76 @@ def q57_media_quality_gate(spark, sf_dir):
     )
 
 
+
+def q58_bigram_lm_quality(spark, sf_dir):
+    """Corpus-trained bigram-LM document quality (operators/text.
+    ngram_logprob_scores) vs an exact DuckDB oracle: same Laplace-
+    smoothed conditional, same corpus-derived vocabulary."""
+    from outrank_spark.operators.text import ngram_logprob_scores
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_logprob_scores(docs).orderBy("doc_id")
+
+
+ORACLE_Q58 = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+), flat AS (
+  SELECT doc_id, unnest(a) AS w, generate_subscripts(a, 1) AS i
+  FROM toks
+), big AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, w AS w1,
+           lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+    FROM flat
+  ) WHERE w2 IS NOT NULL
+), c2 AS (
+  SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM big GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT w2) AS v FROM big
+)
+SELECT doc_id,
+       round(avg(ln((c2 + 0.5) / (c1 + 0.5 * v))), 6) AS avg_logprob,
+       count(*) AS n_bigrams
+FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def q59_weighted_sample(spark, sf_dir):
+    """Quality-weighted deterministic sampling (operators/sampling.
+    weighted_sample): keep probability min(1, frac * w / mean(w)) with
+    an md5-prefix acceptance uniform — bit-identical in DuckDB, so the
+    kept set matches EXACTLY, not just statistically.  Weight = token
+    count (longer docs over-sampled)."""
+    from outrank_spark.operators.sampling import weighted_sample
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "w", F.size(F.split("text", " ")).cast("double"),
+    )
+    kept = weighted_sample(docs, "w", frac=0.5, id_col="doc_id")
+    return kept.select("doc_id", F.col("w").alias("weight")) \
+        .orderBy("doc_id")
+
+
+ORACLE_Q59 = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS w
+  FROM documents
+), s AS (SELECT avg(w) AS mean_w FROM base)
+SELECT doc_id, w AS weight
+FROM base, s
+WHERE (('0x' || substr(md5('ws1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       / 4294967296.0) < least(1.0, 0.5 * w / mean_w)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -2091,6 +2161,8 @@ QUERIES = {
     "q55_transformer_enrichment": q55_transformer_enrichment,
     "q56_cc_generator_profile": q56_cc_generator_profile,
     "q57_media_quality_gate": q57_media_quality_gate,
+    "q58_bigram_lm_quality": q58_bigram_lm_quality,
+    "q59_weighted_sample": q59_weighted_sample,
 }
 
 ORACLES = {
@@ -2137,4 +2209,6 @@ ORACLES = {
     # q21-q23, q28-q32, q36: sketch/heuristic results — no SQL
     # equivalent (rows-only checks; accuracy bound-tested in tests/)
     "q55_transformer_enrichment": ORACLE_Q55,
+    "q58_bigram_lm_quality": ORACLE_Q58,
+    "q59_weighted_sample": ORACLE_Q59,
 }

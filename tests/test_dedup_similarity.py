@@ -750,3 +750,31 @@ class TestRealCodecs:
         assert np.array_equal(arr.reshape(-1), pix)
         with pytest.raises(ValueError, match="truncated"):
             decode_ppm(b"P6\n2 2\n255\n" + b"\x00" * 5)
+
+
+class TestBigramLmQuality:
+    def test_frequent_transitions_score_higher(self, spark):
+        """A document made of corpus-frequent bigrams must out-score a
+        document of corpus-unique bigrams; counts follow the smoothed
+        formula exactly."""
+        import math
+
+        from outrank_spark.operators.text import ngram_logprob_scores
+
+        rows = (
+            [(i, "the cat sat on the mat") for i in range(20)]
+            + [(100, "zq xv qj wk pf gz")]       # unique transitions
+            + [(101, "solo")]                     # < 2 tokens: absent
+        )
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               ngram_logprob_scores(df).collect()}
+        assert 101 not in out
+        assert out[0]["avg_logprob"] > out[100]["avg_logprob"]
+        assert out[0]["n_bigrams"] == 5
+        # closed-form check on the rare doc: every bigram unique
+        # -> P = (1 + .5) / (1 + .5 * V) for each of its 5 bigrams
+        v = len({("cat"), ("sat"), ("on"), ("the"), ("mat"),
+                 ("xv"), ("qj"), ("wk"), ("pf"), ("gz")})
+        expected = math.log(1.5 / (1 + 0.5 * v))
+        assert abs(out[100]["avg_logprob"] - round(expected, 6)) < 1e-6

@@ -44,3 +44,41 @@ class TestStratifiedSample:
 def test_internal_column_collision_rejected(docs):
     with pytest.raises(ValueError, match="_key"):
         stratified_sample(docs.withColumn("_key", F.lit(1)), "lang", 5)
+
+
+class TestWeightedSample:
+    def test_expected_fraction_and_weight_bias(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from outrank_spark.operators.sampling import weighted_sample
+
+        n = 4000
+        pdf = pd.DataFrame({
+            "doc_id": np.arange(n),
+            # half the rows have 3x the weight of the other half
+            "w": np.where(np.arange(n) % 2 == 0, 3.0, 1.0),
+        })
+        df = spark.createDataFrame(pdf)
+        kept = weighted_sample(df, "w", frac=0.4).toPandas()
+        # overall kept fraction ~ frac (mean w = 2 -> p = .6 / .2)
+        assert abs(len(kept) / n - 0.4) < 0.04
+        heavy = (kept["w"] == 3.0).mean()
+        assert heavy > 0.7  # 3x weight -> 3x acceptance rate
+
+    def test_deterministic_and_partition_invariant(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from outrank_spark.operators.sampling import weighted_sample
+
+        pdf = pd.DataFrame({"doc_id": np.arange(1000),
+                            "w": np.arange(1000) % 7 + 1.0})
+        a = weighted_sample(
+            spark.createDataFrame(pdf).repartition(2), "w", 0.3,
+        ).toPandas().sort_values("doc_id").reset_index(drop=True)
+        b = weighted_sample(
+            spark.createDataFrame(pdf).repartition(16), "w", 0.3,
+        ).toPandas().sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
+        assert len(a) > 0
