@@ -409,7 +409,13 @@ def q14_ngram_jaccard_pairs(spark, sf_dir):
         "ELSE array() END"
     )
     shingles = docs.select(
-        "doc_id", F.explode(F.expr(sh_expr)).alias("shingle"),
+        "doc_id", F.explode(F.expr(sh_expr)).alias("sh_str"),
+    ).select(
+        "doc_id",
+        # join on the 64-bit shingle hash, not the string: same pair
+        # counts (collision odds ~ |shingles|^2 / 2^65), ~2.5x
+        # narrower shuffle rows
+        F.xxhash64("sh_str").alias("shingle"),
     )
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = shingles.alias("a")
