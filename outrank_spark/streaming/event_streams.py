@@ -38,7 +38,8 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-__all__ = ["windowed_event_counts", "sessionize_stream", "SESSION_SCHEMA"]
+__all__ = ["windowed_event_counts", "sessionize_stream",
+           "SESSION_SCHEMA", "streaming_exact_dedup"]
 
 
 def windowed_event_counts(stream: DataFrame, window: str = "1 hour",
@@ -141,4 +142,34 @@ def sessionize_stream(stream: DataFrame, gap_minutes: int = 30,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_exact_dedup(stream: DataFrame, text_col: str = "text",
+                          ts_col: str = "ts",
+                          watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: drop any document whose content was
+    already seen within the watermark horizon.
+
+    State-store-backed ``dropDuplicatesWithinWatermark`` keyed on the
+    SAME 128-bit content key as the batch :func:`~outrank_spark.
+    operators.dedup.exact_dedup` (two independent xxhash64 lanes — a
+    single 64-bit key birthday-collides at multi-billion-doc scale),
+    so a batch backfill and the live stream agree on what counts as a
+    duplicate.  The watermark bounds state: per-key entries expire
+    once the event-time horizon passes, which is what makes this
+    run forever at ingest scale — an unbounded exact-dedup stream
+    would hold every content hash ever seen.
+    """
+    from pyspark.sql import functions as F
+
+    from outrank_spark.operators.dedup import _content_key
+
+    h1, h2 = _content_key(text_col)
+    return (
+        stream
+        .withColumn("_h", h1).withColumn("_h2", h2)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_h", "_h2"])
+        .drop("_h", "_h2")
     )

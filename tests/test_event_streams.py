@@ -191,3 +191,51 @@ class TestWindowedCounts:
             ("2024-01-01 11:00:00", "a"): 1,
             ("2024-01-01 11:00:00", "b"): 1,
         }
+
+
+class TestStreamingExactDedup:
+    def test_duplicates_dropped_within_watermark(self, spark, tmp_path):
+        """Duplicate texts arriving in later micro-batches are dropped;
+        the kept set equals the batch exact_dedup keepers."""
+        import datetime
+
+        import pandas as pd
+
+        from outrank_spark.streaming.event_streams import (
+            streaming_exact_dedup,
+        )
+
+        t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+        data_dir = tmp_path / "docs"
+        chunks = [
+            [(1, "alpha beta", t0), (2, "gamma delta", t0)],
+            [(3, "alpha beta", t0 + datetime.timedelta(minutes=1)),
+             (4, "epsilon", t0 + datetime.timedelta(minutes=1))],
+            [(5, "gamma delta", t0 + datetime.timedelta(minutes=2)),
+             (6, "zeta", t0 + datetime.timedelta(minutes=2))],
+        ]
+        for i, rows in enumerate(chunks):
+            spark.createDataFrame(
+                pd.DataFrame(rows, columns=["doc_id", "text", "ts"]),
+            ).coalesce(1).write.mode("append").parquet(str(data_dir))
+
+        stream = (
+            spark.readStream
+            .schema("doc_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(data_dir))
+        )
+        out_dir = tmp_path / "out"
+        q = (
+            streaming_exact_dedup(stream, watermark="30 minutes")
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.read.parquet(str(out_dir)).toPandas()
+        kept_texts = sorted(got["text"])
+        assert kept_texts == ["alpha beta", "epsilon", "gamma delta",
+                              "zeta"]
