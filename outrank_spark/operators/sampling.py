@@ -15,7 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["stratified_sample", "weighted_sample"]
+__all__ = ["stratified_sample", "weighted_sample",
+           "temperature_rebalance"]
 
 _KEY_SPACE = 1 << 32  # md5-prefix keys are uniform in [0, 2^32)
 
@@ -112,4 +113,55 @@ def weighted_sample(df: DataFrame, weight_col: str, frac: float,
         df.crossJoin(F.broadcast(stats))
         .where(u < keep_p)
         .drop("__mean_w")
+    )
+
+
+def temperature_rebalance(df: DataFrame, group_col: str,
+                          tau: float = 0.5,
+                          id_col: str = "doc_id",
+                          seed: str = "tr1") -> DataFrame:
+    """Temperature-based group rebalancing (the multilingual
+    data-balancing scheme of mT5/XLM-R): downsample so group shares
+    become proportional to ``share^tau``.  ``tau < 1`` flattens the
+    distribution toward rare groups; ``tau = 1`` is a no-op; ``tau =
+    0`` targets uniform shares.
+
+    Sampling-only (no replication): per-group keep fraction is
+    ``share^(tau-1)`` scaled so the most-upweighted group (the
+    smallest, for tau < 1) is kept in full.  Acceptance uses the
+    md5-prefix uniform on ``(seed, id)`` — deterministic, order-free,
+    engine-portable.  Plan: one grouped count (a few rows), a
+    broadcast join of the per-group fractions, one filter — scan-
+    dominated at any corpus size.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    tot = counts.agg(F.sum("__n").alias("__tot"))
+    raw = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            F.pow(F.col("__n") / F.col("__tot"), F.lit(tau - 1.0))
+            .alias("__raw"),
+        )
+    )
+    scale = raw.agg(F.max("__raw").alias("__max_raw"))
+    fracs = (
+        raw.crossJoin(F.broadcast(scale))
+        .select(
+            group_col,
+            (F.col("__raw") / F.col("__max_raw")).alias("__keep_frac"),
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed),
+                               F.col(id_col).cast("string"))), 1, 8,
+            ), 16, 10,
+        ).cast("double") / F.lit(float(_KEY_SPACE))
+    )
+    return (
+        df.join(F.broadcast(fracs), group_col)
+        .where(u < F.col("__keep_frac"))
+        .drop("__keep_frac")
     )

@@ -2109,6 +2109,45 @@ ORDER BY doc_id
 """
 
 
+
+def q60_temperature_rebalance(spark, sf_dir):
+    """Temperature rebalancing by language (operators/sampling.
+    temperature_rebalance, tau=0.5): rare languages kept in full,
+    dominant ones downsampled toward share^0.5 — the multilingual
+    mixing scheme — with the md5-parity acceptance uniform so the
+    kept set matches the DuckDB oracle row-for-row."""
+    from outrank_spark.operators.sampling import temperature_rebalance
+
+    docs = load(spark, sf_dir, "documents")
+    kept = temperature_rebalance(docs, "lang", tau=0.5)
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"),
+             F.min("doc_id").alias("min_id"),
+             F.max("doc_id").alias("max_id"),
+             F.sum("doc_id").alias("id_sum"))
+        .orderBy("lang")
+    )
+
+
+ORACLE_Q60 = """
+WITH counts AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+), tot AS (SELECT sum(n) AS tot FROM counts),
+raw AS (
+  SELECT lang, pow(n / tot, 0.5 - 1.0) AS raw FROM counts, tot
+), s AS (SELECT max(raw) AS max_raw FROM raw),
+fracs AS (SELECT lang, raw / max_raw AS keep_frac FROM raw, s)
+SELECT d.lang, count(*) AS n_kept, min(doc_id) AS min_id,
+       max(doc_id) AS max_id, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents d JOIN fracs f ON d.lang = f.lang
+WHERE (('0x' || substr(md5('tr1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       / 4294967296.0) < keep_frac
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -2169,6 +2208,7 @@ QUERIES = {
     "q57_media_quality_gate": q57_media_quality_gate,
     "q58_bigram_lm_quality": q58_bigram_lm_quality,
     "q59_weighted_sample": q59_weighted_sample,
+    "q60_temperature_rebalance": q60_temperature_rebalance,
 }
 
 ORACLES = {
@@ -2217,4 +2257,5 @@ ORACLES = {
     "q55_transformer_enrichment": ORACLE_Q55,
     "q58_bigram_lm_quality": ORACLE_Q58,
     "q59_weighted_sample": ORACLE_Q59,
+    "q60_temperature_rebalance": ORACLE_Q60,
 }

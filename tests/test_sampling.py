@@ -82,3 +82,43 @@ class TestWeightedSample:
         ).toPandas().sort_values("doc_id").reset_index(drop=True)
         assert a.equals(b)
         assert len(a) > 0
+
+
+class TestTemperatureRebalance:
+    def test_flattens_toward_rare_groups(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from outrank_spark.operators.sampling import (
+            temperature_rebalance,
+        )
+
+        pdf = pd.DataFrame({
+            "doc_id": np.arange(10_000),
+            "lang": np.where(np.arange(10_000) % 10 == 0, "rare",
+                             "big"),
+        })
+        df = spark.createDataFrame(pdf)
+        kept = temperature_rebalance(df, "lang", tau=0.5).toPandas()
+        by = kept.groupby("lang").size()
+        # rare group (10%) kept in full; big group downsampled to
+        # share^-.5 ratio: keep_frac_big = (0.9/0.1)^-0.5 ~ 1/3
+        assert by["rare"] == 1000
+        assert abs(by["big"] / 9000 - (1 / 9) ** 0.5) < 0.03
+        # post-rebalance shares ~ s^tau normalized: sqrt(.1)/(sqrt(.1)+sqrt(.9))
+        exp_rare_share = 0.1 ** 0.5 / (0.1 ** 0.5 + 0.9 ** 0.5)
+        assert abs(by["rare"] / len(kept) - exp_rare_share) < 0.03
+
+    def test_tau_one_is_identity(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from outrank_spark.operators.sampling import (
+            temperature_rebalance,
+        )
+
+        pdf = pd.DataFrame({"doc_id": np.arange(500),
+                            "lang": ["a", "b"] * 250})
+        df = spark.createDataFrame(pdf)
+        kept = temperature_rebalance(df, "lang", tau=1.0)
+        assert kept.count() == 500  # every keep_frac == 1
