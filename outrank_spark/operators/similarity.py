@@ -24,7 +24,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["brute_force_topk", "lsh_topk", "ivf_topk", "kmeans_fit"]
+__all__ = ["brute_force_topk", "lsh_topk", "ivf_topk", "kmeans_fit",
+           "semantic_dedup"]
 
 
 def _cosine_cols(qv, ev):
@@ -297,3 +298,65 @@ def kmeans_fit(df: DataFrame, vec_col: str = "embedding", k: int = 16,
         if shift < tol:
             break
     return centroids, inertia
+
+
+def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
+                   id_col: str = "vec_id", k: int = 64,
+                   cos_threshold: float = 0.95,
+                   seed: int = 20141025) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    k-means-cluster the (normalized) embeddings, then WITHIN each
+    cluster drop every vector whose cosine to a lower-id cluster-mate
+    exceeds ``cos_threshold``.
+
+    Pipeline: :func:`kmeans_fit` (driver holds only k centroids) ->
+    one ``mapInPandas`` cell assignment -> per-cell pairwise cosine in
+    ``applyInPandas`` (quadratic ONLY within a cell — k bounds cell
+    size to ~N/k, the knob that keeps the verify stage linear-ish at
+    corpus scale; raise k as N grows) -> anti-join the losers.
+    Returns ``df`` minus semantic duplicates; keeps the minimum id of
+    every near-duplicate group, exactly like the text-dedup family.
+    """
+    from pyspark.sql import functions as F
+
+    norm = df.select(
+        F.col(id_col), F.col(vec_col),
+    )
+    centroids, _ = kmeans_fit(df, vec_col=vec_col, k=k, seed=seed)
+    cent = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12,
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vn = vecs / np.maximum(
+                np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12,
+            )
+            cells = (vn @ cent.T).argmax(axis=1)
+            yield pd.DataFrame({
+                "id": pdf[id_col].to_numpy(),
+                "cell": cells.astype(np.int32),
+                "vec": [v.tolist() for v in vn],
+            })
+
+    assigned = norm.mapInPandas(
+        assign, schema="id long, cell int, vec array<double>",
+    )
+
+    thr = float(cos_threshold)
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        vecs = np.stack(pdf["vec"].to_numpy()[order])
+        sims = vecs @ vecs.T
+        # drop j if any i < j has cos(i, j) > threshold
+        upper = np.triu(sims, 1) > thr
+        losers = ids[upper.any(axis=0)]
+        return pd.DataFrame({"id": losers})
+
+    losers = assigned.groupBy("cell").applyInPandas(
+        prune, schema="id long",
+    ).withColumnRenamed("id", id_col)
+    return df.join(losers, id_col, "left_anti")

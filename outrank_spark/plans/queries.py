@@ -2148,6 +2148,25 @@ ORDER BY d.lang
 """
 
 
+
+def q61_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication over the embeddings table
+    (operators/similarity.semantic_dedup): cluster with distributed
+    k-means, prune within-cluster cosine near-duplicates, profile the
+    survivors per label.  k-means assignment isn't SQL-expressible ->
+    rows-only (planted-duplicate recall asserted in pytest)."""
+    from outrank_spark.operators.similarity import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    kept = semantic_dedup(emb, k=8, cos_threshold=0.99)
+    return (
+        kept.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_kept"),
+             F.min("vec_id").alias("min_id"))
+        .orderBy("label")
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -2209,6 +2228,7 @@ QUERIES = {
     "q58_bigram_lm_quality": q58_bigram_lm_quality,
     "q59_weighted_sample": q59_weighted_sample,
     "q60_temperature_rebalance": q60_temperature_rebalance,
+    "q61_semantic_dedup": q61_semantic_dedup,
 }
 
 ORACLES = {

@@ -778,3 +778,37 @@ class TestBigramLmQuality:
                  ("xv"), ("qj"), ("wk"), ("pf"), ("gz")})
         expected = math.log(1.5 / (1 + 0.5 * v))
         assert abs(out[100]["avg_logprob"] - round(expected, 6)) < 1e-6
+
+
+class TestSemanticDedup:
+    def test_planted_semantic_dups_pruned(self, spark):
+        """Near-identical embedding pairs collapse to the minimum id;
+        distinct vectors survive."""
+        import pandas as pd
+
+        from outrank_spark.operators.similarity import semantic_dedup
+
+        rng = np.random.default_rng(17)
+        base = rng.standard_normal((40, 16))
+        rows = []
+        vid = 0
+        for i in range(40):
+            rows.append((vid, base[i].tolist())); vid += 1
+        # plant 10 near-duplicates of the first 10 vectors
+        for i in range(10):
+            dup = base[i] + rng.standard_normal(16) * 0.01
+            rows.append((vid, dup.tolist())); vid += 1
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        kept = semantic_dedup(df, k=4, cos_threshold=0.95).toPandas()
+        kept_ids = set(kept["vec_id"])
+        # all 40 originals kept, all 10 planted dups pruned
+        assert set(range(40)) <= kept_ids
+        assert kept_ids.isdisjoint(range(40, 50))
+
+    def test_threshold_one_keeps_everything(self, spark):
+        from outrank_spark.operators.similarity import semantic_dedup
+
+        rng = np.random.default_rng(3)
+        rows = [(i, rng.standard_normal(8).tolist()) for i in range(30)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        assert semantic_dedup(df, k=2, cos_threshold=1.01).count() == 30
