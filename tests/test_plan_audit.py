@@ -291,3 +291,40 @@ class TestDistributedProbesAndLaziness:
         # both tf consumers read the cache, not the parquet text scan
         assert "InMemoryTableScan" in plan
         spark.catalog.clearCache()
+
+
+class TestSamplingAndLmPlans:
+    def test_weighted_sample_is_scan_plus_broadcast(self, spark):
+        """weighted_sample must not shuffle the data relation: one
+        1-row aggregate, broadcast-joined, then a filter at the scan."""
+        from outrank_spark.operators.sampling import weighted_sample
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet") \
+            .withColumn("w", F.length("text").cast("double"))
+        plan = plan_of(weighted_sample(docs, "w", 0.5))
+        assert "BroadcastNestedLoopJoin" in plan or \
+            "BroadcastExchange" in plan
+        # the big side never exchanges by a key (only the broadcast)
+        data_side = plan.split("Broadcast")[0]
+        assert "Exchange hashpartitioning" not in data_side
+
+    def test_temperature_rebalance_broadcasts_fractions(self, spark):
+        from outrank_spark.operators.sampling import (
+            temperature_rebalance,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        out = temperature_rebalance(docs, "lang", tau=0.5)
+        plan = plan_of(out)
+        assert "BroadcastHashJoin" in plan
+        assert out.count() > 0
+
+    def test_bigram_lm_partial_aggregates(self, spark):
+        """Both count aggregates must partial-aggregate (map-side
+        combine is what absorbs Zipf head tokens)."""
+        from outrank_spark.operators.text import ngram_logprob_scores
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = plan_of(ngram_logprob_scores(docs))
+        # partial_count before the exchange for both groupBys
+        assert plan.count("partial_count") >= 2
