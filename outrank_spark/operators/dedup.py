@@ -41,6 +41,7 @@ __all__ = [
     "minhash_lsh_candidates", "ngram_jaccard_pairs",
     "simhash_signatures", "simhash_candidates",
     "embedding_neardup_candidates", "near_dedup_corpus",
+    "winnowed_span_pairs",
 ]
 
 
@@ -474,4 +475,66 @@ def near_dedup_corpus(df: DataFrame, text_col: str = "text",
     )
     return keep_canonical(
         df, exact_edges.union(near_edges), id_col=id_col,
+    )
+
+
+def winnowed_span_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", ngram: int = 3,
+                        window: int = 4, hash_fn: str = "xxhash64",
+                        max_fp_freq: int | None = 100_000) -> DataFrame:
+    """Duplicated-SPAN candidates by winnowing (Schleimer et al. 2003,
+    the MOSS fingerprinting scheme; substring-level dedup a la Lee et
+    al. 2022): hash every token ``ngram``, keep the minimum hash of
+    each sliding ``window`` of grams — any shared substring of at
+    least ``window + ngram - 1`` tokens is GUARANTEED to share a
+    fingerprint — then pair documents by shared fingerprints.
+
+    Fully JVM-side: grams + winnow are one array expression at the
+    scan (no shuffle until the fingerprint explode), the pair join is
+    keyed by fingerprint hashes (uniform), and ``max_fp_freq`` drops
+    boilerplate fingerprints via a broadcast anti-join exactly like
+    the shingle path.  ``hash_fn='md5'`` swaps the gram hash for the
+    md5-prefix key, which DuckDB reproduces bit-for-bit — the
+    cross-engine oracle path (q62).
+
+    Returns ``(id_a, id_b, n_shared_fps)``.
+    """
+    if hash_fn == "xxhash64":
+        gram = (f"xxhash64(concat_ws(' ', "
+                f"slice(split({text_col}, ' '), i, {ngram})))")
+    elif hash_fn == "md5":
+        gram = (f"CAST(conv(substr(md5(concat_ws(' ', "
+                f"slice(split({text_col}, ' '), i, {ngram}))), 1, 8), "
+                f"16, 10) AS BIGINT)")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    grams_expr = (
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) "
+        f"- {ngram} + 1, 0)), i -> {gram})"
+    )
+    winnow_expr = (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size(grams) - {window} + 1, 0)), "
+        f"j -> array_min(slice(grams, j, {window}))))"
+    )
+    # two projections so the gram array materializes ONCE per doc —
+    # inlining it re-hashes every gram `window` times
+    fps = (
+        df.select(F.col(id_col), F.expr(grams_expr).alias("grams"))
+        .select(F.col(id_col), F.explode(F.expr(winnow_expr)).alias("fp"))
+    )
+    if max_fp_freq is not None:
+        stop = (
+            fps.groupBy("fp").agg(F.count(F.lit(1)).alias("f"))
+            .filter(F.col("f") > max_fp_freq)
+            .select("fp")
+        )
+        fps = fps.join(F.broadcast(stop), "fp", "left_anti")
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
     )

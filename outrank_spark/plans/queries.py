@@ -2167,6 +2167,49 @@ def q61_semantic_dedup(spark, sf_dir):
     )
 
 
+
+def q62_winnowed_spans(spark, sf_dir):
+    """Substring-level duplicate-span candidates by winnowing
+    (operators/dedup.winnowed_span_pairs, md5 hash path) vs an exact
+    DuckDB oracle: any shared >= 6-token span guarantees a shared
+    fingerprint.  Top-20 pairs by shared-fingerprint count."""
+    from outrank_spark.operators.dedup import winnowed_span_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        winnowed_span_pairs(docs, ngram=3, window=4, hash_fn="md5")
+        .orderBy(F.desc("n_shared_fps"), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+ORACLE_Q62 = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+    list_transform(range(1, len(toks) - 3 + 2),
+      i -> ('0x' || substr(md5(array_to_string(
+             list_slice(toks, i, i + 3 - 1), ' ')), 1, 8))::BIGINT)
+    AS grams
+  FROM t WHERE len(toks) >= 3
+), wn AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, len(grams) - 4 + 2),
+      j -> list_min(list_slice(grams, j, j + 4 - 1)))) AS fps
+  FROM g WHERE len(grams) >= 4
+), flat AS (
+  SELECT doc_id, unnest(fps) AS fp FROM wn
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       count(*) AS n_shared_fps
+FROM flat a JOIN flat b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY n_shared_fps DESC, id_a, id_b
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -2229,6 +2272,7 @@ QUERIES = {
     "q59_weighted_sample": q59_weighted_sample,
     "q60_temperature_rebalance": q60_temperature_rebalance,
     "q61_semantic_dedup": q61_semantic_dedup,
+    "q62_winnowed_spans": q62_winnowed_spans,
 }
 
 ORACLES = {
@@ -2278,4 +2322,5 @@ ORACLES = {
     "q58_bigram_lm_quality": ORACLE_Q58,
     "q59_weighted_sample": ORACLE_Q59,
     "q60_temperature_rebalance": ORACLE_Q60,
+    "q62_winnowed_spans": ORACLE_Q62,
 }

@@ -812,3 +812,40 @@ class TestSemanticDedup:
         rows = [(i, rng.standard_normal(8).tolist()) for i in range(30)]
         df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
         assert semantic_dedup(df, k=2, cos_threshold=1.01).count() == 30
+
+
+class TestWinnowedSpans:
+    def test_shared_span_guarantees_fingerprint(self, spark):
+        """Winnowing guarantee: any shared span of >= window+ngram-1
+        tokens yields a shared fingerprint; disjoint docs share none."""
+        from outrank_spark.operators.dedup import winnowed_span_pairs
+
+        span = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+        rows = [
+            (1, f"one two {span} three four"),
+            (2, f"five six seven {span} eight"),
+            (3, "nine ten eleven twelve thirteen fourteen fifteen"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = {(r["id_a"], r["id_b"]): r["n_shared_fps"]
+                 for r in winnowed_span_pairs(
+                     df, ngram=3, window=4).collect()}
+        assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+        assert all(3 not in p for p in pairs)
+
+    def test_both_hash_paths_honor_the_guarantee(self, spark):
+        """The winnowing guarantee holds under either gram hash.
+        (Partially-overlapping docs may pair differently across hash
+        functions — each picks different window minima — but a fully
+        shared >= window+ngram-1 span must pair under BOTH.)"""
+        from outrank_spark.operators.dedup import winnowed_span_pairs
+
+        span = " ".join(f"s{j}" for j in range(8))
+        rows = [(1, f"a b {span} c"), (2, f"d {span} e f"),
+                (3, "q r s t u v w x y z")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for hash_fn in ("xxhash64", "md5"):
+            pairs = {(r["id_a"], r["id_b"]) for r in
+                     winnowed_span_pairs(df, hash_fn=hash_fn).collect()}
+            assert (1, 2) in pairs
+            assert all(3 not in p for p in pairs)
