@@ -20,7 +20,7 @@ from outrank_spark.functions.text import (
 __all__ = ["fit_langid", "with_language_id", "with_quality_features",
            "redact_pii", "PII_PATTERNS",
            "with_token_counts", "with_fingerprints", "tfidf_top_terms",
-           "ngram_logprob_scores"]
+           "ngram_logprob_scores", "normalize_text"]
 
 
 def fit_langid(df: DataFrame, text_col: str = "text",
@@ -291,3 +291,58 @@ def ngram_logprob_scores(df: DataFrame, text_col: str = "text",
             F.count(F.lit(1)).alias("n_bigrams"),
         )
     )
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   unicode_form: str | None = "NFC",
+                   strip_control: bool = True,
+                   collapse_whitespace: bool = True,
+                   lowercase: bool = False,
+                   out_col: str | None = None) -> DataFrame:
+    """Canonical text normalization — the first stage of every web
+    corpus pipeline: strip C0/C1 control characters, collapse runs of
+    whitespace to one space + trim, optional lowercasing, optional
+    Unicode normalization.
+
+    The regex stages are pure JVM ``regexp_replace`` (zero shuffle, a
+    scan-level projection at 100 TB).  Unicode normalization has no
+    Spark SQL builtin, so ``unicode_form`` adds ONE Arrow-batched
+    ``mapInPandas`` pass over ``unicodedata.normalize`` — pass
+    ``unicode_form=None`` to stay entirely JVM-side on corpora known
+    to be normalized already.  Order (control -> unicode -> whitespace
+    -> lower) matches what a streaming normalizer would do:
+    composition can't re-introduce control characters, and collapsing
+    after NFC means composed spaces fold too.
+    """
+    out = out_col or text_col
+    col = F.col(text_col)
+    if strip_control:
+        col = F.regexp_replace(
+            col, "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "",
+        )
+    staged = df.withColumn(out, col)
+    if unicode_form is not None:
+        form = str(unicode_form)
+        schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in staged.schema.fields
+        )
+
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import unicodedata
+
+            for pdf in batches:
+                pdf[out] = [
+                    unicodedata.normalize(form, t)
+                    if isinstance(t, str) else t
+                    for t in pdf[out]
+                ]
+                yield pdf
+
+        staged = staged.mapInPandas(fn, schema=schema)
+    col = F.col(out)
+    if collapse_whitespace:
+        col = F.trim(F.regexp_replace(col, "\\s+", " "))
+    if lowercase:
+        col = F.lower(col)
+    return staged.withColumn(out, col)

@@ -2210,6 +2210,54 @@ LIMIT 20
 """
 
 
+
+def q63_text_normalization(spark, sf_dir):
+    """Canonical text normalization (operators/text.normalize_text) vs
+    an exact DuckDB oracle: inject control characters + ragged
+    whitespace deterministically, then both engines must produce the
+    same normalized string and length."""
+    from outrank_spark.operators.text import normalize_text
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        # deterministic dirt: a tab run + a control char + spaces
+        .withColumn(
+            "text",
+            F.concat(F.lit("  x\t\t"), F.lit("\u0007"), F.col("text"),
+                     F.lit("   y  ")),
+        )
+    )
+    out = normalize_text(docs, unicode_form="NFC", lowercase=True)
+    return (
+        out.select(
+            "doc_id",
+            F.length("text").alias("norm_len"),
+            F.substring("text", 1, 40).alias("head"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_Q63 = """
+WITH dirty AS (
+  SELECT doc_id,
+         '  x' || chr(9) || chr(9) || chr(7) || text || '   y  ' AS t
+  FROM documents WHERE doc_id < 100
+), cleaned AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(
+           nfc_normalize(regexp_replace(
+             t, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')),
+           '\s+', ' ', 'g'))) AS text
+  FROM dirty
+)
+SELECT doc_id, length(text) AS norm_len,
+       substr(text, 1, 40) AS head
+FROM cleaned ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -2273,6 +2321,7 @@ QUERIES = {
     "q60_temperature_rebalance": q60_temperature_rebalance,
     "q61_semantic_dedup": q61_semantic_dedup,
     "q62_winnowed_spans": q62_winnowed_spans,
+    "q63_text_normalization": q63_text_normalization,
 }
 
 ORACLES = {
@@ -2323,4 +2372,5 @@ ORACLES = {
     "q59_weighted_sample": ORACLE_Q59,
     "q60_temperature_rebalance": ORACLE_Q60,
     "q62_winnowed_spans": ORACLE_Q62,
+    "q63_text_normalization": ORACLE_Q63,
 }

@@ -849,3 +849,30 @@ class TestWinnowedSpans:
                      winnowed_span_pairs(df, hash_fn=hash_fn).collect()}
             assert (1, 2) in pairs
             assert all(3 not in p for p in pairs)
+
+
+class TestNormalizeText:
+    def test_unicode_and_whitespace(self, spark):
+        import unicodedata
+
+        from outrank_spark.operators.text import normalize_text
+
+        decomposed = "Café"           # e + combining acute
+        rows = [(1, "  a\t\tb\x07c   "),    # control + ragged ws
+                (2, decomposed + "  x")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r["text"] for r in
+               normalize_text(df, unicode_form="NFC").collect()}
+        assert out[1] == "a bc"             # BEL stripped, ws collapsed
+        assert out[2] == unicodedata.normalize("NFC", decomposed) + " x"
+        assert len(out[2].split(" ")[0]) == 4   # é composed to 1 char
+
+    def test_jvm_only_path_and_lowercase(self, spark):
+        from outrank_spark.operators.text import normalize_text
+
+        df = spark.createDataFrame([(1, " A  B ")],
+                                   "doc_id long, text string")
+        out = normalize_text(df, unicode_form=None, lowercase=True)
+        assert out.first()["text"] == "a b"
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in plan    # pure JVM when no unicode
