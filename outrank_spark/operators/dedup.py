@@ -508,14 +508,21 @@ def winnowed_span_pairs(df: DataFrame, text_col: str = "text",
                 f"16, 10) AS BIGINT)")
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    # CASE guards, not greatest(.., 0): sequence(1, 0) DESCENDS in
+    # Spark ([1, 0]) and the lambda then calls slice(.., 0, k) which
+    # throws — one sub-6-token document would abort the whole job
     grams_expr = (
-        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) "
-        f"- {ngram} + 1, 0)), i -> {gram})"
+        f"CASE WHEN size(split({text_col}, ' ')) >= {ngram} THEN "
+        f"transform(sequence(1, size(split({text_col}, ' ')) "
+        f"- {ngram} + 1), i -> {gram}) "
+        f"ELSE CAST(array() AS array<bigint>) END"
     )
     winnow_expr = (
+        f"CASE WHEN size(grams) >= {window} THEN "
         f"array_distinct(transform("
-        f"sequence(1, greatest(size(grams) - {window} + 1, 0)), "
-        f"j -> array_min(slice(grams, j, {window}))))"
+        f"sequence(1, size(grams) - {window} + 1), "
+        f"j -> array_min(slice(grams, j, {window})))) "
+        f"ELSE CAST(array() AS array<bigint>) END"
     )
     # two projections so the gram array materializes ONCE per doc —
     # inlining it re-hashes every gram `window` times

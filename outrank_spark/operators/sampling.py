@@ -21,12 +21,31 @@ __all__ = ["stratified_sample", "weighted_sample",
 _KEY_SPACE = 1 << 32  # md5-prefix keys are uniform in [0, 2^32)
 
 
-def _md5_key(id_col: str):
+def _md5_key(id_col: str, seed: str = ""):
     """Uniform 32-bit key from any id, identical in Spark and DuckDB:
-    first 8 hex chars of md5(id-as-string) parsed as a long."""
+    first 8 hex chars of md5(seed || id-as-string) parsed as a long.
+    The single implementation of the engine-portable acceptance key —
+    keep any change in sync with the q51/q59/q60 DuckDB oracles."""
+    keyed = (F.concat(F.lit(seed), F.col(id_col).cast("string"))
+             if seed else F.col(id_col).cast("string"))
     return F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10,
+        F.substring(F.md5(keyed), 1, 8), 16, 10,
     ).cast("long")
+
+
+def _md5_uniform(id_col: str, seed: str):
+    """md5-prefix key scaled to a [0, 1) double."""
+    return _md5_key(id_col, seed).cast("double") / F.lit(float(_KEY_SPACE))
+
+
+def _reject_internal_collisions(df: DataFrame, names: tuple[str, ...],
+                                fn: str) -> None:
+    clash = [c for c in names if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"{fn} uses internal column(s) {clash} which already exist "
+            "in the input — rename them first",
+        )
 
 
 def stratified_sample(df: DataFrame, strata_col: str, k: int,
@@ -96,15 +115,9 @@ def weighted_sample(df: DataFrame, weight_col: str, frac: float,
     the plan stays a scan + filter at 100 TB.  Raise ``frac`` toward
     the cap-aware effective fraction if many weights saturate
     ``min(1, .)``."""
+    _reject_internal_collisions(df, ("__mean_w",), "weighted_sample")
     stats = df.agg(F.avg(F.col(weight_col)).alias("__mean_w"))
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(seed),
-                               F.col(id_col).cast("string"))), 1, 8,
-            ), 16, 10,
-        ).cast("double") / F.lit(float(_KEY_SPACE))
-    )
+    u = _md5_uniform(id_col, seed)
     keep_p = F.least(
         F.lit(1.0), F.lit(float(frac)) * F.col(weight_col)
         / F.col("__mean_w"),
@@ -134,6 +147,9 @@ def temperature_rebalance(df: DataFrame, group_col: str,
     broadcast join of the per-group fractions, one filter — scan-
     dominated at any corpus size.
     """
+    _reject_internal_collisions(
+        df, ("__n", "__tot", "__raw", "__max_raw", "__keep_frac",
+             "__grp"), "temperature_rebalance")
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
     tot = counts.agg(F.sum("__n").alias("__tot"))
     raw = (
@@ -152,16 +168,14 @@ def temperature_rebalance(df: DataFrame, group_col: str,
             (F.col("__raw") / F.col("__max_raw")).alias("__keep_frac"),
         )
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(seed),
-                               F.col(id_col).cast("string"))), 1, 8,
-            ), 16, 10,
-        ).cast("double") / F.lit(float(_KEY_SPACE))
-    )
+    u = _md5_uniform(id_col, seed)
+    # null-safe join: a NULL group is a legitimate stratum (real
+    # corpora routinely carry null lang/source) — an equi-join would
+    # silently DELETE it while its count still skews __tot
+    fr = fracs.withColumnRenamed(group_col, "__grp")
     return (
-        df.join(F.broadcast(fracs), group_col)
+        df.join(F.broadcast(fr),
+                F.col(group_col).eqNullSafe(F.col("__grp")))
         .where(u < F.col("__keep_frac"))
-        .drop("__keep_frac")
+        .drop("__keep_frac", "__grp")
     )

@@ -317,11 +317,7 @@ def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
     Returns ``df`` minus semantic duplicates; keeps the minimum id of
     every near-duplicate group, exactly like the text-dedup family.
     """
-    from pyspark.sql import functions as F
-
-    norm = df.select(
-        F.col(id_col), F.col(vec_col),
-    )
+    pruned = df.select(F.col(id_col), F.col(vec_col))
     centroids, _ = kmeans_fit(df, vec_col=vec_col, k=k, seed=seed)
     cent = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12,
@@ -340,7 +336,7 @@ def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
                 "vec": [v.tolist() for v in vn],
             })
 
-    assigned = norm.mapInPandas(
+    assigned = pruned.mapInPandas(
         assign, schema="id long, cell int, vec array<double>",
     )
 

@@ -250,7 +250,8 @@ def redact_pii(df: DataFrame, text_col: str = "text",
 
 def ngram_logprob_scores(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id",
-                         alpha: float = 0.5) -> DataFrame:
+                         alpha: float = 0.5,
+                         cache_bigrams: bool = True) -> DataFrame:
     """Corpus-trained bigram-LM quality scores (the CCNet/Gopher
     LM-filter shape): mean ln P(w2 | w1) per document with Laplace
     smoothing, P = (C(w1,w2) + alpha) / (C(w1) + alpha * V), where
@@ -264,6 +265,9 @@ def ngram_logprob_scores(df: DataFrame, text_col: str = "text",
     splitting on the joins), V and nothing else crosses as a 1-row
     broadcast.  Output: (id, avg_logprob, n_bigrams); documents with
     fewer than 2 tokens have no bigrams and are absent.
+    ``cache_bigrams=True`` persists the exploded bigram relation so
+    its four consumers materialize the corpus scan once; pass False
+    to trade repeated scans for zero cache footprint.
     """
     toks = df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("a"),
@@ -276,6 +280,13 @@ def ngram_logprob_scores(df: DataFrame, text_col: str = "text",
             "element_at(a, i + 1) AS w2))",
         )).alias("bg"),
     ).select(id_col, "bg.w1", "bg.w2")
+    if cache_bigrams:
+        # four consumers (c2, c1, v, the join base) would otherwise
+        # each re-scan and re-explode the corpus; same optional-
+        # persist pattern as tfidf_top_terms
+        from pyspark.storagelevel import StorageLevel
+
+        big = big.persist(StorageLevel.MEMORY_AND_DISK)
     c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     v = big.agg(F.count_distinct("w2").alias("v"))

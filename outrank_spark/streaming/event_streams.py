@@ -165,6 +165,12 @@ def streaming_exact_dedup(stream: DataFrame, text_col: str = "text",
 
     from outrank_spark.operators.dedup import _content_key
 
+    clash = [c for c in ("_h", "_h2") if c in stream.columns]
+    if clash:
+        raise ValueError(
+            f"streaming_exact_dedup uses internal column(s) {clash} "
+            "which already exist in the input — rename them first",
+        )
     h1, h2 = _content_key(text_col)
     return (
         stream

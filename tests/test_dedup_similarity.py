@@ -876,3 +876,19 @@ class TestNormalizeText:
         assert out.first()["text"] == "a b"
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "MapInPandas" not in plan    # pure JVM when no unicode
+
+    def test_short_documents_do_not_crash(self, spark):
+        """Docs below ngram / window thresholds contribute no
+        fingerprints but must not abort the job (sequence(1, 0)
+        descends in Spark and slice(.., 0, k) throws)."""
+        from outrank_spark.operators.dedup import winnowed_span_pairs
+
+        span = "alpha beta gamma delta epsilon zeta"
+        rows = [(1, "tiny"), (2, "only two"), (3, "just three tokens"),
+                (4, "four small tokens here"),
+                (5, f"{span} pad1"), (6, f"pad2 {span}")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = {(r["id_a"], r["id_b"]) for r in
+                 winnowed_span_pairs(df, ngram=3, window=4).collect()}
+        assert (5, 6) in pairs
+        assert all(p[0] >= 5 for p in pairs)

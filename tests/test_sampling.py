@@ -122,3 +122,41 @@ class TestTemperatureRebalance:
         df = spark.createDataFrame(pdf)
         kept = temperature_rebalance(df, "lang", tau=1.0)
         assert kept.count() == 500  # every keep_frac == 1
+
+    def test_null_group_is_a_stratum_not_dropped(self, spark):
+        """NULL group keys are legitimate strata: they must rebalance
+        like any other group, never silently vanish."""
+        import pandas as pd
+
+        from outrank_spark.operators.sampling import (
+            temperature_rebalance,
+        )
+
+        pdf = pd.DataFrame({
+            "doc_id": range(600),
+            "lang": ["en"] * 500 + [None] * 100,
+        })
+        kept = temperature_rebalance(
+            spark.createDataFrame(pdf), "lang", tau=0.5,
+        ).toPandas()
+        n_null = kept["lang"].isna().sum()
+        assert n_null == 100          # smallest stratum kept in full
+        assert 0 < (len(kept) - n_null) < 500
+
+    def test_internal_column_collision_rejected_ws(self, spark):
+        import pandas as pd
+
+        from outrank_spark.operators.sampling import (
+            temperature_rebalance,
+            weighted_sample,
+        )
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "w": [1.0],
+                          "__mean_w": [0.0], "lang": ["en"],
+                          "__keep_frac": [0.0]}),
+        )
+        with pytest.raises(ValueError, match="__mean_w"):
+            weighted_sample(df, "w", 0.5)
+        with pytest.raises(ValueError, match="__keep_frac"):
+            temperature_rebalance(df, "lang")
