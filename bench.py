@@ -341,6 +341,47 @@ def components_probe(spark, n_edges: int = 4_000_000) -> float:
     return dt
 
 
+
+def minhash_probe(spark, n_docs: int = 200_000) -> float:
+    """Dedup-family scale probe: MinHash signatures -> banded LSH ->
+    exact-Jaccard verify over n_docs synthetic 20-token documents
+    (5k-word vocab, hash-derived — no driver data).  Every 50th doc is
+    a near-copy of its predecessor (one token changed) so the verify
+    join does real work.  Returns wall seconds."""
+    from pyspark.sql import functions as F
+
+    from outrank_spark.operators.dedup import minhash_lsh_candidates
+
+    # token i of doc d: near-copies derive all but one token from the
+    # predecessor id
+    base_id = F.when(F.col("id") % 50 == 1, F.col("id") - 1) \
+        .otherwise(F.col("id"))
+    toks = [
+        F.concat(
+            F.lit("w"),
+            F.pmod(
+                F.xxhash64(
+                    F.when((F.col("id") % 50 == 1) & (F.lit(i) == 0),
+                           F.col("id")).otherwise(base_id),
+                    F.lit(i),
+                ), F.lit(5000),
+            ).cast("string"),
+        )
+        for i in range(20)
+    ]
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *toks).alias("text"),
+    )
+    t0 = time.time()
+    n_cand = minhash_lsh_candidates(
+        docs, k=64, bands=16, verify_threshold=0.7,
+    ).count()
+    dt = time.time() - t0
+    assert n_cand > 0
+    return dt
+
+
 def run_suite(cpus: int, sf_dir: str) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from outrank_spark.plans.queries import QUERIES
@@ -479,8 +520,8 @@ def main() -> None:
                 [sys.executable, __file__, "--scaling-ops-child", str(n)],
                 capture_output=True, text=True, check=True,
             )
-            asof, comp = r.stdout.strip().splitlines()[-1].split()
-            out[n] = (float(asof), float(comp))
+            asof, comp, mh = r.stdout.strip().splitlines()[-1].split()
+            out[n] = (float(asof), float(comp), float(mh))
         print(json.dumps({
             "metric": f"asof/components scaling local[{lo}]->local[{hi}]",
             "unit": "efficiency",
@@ -492,6 +533,11 @@ def main() -> None:
             f"components_t{hi}_sec": round(out[hi][1], 2),
             "components_efficiency":
                 round((out[lo][1] / out[hi][1]) / 4.0, 3),
+            "minhash_docs": 200_000,
+            f"minhash_t{lo}_sec": round(out[lo][2], 2),
+            f"minhash_t{hi}_sec": round(out[hi][2], 2),
+            "minhash_efficiency":
+                round((out[lo][2] / out[hi][2]) / 4.0, 3),
         }))
         return
 
@@ -504,13 +550,16 @@ def main() -> None:
             # min-of-reps then misreads as steady state
             asof_probe(spark)
             components_probe(spark)
+            minhash_probe(spark)
             best_asof = min(asof_probe(spark)
                             for _ in range(SCALING_REPS))
             best_comp = min(components_probe(spark)
                             for _ in range(SCALING_REPS))
+            best_mh = min(minhash_probe(spark)
+                          for _ in range(SCALING_REPS))
         finally:
             spark.stop()
-        print(best_asof, best_comp)
+        print(best_asof, best_comp, best_mh)
         return
 
     if "--scaling-child" in sys.argv:

@@ -1959,7 +1959,7 @@ def q56_cc_generator_profile(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.avg("f1"), 6).alias("avg_f1"),
-            F.round(F.avg("f2" ), 6).alias("avg_f2"),
+            F.round(F.avg("f2"), 6).alias("avg_f2"),
         )
         .orderBy("label", "f0")
     )
