@@ -2258,6 +2258,99 @@ FROM cleaned ORDER BY doc_id
 """
 
 
+
+def q64_lm_quality_tiers(spark, sf_dir):
+    """CCNet-style corpus tiering: bucket documents into head/middle/
+    tail thirds by bigram-LM quality (q58's scores + ntile) and
+    profile each tier — the standard precursor to tier-weighted
+    sampling of web corpora."""
+    from pyspark.sql import Window
+
+    from outrank_spark.operators.text import ngram_logprob_scores
+
+    docs = load(spark, sf_dir, "documents")
+    scored = ngram_logprob_scores(docs)
+    w = Window.orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
+    return (
+        scored.withColumn("tier", F.ntile(3).over(w))
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("avg_logprob"), 6).alias("mean_logprob"),
+            F.round(F.min("avg_logprob"), 6).alias("min_logprob"),
+            F.round(F.max("avg_logprob"), 6).alias("max_logprob"),
+        )
+        .orderBy("tier")
+    )
+
+
+ORACLE_Q64 = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+), flat AS (
+  SELECT doc_id, unnest(a) AS w, generate_subscripts(a, 1) AS i
+  FROM toks
+), big AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, w AS w1,
+           lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+    FROM flat
+  ) WHERE w2 IS NOT NULL
+), c2 AS (
+  SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM big GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT w2) AS v FROM big
+), scored AS (
+  SELECT doc_id,
+         round(avg(ln((c2 + 0.5) / (c1 + 0.5 * v))), 6) AS avg_logprob
+  FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+  GROUP BY doc_id
+), tiered AS (
+  SELECT doc_id, avg_logprob,
+         ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id ASC) AS tier
+  FROM scored
+)
+SELECT tier, count(*) AS n_docs,
+       round(avg(avg_logprob), 6) AS mean_logprob,
+       round(min(avg_logprob), 6) AS min_logprob,
+       round(max(avg_logprob), 6) AS max_logprob
+FROM tiered GROUP BY tier ORDER BY tier
+"""
+
+
+
+def q65_quality_classifier(spark, sf_dir):
+    """Trainable fastText-style quality filter (operators/
+    quality_model): train a hashed-bag logistic model on English
+    documents vs the rest, score the corpus, and profile mean score
+    per language.  (The synthetic corpus shares one vocabulary across
+    languages, so scores cluster — separation power is asserted in
+    pytest on a planted-signal fixture instead.)  Iterative
+    distributed training isn't SQL-expressible -> rows-only."""
+    from outrank_spark.operators.quality_model import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pos = docs.where(F.col("lang") == "en")
+    neg = docs.where(F.col("lang") != "en")
+    w = train_quality_classifier(pos, neg, dim=2 ** 14, epochs=12,
+                                 lr=10.0)
+    scored = score_quality(docs, w)
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality_score"), 3).alias("mean_score"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -2322,6 +2415,8 @@ QUERIES = {
     "q61_semantic_dedup": q61_semantic_dedup,
     "q62_winnowed_spans": q62_winnowed_spans,
     "q63_text_normalization": q63_text_normalization,
+    "q64_lm_quality_tiers": q64_lm_quality_tiers,
+    "q65_quality_classifier": q65_quality_classifier,
 }
 
 ORACLES = {
@@ -2373,4 +2468,5 @@ ORACLES = {
     "q60_temperature_rebalance": ORACLE_Q60,
     "q62_winnowed_spans": ORACLE_Q62,
     "q63_text_normalization": ORACLE_Q63,
+    "q64_lm_quality_tiers": ORACLE_Q64,
 }

@@ -160,3 +160,55 @@ class TestTemperatureRebalance:
             weighted_sample(df, "w", 0.5)
         with pytest.raises(ValueError, match="__keep_frac"):
             temperature_rebalance(df, "lang")
+
+
+class TestQualityClassifier:
+    def test_planted_signal_separates(self, spark):
+        """Positives share a vocabulary; after training, held-out
+        positives score above held-out negatives (perfect separation
+        on this planted signal)."""
+        import numpy as np
+        import pandas as pd
+
+        from outrank_spark.operators.quality_model import (
+            score_quality,
+            train_quality_classifier,
+        )
+
+        rng = np.random.default_rng(5)
+        good_vocab = [f"good{i}" for i in range(30)]
+        bad_vocab = [f"junk{i}" for i in range(30)]
+
+        def doc(vocab):
+            return " ".join(rng.choice(vocab, 12))
+
+        pos = spark.createDataFrame(
+            pd.DataFrame({"text": [doc(good_vocab) for _ in range(80)]}))
+        neg = spark.createDataFrame(
+            pd.DataFrame({"text": [doc(bad_vocab) for _ in range(80)]}))
+        w = train_quality_classifier(pos, neg, dim=2 ** 12,
+                                     epochs=20, lr=10.0)
+
+        held = spark.createDataFrame(pd.DataFrame({
+            "doc_id": range(40),
+            "text": [doc(good_vocab) for _ in range(20)]
+                    + [doc(bad_vocab) for _ in range(20)],
+        }))
+        scored = score_quality(held, w).toPandas()
+        good = scored[scored["doc_id"] < 20]["quality_score"]
+        bad = scored[scored["doc_id"] >= 20]["quality_score"]
+        assert good.min() > bad.max()     # perfect separation
+        assert good.mean() > 0.6 and bad.mean() < 0.4
+
+    def test_scoring_is_one_arrow_pass(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from outrank_spark.operators.quality_model import score_quality
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "text": ["a b"]}))
+        out = score_quality(df, np.zeros(2 ** 10 + 1))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan      # zero shuffle
+        assert abs(out.first()["quality_score"] - 0.5) < 1e-9
