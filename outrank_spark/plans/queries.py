@@ -2263,7 +2263,14 @@ def q64_lm_quality_tiers(spark, sf_dir):
     """CCNet-style corpus tiering: bucket documents into head/middle/
     tail thirds by bigram-LM quality (q58's scores + ntile) and
     profile each tier — the standard precursor to tier-weighted
-    sampling of web corpora."""
+    sampling of web corpora.
+
+    Scale note: the global ntile window sorts the SCORED relation
+    (one row per doc) in one task — the exact/oracle shape.  At
+    corpus scale, tier by comparing scores against two KLL quantile
+    thresholds instead (operators/sketch_build.grouped_quantiles, the
+    q54 machinery): one sketch pass + a scan-level CASE, no global
+    sort."""
     from pyspark.sql import Window
 
     from outrank_spark.operators.text import ngram_logprob_scores
@@ -2351,6 +2358,55 @@ def q65_quality_classifier(spark, sf_dir):
     )
 
 
+
+def q66_sequence_packing(spark, sf_dir):
+    """GPT-style sequence-packing manifest (operators/packing.
+    pack_sequences): documents hash-assigned to shard streams,
+    running token offsets per shard, pack = floor(offset / seq_len).
+    Profiled per bucket (packs, docs, tokens, utilization of the
+    last-closed pack boundary) vs an exact DuckDB oracle — the md5
+    ordering key is bit-identical across engines."""
+    from outrank_spark.operators.packing import pack_sequences
+
+    docs = load(spark, sf_dir, "documents")
+    manifest = pack_sequences(docs, seq_len=512, buckets=4)
+    return (
+        manifest.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.max("pack_id") + 1).alias("n_packs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.max(F.col("start_offset") + F.col("n_tokens"))
+            .alias("stream_len"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_Q66 = """
+WITH base AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+           AS k
+  FROM documents
+), keyed AS (
+  SELECT doc_id, n_tokens, k % 4 AS bucket, k FROM base
+), offsets AS (
+  SELECT doc_id, n_tokens, bucket,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY k, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start_offset
+  FROM keyed
+)
+SELECT bucket, count(*) AS n_docs,
+       CAST(max(start_offset // 512) + 1 AS BIGINT) AS n_packs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(max(start_offset + n_tokens) AS BIGINT) AS stream_len
+FROM offsets GROUP BY bucket ORDER BY bucket
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -2417,6 +2473,7 @@ QUERIES = {
     "q63_text_normalization": q63_text_normalization,
     "q64_lm_quality_tiers": q64_lm_quality_tiers,
     "q65_quality_classifier": q65_quality_classifier,
+    "q66_sequence_packing": q66_sequence_packing,
 }
 
 ORACLES = {
@@ -2469,4 +2526,5 @@ ORACLES = {
     "q62_winnowed_spans": ORACLE_Q62,
     "q63_text_normalization": ORACLE_Q63,
     "q64_lm_quality_tiers": ORACLE_Q64,
+    "q66_sequence_packing": ORACLE_Q66,
 }

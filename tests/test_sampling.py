@@ -212,3 +212,31 @@ class TestQualityClassifier:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan      # zero shuffle
         assert abs(out.first()["quality_score"] - 0.5) < 1e-9
+
+
+class TestSequencePacking:
+    def test_manifest_invariants(self, spark):
+        """Offsets are gapless within a bucket; packs chunk at
+        seq_len; result is partition-invariant."""
+        import pandas as pd
+
+        from outrank_spark.operators.packing import pack_sequences
+
+        pdf = pd.DataFrame({
+            "doc_id": range(300),
+            "text": [" ".join(f"t{j}" for j in range(5 + i % 40))
+                     for i in range(300)],
+        })
+        df = spark.createDataFrame(pdf)
+        m = pack_sequences(df, seq_len=100, buckets=3).toPandas()
+        assert len(m) == 300
+        for b, grp in m.groupby("bucket"):
+            g = grp.sort_values("start_offset")
+            # gapless concatenation: each offset = previous end
+            ends = (g["start_offset"] + g["n_tokens"]).to_numpy()
+            assert (g["start_offset"].to_numpy()[1:] == ends[:-1]).all()
+            assert (g["pack_id"] == g["start_offset"] // 100).all()
+        m2 = pack_sequences(df.repartition(13), seq_len=100,
+                            buckets=3).toPandas()
+        assert m.sort_values("doc_id").reset_index(drop=True).equals(
+            m2.sort_values("doc_id").reset_index(drop=True))
