@@ -5,17 +5,22 @@ scored as one Arrow pass.
 
 Spark-first training loop (no MLlib dependency, deterministic):
 
-* features: token -> ``xxhash64 % dim`` bucket counts, built
-  vectorized inside Arrow batches (dim defaults to 2^18 -> the weight
-  vector is a 2 MB float64 array, trivially broadcastable);
+* features: token -> hashed bucket (``outrank_spark.hashing.
+  hash_values % dim``; dim defaults to 2^18 -> the weight vector is a
+  2 MB float64 array, trivially broadcastable), mean-aggregated per
+  document;
 * optimization: FULL-BATCH gradient descent — each epoch broadcasts
   the current weights, one ``mapInPandas`` pass emits per-partition
-  gradient partial sums (rows to the driver = n_partitions x dim-
-  sparse summaries, shipped dense at 2 MB each), the driver reduces
-  and steps.  Full-batch makes the result independent of row order
-  and partitioning up to float-sum association — there is no SGD
-  sampling order to reproduce;
+  gradient partial sums (one dense ``dim+1`` array per partition, 2 MB
+  each), the driver reduces and steps.  Full-batch makes the result
+  independent of row order and partitioning up to float-sum
+  association — there is no SGD sampling order to reproduce;
 * scoring: broadcast weights, one ``mapInPandas`` sigmoid pass.
+
+Everything is SPARSE per document: features are index lists, the
+forward pass is segment-means over ``wt[flat_idx]`` and the backward
+pass one ``np.add.at`` scatter — no (batch x dim) dense matrix ever
+exists (a dense batch at dim=2^18 would be ~20 GiB).
 
 At 100 TB you train on a SAMPLE (quality models always are — CCNet
 uses ~Wikipedia-sized positives) and score the full corpus: training
@@ -35,29 +40,34 @@ from outrank_spark.hashing import hash_values
 __all__ = ["train_quality_classifier", "score_quality"]
 
 
-def _bucketize(texts, dim: int) -> list[np.ndarray]:
-    """Per-doc hashed token bucket index arrays."""
-    out = []
-    for t in texts:
-        toks = str(t).split(" ")
+def _flat_buckets(texts, dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """Batch features as (flat bucket indices, per-doc token counts).
+    Empty/whitespace-only documents get zero tokens (count 0)."""
+    idx_parts: list[np.ndarray] = []
+    lens = np.zeros(len(texts), dtype=np.int64)
+    for r, t in enumerate(texts):
+        toks = [tok for tok in str(t).split(" ") if tok]
         if not toks:
-            out.append(np.empty(0, dtype=np.int64))
             continue
         h = hash_values(np.asarray(toks, dtype=object))
-        out.append((h % np.uint64(dim)).astype(np.int64))
-    return out
+        idx_parts.append((h % np.uint64(dim)).astype(np.int64))
+        lens[r] = len(toks)
+    flat = (np.concatenate(idx_parts) if idx_parts
+            else np.empty(0, dtype=np.int64))
+    return flat, lens
 
 
-def _doc_matrix(bucket_lists: list[np.ndarray], dim: int) -> np.ndarray:
-    """Dense (n_docs, dim) normalized count matrix for a batch.
-    Batch-local dense is fine: Arrow batches are bounded by
-    ``spark.sql.execution.arrow.maxRecordsPerBatch``."""
-    X = np.zeros((len(bucket_lists), dim), dtype=np.float64)
-    for r, idx in enumerate(bucket_lists):
-        if len(idx):
-            np.add.at(X[r], idx, 1.0)
-            X[r] /= len(idx)  # mean-of-embeddings normalization
-    return X
+def _forward(flat: np.ndarray, lens: np.ndarray,
+             wt: np.ndarray) -> np.ndarray:
+    """Per-doc logit: mean of wt over the doc's token buckets + bias.
+    Zero-token docs get the bias alone."""
+    z = np.full(len(lens), wt[-1], dtype=np.float64)
+    if len(flat):
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        seg = np.add.reduceat(wt[:-1][flat], starts[lens > 0])
+        z[lens > 0] += seg / lens[lens > 0]
+    return z
 
 
 def train_quality_classifier(positives: DataFrame, negatives: DataFrame,
@@ -88,25 +98,25 @@ def train_quality_classifier(positives: DataFrame, negatives: DataFrame,
                       ) -> Iterator[pd.DataFrame]:
             wt = bc.value
             g = np.zeros_like(wt)
-            loss = 0.0
             n = 0
             for pdf in batches:
-                X = _doc_matrix(_bucketize(pdf["t"], dim), dim)
+                flat, lens = _flat_buckets(pdf["t"], dim)
                 y = pdf["y"].to_numpy(np.float64)
-                z = X @ wt[:-1] + wt[-1]
-                p = 1.0 / (1.0 + np.exp(-z))
-                err = p - y
-                g[:-1] += X.T @ err
+                z = _forward(flat, lens, wt)
+                err = 1.0 / (1.0 + np.exp(-z)) - y
+                if len(flat):
+                    # scatter err_r / len_r onto each token bucket
+                    per_tok = np.repeat(
+                        err[lens > 0] / lens[lens > 0],
+                        lens[lens > 0],
+                    )
+                    np.add.at(g[:-1], flat, per_tok)
                 g[-1] += err.sum()
-                eps = 1e-12
-                loss += float(-(y * np.log(p + eps)
-                                + (1 - y) * np.log(1 - p + eps)).sum())
                 n += len(y)
-            yield pd.DataFrame({"g": [g.tobytes()], "n": [n],
-                                "loss": [loss]})
+            yield pd.DataFrame({"g": [g.tobytes()], "n": [n]})
 
         parts = labeled.mapInPandas(
-            grad_pass, schema="g binary, n long, loss double",
+            grad_pass, schema="g binary, n long",
         ).collect()
         g = np.zeros_like(w)
         n = 0
@@ -126,6 +136,11 @@ def score_quality(df: DataFrame, weights: np.ndarray,
                   out_col: str = "quality_score") -> DataFrame:
     """Append the sigmoid quality score — one Arrow pass, weights
     broadcast, zero shuffle."""
+    if out_col in df.columns:
+        raise ValueError(
+            f"output column {out_col!r} already exists — pass a "
+            "different out_col (or drop/rename the existing one)",
+        )
     dim = len(weights) - 1
     bc = df.sparkSession.sparkContext.broadcast(
         np.asarray(weights, dtype=np.float64))
@@ -137,8 +152,8 @@ def score_quality(df: DataFrame, weights: np.ndarray,
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         wt = bc.value
         for pdf in batches:
-            X = _doc_matrix(_bucketize(pdf[text_col], dim), dim)
-            z = X @ wt[:-1] + wt[-1]
+            flat, lens = _flat_buckets(pdf[text_col], dim)
+            z = _forward(flat, lens, wt)
             pdf[out_col] = 1.0 / (1.0 + np.exp(-z))
             yield pdf
 

@@ -2050,7 +2050,7 @@ def q58_bigram_lm_quality(spark, sf_dir):
     return ngram_logprob_scores(docs).orderBy("doc_id")
 
 
-ORACLE_Q58 = """
+ORACLE_LM_CTES = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS a FROM documents
   WHERE len(string_split(text, ' ')) >= 2
@@ -2070,7 +2070,9 @@ WITH toks AS (
 ), v AS (
   SELECT count(DISTINCT w2) AS v FROM big
 )
-SELECT doc_id,
+"""
+
+ORACLE_Q58 = ORACLE_LM_CTES + """SELECT doc_id,
        round(avg(ln((c2 + 0.5) / (c1 + 0.5 * v))), 6) AS avg_logprob,
        count(*) AS n_bigrams
 FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
@@ -2291,26 +2293,8 @@ def q64_lm_quality_tiers(spark, sf_dir):
     )
 
 
-ORACLE_Q64 = """
-WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS a FROM documents
-  WHERE len(string_split(text, ' ')) >= 2
-), flat AS (
-  SELECT doc_id, unnest(a) AS w, generate_subscripts(a, 1) AS i
-  FROM toks
-), big AS (
-  SELECT doc_id, w1, w2 FROM (
-    SELECT doc_id, w AS w1,
-           lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
-    FROM flat
-  ) WHERE w2 IS NOT NULL
-), c2 AS (
-  SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2
-), c1 AS (
-  SELECT w1, count(*) AS c1 FROM big GROUP BY 1
-), v AS (
-  SELECT count(DISTINCT w2) AS v FROM big
-), scored AS (
+ORACLE_Q64 = (ORACLE_LM_CTES.rstrip()
+              + """, scored AS (
   SELECT doc_id,
          round(avg(ln((c2 + 0.5) / (c1 + 0.5 * v))), 6) AS avg_logprob
   FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
@@ -2325,7 +2309,7 @@ SELECT tier, count(*) AS n_docs,
        round(min(avg_logprob), 6) AS min_logprob,
        round(max(avg_logprob), 6) AS max_logprob
 FROM tiered GROUP BY tier ORDER BY tier
-"""
+""")
 
 
 
@@ -2343,8 +2327,8 @@ def q65_quality_classifier(spark, sf_dir):
     )
 
     docs = load(spark, sf_dir, "documents")
-    pos = docs.where(F.col("lang") == "en")
-    neg = docs.where(F.col("lang") != "en")
+    pos = docs.where(F.col("lang").eqNullSafe("en"))
+    neg = docs.where(~F.col("lang").eqNullSafe("en"))  # incl. NULL lang
     w = train_quality_classifier(pos, neg, dim=2 ** 14, epochs=12,
                                  lr=10.0)
     scored = score_quality(docs, w)

@@ -214,6 +214,46 @@ class TestQualityClassifier:
         assert abs(out.first()["quality_score"] - 0.5) < 1e-9
 
 
+    def test_empty_docs_and_full_dim(self, spark):
+        """Empty/whitespace docs score at the bias (no phantom ''
+        token), and the advertised dim=2^18 default works — the
+        forward/backward passes are sparse (no batch x dim matrix)."""
+        import numpy as np
+        import pandas as pd
+
+        from outrank_spark.operators.quality_model import (
+            score_quality,
+            train_quality_classifier,
+        )
+
+        pos = spark.createDataFrame(
+            pd.DataFrame({"text": ["good stuff here"] * 30}))
+        neg = spark.createDataFrame(
+            pd.DataFrame({"text": ["junk spam words"] * 30}))
+        w = train_quality_classifier(pos, neg, epochs=3)  # dim=2**18
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["good stuff here", "", "   "],
+        }))
+        sc = {r["doc_id"]: r["quality_score"]
+              for r in score_quality(df, w).collect()}
+        bias_score = 1.0 / (1.0 + np.exp(-w[-1]))
+        assert abs(sc[2] - bias_score) < 1e-12
+        assert abs(sc[3] - bias_score) < 1e-12
+        assert sc[1] > 0.5 > min(sc[2], 0.500001) or sc[1] > sc[2]
+
+    def test_rescoring_same_column_rejected(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from outrank_spark.operators.quality_model import score_quality
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"text": ["a"], "quality_score": [0.0]}))
+        with pytest.raises(ValueError, match="already exists"):
+            score_quality(df, np.zeros(2 ** 10 + 1))
+
+
 class TestSequencePacking:
     def test_manifest_invariants(self, spark):
         """Offsets are gapless within a bucket; packs chunk at
