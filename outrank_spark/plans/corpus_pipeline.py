@@ -1,0 +1,126 @@
+"""End-to-end training-corpus preparation — the canonical LLM data
+pipeline as ONE composition of this engine's operators:
+
+    normalize -> exact+near dedup -> (optional) benchmark
+    decontamination -> LM-quality floor -> temperature rebalance by
+    group -> sequence-packing manifest
+
+Each stage is an operator documented and scale-audited on its own
+(normalize_text, near_dedup_corpus, contamination_scores,
+ngram_logprob_scores, temperature_rebalance, pack_sequences); this
+module only wires them, so the plan inherits every stage's 100 TB
+story: scan-level projections, hash-keyed candidate-bounded dedup,
+broadcast benchmark grams, one grouped count for rebalancing, and a
+bucket-parallel window for packing.  Nothing here collects data to
+the driver.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["CorpusPipelineConfig", "prepare_training_corpus"]
+
+
+@dataclass
+class CorpusPipelineConfig:
+    text_col: str = "text"
+    id_col: str = "doc_id"
+    group_col: str | None = "lang"      # None -> skip rebalancing
+    # dedup
+    dedup_method: str = "minhash"       # near_dedup_corpus method
+    dedup_threshold: float = 0.8
+    # decontamination (requires a benchmark df)
+    max_contamination: float = 0.2
+    # quality floor: drop the lowest-LM-score fraction
+    drop_quality_fraction: float = 0.1
+    # rebalancing temperature
+    tau: float = 0.7
+    # packing
+    seq_len: int = 2048
+    pack_buckets: int = 16
+
+
+def prepare_training_corpus(df: DataFrame,
+                            benchmark: DataFrame | None = None,
+                            cfg: CorpusPipelineConfig | None = None,
+                            ) -> dict[str, DataFrame]:
+    """Run the full pipeline; returns ``{"corpus": cleaned rows,
+    "manifest": packing manifest, "stats": 1-row per-stage row
+    counts}``.
+
+    Stage row counts are computed with ``count()`` per stage — the
+    pipeline is a CLEANING run (executed once, artifacts written), not
+    a lazy relation, and per-stage attrition numbers are the artifact
+    reviewers ask for first.
+    """
+    from outrank_spark.operators.dedup import (
+        contamination_scores,
+        near_dedup_corpus,
+    )
+    from outrank_spark.operators.packing import pack_sequences
+    from outrank_spark.operators.sampling import temperature_rebalance
+    from outrank_spark.operators.text import (
+        ngram_logprob_scores,
+        normalize_text,
+    )
+
+    cfg = cfg or CorpusPipelineConfig()
+    text_col, id_col = cfg.text_col, cfg.id_col
+    stats: list[tuple[str, int]] = [("input", df.count())]
+
+    # 1. normalize (unicode_form=None keeps this stage pure JVM; flip
+    #    on for corpora with mixed normalization)
+    cur = normalize_text(df, text_col=text_col, unicode_form=None)
+
+    # 2. exact + near dedup, canonical keepers only
+    cur = near_dedup_corpus(
+        cur, text_col=text_col, id_col=id_col,
+        method=cfg.dedup_method, threshold=cfg.dedup_threshold,
+    )
+    stats.append(("after_dedup", cur.count()))
+
+    # 3. benchmark decontamination
+    if benchmark is not None:
+        contaminated = (
+            contamination_scores(cur, benchmark, text_col, id_col)
+            .where(F.col("contamination") > cfg.max_contamination)
+            .select(id_col)
+        )
+        cur = cur.join(contaminated, id_col, "left_anti")
+        stats.append(("after_decontamination", cur.count()))
+
+    # 4. LM-quality floor: drop the configured bottom fraction
+    if cfg.drop_quality_fraction > 0:
+        scored = ngram_logprob_scores(cur, text_col, id_col)
+        thresh = scored.agg(
+            F.percentile("avg_logprob",
+                         F.lit(float(cfg.drop_quality_fraction)))
+            .alias("t"),
+        )
+        keep_ids = (
+            scored.crossJoin(F.broadcast(thresh))
+            .where(F.col("avg_logprob") >= F.col("t"))
+            .select(id_col)
+        )
+        cur = cur.join(keep_ids, id_col, "left_semi")
+        stats.append(("after_quality_floor", cur.count()))
+
+    # 5. temperature rebalancing
+    if cfg.group_col is not None:
+        cur = temperature_rebalance(cur, cfg.group_col, tau=cfg.tau,
+                                    id_col=id_col)
+        stats.append(("after_rebalance", cur.count()))
+
+    # 6. packing manifest
+    manifest = pack_sequences(cur, text_col=text_col, id_col=id_col,
+                              seq_len=cfg.seq_len,
+                              buckets=cfg.pack_buckets)
+
+    spark = df.sparkSession
+    stats_df = spark.createDataFrame(
+        [tuple(n for _, n in stats)],
+        ", ".join(f"{name} long" for name, _ in stats),
+    )
+    return {"corpus": cur, "manifest": manifest, "stats": stats_df}

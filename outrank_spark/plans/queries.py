@@ -2391,6 +2391,37 @@ FROM offsets GROUP BY bucket ORDER BY bucket
 """
 
 
+
+def q67_full_training_pipeline(spark, sf_dir):
+    """The capstone composition (plans/corpus_pipeline.
+    prepare_training_corpus): normalize -> exact+near dedup ->
+    decontaminate against a benchmark slice -> bigram-LM quality
+    floor -> temperature rebalance by language -> packing manifest.
+    Returns the per-stage attrition profile + packing totals.
+    Iterative dedup/rebalance stages aren't SQL-expressible ->
+    rows-only (each stage has its own oracle or pytest elsewhere)."""
+    from outrank_spark.plans.corpus_pipeline import (
+        CorpusPipelineConfig,
+        prepare_training_corpus,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 97 == 0) \
+        .select("doc_id", "text")
+    out = prepare_training_corpus(
+        docs, benchmark=benchmark,
+        cfg=CorpusPipelineConfig(seq_len=512, pack_buckets=4,
+                                 drop_quality_fraction=0.1,
+                                 tau=0.7),
+    )
+    packs = out["manifest"].agg(
+        F.count(F.lit(1)).alias("manifest_rows"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.max("pack_id") + 1).alias("max_packs_per_bucket"),
+    )
+    return out["stats"].crossJoin(packs)
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -2458,6 +2489,7 @@ QUERIES = {
     "q64_lm_quality_tiers": q64_lm_quality_tiers,
     "q65_quality_classifier": q65_quality_classifier,
     "q66_sequence_packing": q66_sequence_packing,
+    "q67_full_training_pipeline": q67_full_training_pipeline,
 }
 
 ORACLES = {

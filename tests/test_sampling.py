@@ -280,3 +280,39 @@ class TestSequencePacking:
                             buckets=3).toPandas()
         assert m.sort_values("doc_id").reset_index(drop=True).equals(
             m2.sort_values("doc_id").reset_index(drop=True))
+
+
+class TestCorpusPipeline:
+    def test_stage_attrition_and_manifest_consistency(self, spark):
+        import pandas as pd
+
+        from outrank_spark.plans.corpus_pipeline import (
+            CorpusPipelineConfig,
+            prepare_training_corpus,
+        )
+
+        rows = []
+        for i in range(200):
+            base = " ".join(f"tok{(i * 7 + j) % 50}" for j in range(30))
+            rows.append((i, "en" if i % 3 else "fr", base))
+        # plant exact duplicates
+        rows += [(200 + k, "en", rows[k][2]) for k in range(10)]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, lang string, text string")
+        bench = df.where(F.col("doc_id") < 5).select("doc_id", "text")
+        out = prepare_training_corpus(
+            df, benchmark=bench,
+            cfg=CorpusPipelineConfig(seq_len=128, pack_buckets=2,
+                                     drop_quality_fraction=0.05),
+        )
+        stats = out["stats"].first().asDict()
+        # monotone attrition through every stage
+        order = ["input", "after_dedup", "after_decontamination",
+                 "after_quality_floor", "after_rebalance"]
+        vals = [stats[k] for k in order]
+        assert vals == sorted(vals, reverse=True)
+        assert stats["input"] == 210
+        assert stats["after_dedup"] <= 200      # planted dups removed
+        # manifest covers exactly the surviving corpus
+        assert out["manifest"].count() == stats["after_rebalance"]
+        assert out["corpus"].count() == stats["after_rebalance"]
