@@ -46,6 +46,8 @@ def _flat_buckets(texts, dim: int) -> tuple[np.ndarray, np.ndarray]:
     idx_parts: list[np.ndarray] = []
     lens = np.zeros(len(texts), dtype=np.int64)
     for r, t in enumerate(texts):
+        if t is None or (isinstance(t, float) and np.isnan(t)):
+            continue  # null text == empty doc, not a 'None' token
         toks = [tok for tok in str(t).split(" ") if tok]
         if not toks:
             continue

@@ -25,7 +25,8 @@ def _md5_key(id_col: str, seed: str = ""):
     """Uniform 32-bit key from any id, identical in Spark and DuckDB:
     first 8 hex chars of md5(seed || id-as-string) parsed as a long.
     The single implementation of the engine-portable acceptance key —
-    keep any change in sync with the q51/q59/q60 DuckDB oracles."""
+    keep any change in sync with the q51/q59/q60/q66 DuckDB oracles
+    (q66's packing order key replicates it too)."""
     keyed = (F.concat(F.lit(seed), F.col(id_col).cast("string"))
              if seed else F.col(id_col).cast("string"))
     return F.conv(

@@ -69,17 +69,33 @@ def prepare_training_corpus(df: DataFrame,
     cfg = cfg or CorpusPipelineConfig()
     text_col, id_col = cfg.text_col, cfg.id_col
     stats: list[tuple[str, int]] = [("input", df.count())]
+    persisted: list[DataFrame] = []
+
+    def _checkpoint_stage(rel: DataFrame, name: str) -> DataFrame:
+        """Persist + count a stage so later stages (and the final
+        corpus/manifest consumption) read the materialized rows
+        instead of recomputing the whole upstream lineage — without
+        persistence every count() would re-run dedup + shingle
+        explodes, ~4-5x the most expensive scans."""
+        rel = rel.persist()
+        stats.append((name, rel.count()))
+        if persisted:
+            persisted.pop().unpersist()
+        persisted.append(rel)
+        return rel
 
     # 1. normalize (unicode_form=None keeps this stage pure JVM; flip
     #    on for corpora with mixed normalization)
     cur = normalize_text(df, text_col=text_col, unicode_form=None)
 
     # 2. exact + near dedup, canonical keepers only
-    cur = near_dedup_corpus(
-        cur, text_col=text_col, id_col=id_col,
-        method=cfg.dedup_method, threshold=cfg.dedup_threshold,
+    cur = _checkpoint_stage(
+        near_dedup_corpus(
+            cur, text_col=text_col, id_col=id_col,
+            method=cfg.dedup_method, threshold=cfg.dedup_threshold,
+        ),
+        "after_dedup",
     )
-    stats.append(("after_dedup", cur.count()))
 
     # 3. benchmark decontamination
     if benchmark is not None:
@@ -88,30 +104,43 @@ def prepare_training_corpus(df: DataFrame,
             .where(F.col("contamination") > cfg.max_contamination)
             .select(id_col)
         )
-        cur = cur.join(contaminated, id_col, "left_anti")
-        stats.append(("after_decontamination", cur.count()))
+        cur = _checkpoint_stage(
+            cur.join(contaminated, id_col, "left_anti"),
+            "after_decontamination",
+        )
 
-    # 4. LM-quality floor: drop the configured bottom fraction
+    # 4. LM-quality floor: drop the configured bottom fraction.
+    #    Anti-join against the DROPPED ids, not semi-join against the
+    #    kept ones: documents with < 2 tokens carry no bigrams so the
+    #    scorer omits them — absence of LM evidence must not delete
+    #    them (a semi-join would drop every short doc regardless of
+    #    the configured fraction; gate short docs with explicit
+    #    length filters upstream if that's the intent).
     if cfg.drop_quality_fraction > 0:
-        scored = ngram_logprob_scores(cur, text_col, id_col)
+        scored = ngram_logprob_scores(cur, text_col, id_col,
+                                      cache_bigrams=False)
         thresh = scored.agg(
             F.percentile("avg_logprob",
                          F.lit(float(cfg.drop_quality_fraction)))
             .alias("t"),
         )
-        keep_ids = (
+        dropped = (
             scored.crossJoin(F.broadcast(thresh))
-            .where(F.col("avg_logprob") >= F.col("t"))
+            .where(F.col("avg_logprob") < F.col("t"))
             .select(id_col)
         )
-        cur = cur.join(keep_ids, id_col, "left_semi")
-        stats.append(("after_quality_floor", cur.count()))
+        cur = _checkpoint_stage(
+            cur.join(dropped, id_col, "left_anti"),
+            "after_quality_floor",
+        )
 
     # 5. temperature rebalancing
     if cfg.group_col is not None:
-        cur = temperature_rebalance(cur, cfg.group_col, tau=cfg.tau,
-                                    id_col=id_col)
-        stats.append(("after_rebalance", cur.count()))
+        cur = _checkpoint_stage(
+            temperature_rebalance(cur, cfg.group_col, tau=cfg.tau,
+                                  id_col=id_col),
+            "after_rebalance",
+        )
 
     # 6. packing manifest
     manifest = pack_sequences(cur, text_col=text_col, id_col=id_col,

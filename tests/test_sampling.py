@@ -240,7 +240,7 @@ class TestQualityClassifier:
         bias_score = 1.0 / (1.0 + np.exp(-w[-1]))
         assert abs(sc[2] - bias_score) < 1e-12
         assert abs(sc[3] - bias_score) < 1e-12
-        assert sc[1] > 0.5 > min(sc[2], 0.500001) or sc[1] > sc[2]
+        assert sc[1] > bias_score  # trained doc beats the bias
 
     def test_rescoring_same_column_rejected(self, spark):
         import numpy as np
