@@ -240,8 +240,14 @@ class _SparkTranslator:
         unless selected in codegen)."""
         F = self.F
         inf, nan = float("inf"), float("nan")
+        # null guard FIRST: with a null denominator `den != 0` is null
+        # (not false), so without this the `num > 0` branch would map
+        # non-null/null to +-inf where numpy-over-coerced-nulls yields
+        # missing; null propagates as null, like every other operator
         return (
-            F.when(den != 0, num / den)
+            F.when(den.isNull() | num.isNull(),
+                   F.lit(None).cast("double"))
+            .when(den != 0, num / den)
             .when(num > 0, F.lit(inf))
             .when(num < 0, F.lit(-inf))
             .otherwise(F.lit(nan))

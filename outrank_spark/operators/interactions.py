@@ -10,9 +10,12 @@ define the generated column set (bounded by ``max_distinct``).
 Interaction hashing: the reference hashes the concatenated string
 values with ``xxhash.xxh64(...).hexdigest()`` (core_ranking.py:219).
 MI-style scores are invariant to the hash function, so the engine
-uses Spark's built-in ``xxhash64`` over the same concatenation —
-same collision structure, JVM-side, no Python in the loop (documented
-divergence: different hash bits than the xxhash library).
+defaults to Spark's built-in ``xxhash64`` over the same concatenation
+— same collision structure, JVM-side, no Python in the loop.  For
+byte-level parity with a real OutRank run, ``parity_hashes=True``
+swaps in a vectorized pure-numpy XXH64 hexdigest
+(``outrank_spark.hashing.xxh64``, pinned to the published xxHash test
+vectors) that reproduces the reference's hex tokens exactly.
 """
 from __future__ import annotations
 
@@ -39,6 +42,7 @@ def with_interaction_features(
     upper_bound: int | None = None,
     columns: Sequence[str] | None = None,
     as_hex: bool = True,
+    parity_hashes: bool = False,
 ) -> tuple[DataFrame, list[str]]:
     """Append hashed interaction columns ``A AND B [AND C ...]``
     (``A AND_REL B`` for 3MR) — core_ranking.py:184-234.
@@ -48,6 +52,22 @@ def with_interaction_features(
     xxhash64 long: the scoring heuristics are relabel-invariant, the
     column is ~8x cheaper to produce and ship, and counters skip
     derived columns anyway — the scale-path default for ranking jobs.
+
+    ``parity_hashes=True`` switches the value hash from Spark's
+    built-in ``xxhash64`` (JVM-side, different bits) to a vectorized
+    pure-numpy XXH64 (``outrank_spark.hashing.xxh64_hexdigest``) that
+    is BYTE-IDENTICAL to the reference's
+    ``xxhash.xxh64(concat).hexdigest()`` (core_ranking.py:219): 16
+    lowercase hex chars over the separator-less concatenation of the
+    string-cast member values.  One Arrow batch pass per row set —
+    still no per-row Python — but ~3-5x the JVM path's cost, so it is
+    opt-in for byte-diffing pairwise_ranks.tsv against a real OutRank
+    run, not the ranking default.  (Null member values: the reference
+    operates on pandas ``astype(str)`` frames where missing values
+    already surface as literal tokens; here nulls cast to SQL NULL and
+    make the whole concat NULL -> hash of the empty string is NOT
+    emitted, the value stays NULL.  Feed the same pre-filled frame the
+    reference sees for exact diffs.)
     """
     all_columns = [
         c for c in (columns or df.columns) if c != label_column
@@ -61,13 +81,32 @@ def with_interaction_features(
         combos = planner.sample(combos, upper_bound)
     new_names = []
     exprs = []
+    if parity_hashes:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def _xxh64_hex(s):
+            import pandas as pd
+
+            from outrank_spark.hashing import xxh64_hexdigest
+
+            mask = s.notna()
+            out = pd.Series([None] * len(s), index=s.index, dtype=object)
+            if mask.any():
+                out[mask] = xxh64_hexdigest(s[mask].to_numpy())
+            return out
+
     # ONE select for all combos: chained withColumn would nest the
     # logical plan |combos| deep and analyzer time grows superlinearly
     # (hundreds of order-3 combos dominate small-batch jobs)
     for combo in combos:
         name = join_string.join(combo)
-        h = F.xxhash64(F.concat(*[F.col(f"`{c}`").cast("string") for c in combo]))
-        exprs.append((F.lower(F.hex(h)) if as_hex else h).alias(name))
+        cat = F.concat(*[F.col(f"`{c}`").cast("string") for c in combo])
+        if parity_hashes:
+            exprs.append(_xxh64_hex(cat).alias(name))
+        else:
+            h = F.xxhash64(cat)
+            exprs.append((F.lower(F.hex(h)) if as_hex else h).alias(name))
         new_names.append(name)
     out = df.select("*", *exprs) if exprs else df
     return out, new_names

@@ -169,10 +169,14 @@ def media_quality_gate(df: DataFrame, registry: DecoderRegistry,
             for mid, kind, payload in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"],
             ):
+                # reset per item: a registered decoder may return None
+                # without raising, which must read as "drop", not as
+                # the previous item's verdict
+                arr, keep = None, False
                 try:
                     arr = registry.decode(kind, bytes(payload))
                 except Exception:
-                    arr, keep = None, False
+                    arr = None
                 if arr is not None:
                     if arr.ndim == 3:      # image (h, w, c)
                         keep = arr.shape[0] * arr.shape[1] >= min_pixels

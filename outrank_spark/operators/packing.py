@@ -40,9 +40,18 @@ def pack_sequences(df: DataFrame, text_col: str = "text",
     bucket's window sorts ~N/buckets manifest rows (id + counts, no
     text)."""
     key = _md5_key(id_col)
+    # null or empty/whitespace-only text packs as ZERO tokens (matches
+    # quality_model._flat_buckets): a bare size(split(...)) would emit
+    # null manifest rows for null text and count "" as one token,
+    # silently inflating every later start_offset in the bucket.
+    txt = F.col(text_col)
+    n_tokens = (
+        F.when(txt.isNull() | (F.trim(txt) == ""), F.lit(0))
+        .otherwise(F.size(F.split(txt, " ")))
+    )
     base = df.select(
         F.col(id_col),
-        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+        n_tokens.alias("n_tokens"),
         F.pmod(key, F.lit(buckets)).alias("bucket"),
         key.alias("__k"),
     )

@@ -303,7 +303,10 @@ def kmeans_fit(df: DataFrame, vec_col: str = "embedding", k: int = 16,
 def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
                    id_col: str = "vec_id", k: int = 64,
                    cos_threshold: float = 0.95,
-                   seed: int = 20141025) -> DataFrame:
+                   seed: int = 20141025,
+                   target_cell_rows: int = 4096,
+                   pair_block_floats: int = 4_000_000,
+                   kmeans_max_iter: int = 20) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023):
     k-means-cluster the (normalized) embeddings, then WITHIN each
     cluster drop every vector whose cosine to a lower-id cluster-mate
@@ -311,14 +314,30 @@ def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
 
     Pipeline: :func:`kmeans_fit` (driver holds only k centroids) ->
     one ``mapInPandas`` cell assignment -> per-cell pairwise cosine in
-    ``applyInPandas`` (quadratic ONLY within a cell — k bounds cell
-    size to ~N/k, the knob that keeps the verify stage linear-ish at
-    corpus scale; raise k as N grows) -> anti-join the losers.
-    Returns ``df`` minus semantic duplicates; keeps the minimum id of
-    every near-duplicate group, exactly like the text-dedup family.
+    ``applyInPandas`` (quadratic ONLY within a cell) -> anti-join the
+    losers.  Returns ``df`` minus semantic duplicates; keeps the
+    minimum id of every near-duplicate group, exactly like the
+    text-dedup family.
+
+    Scale behavior (two guards, so the defaults survive 100x):
+
+    * ``k`` auto-scales with the input: one cheap ``count()`` derives
+      ``k = max(k, ceil(n / target_cell_rows))`` so mean cell size
+      stays ~``target_cell_rows`` no matter how N grows (at 10M rows
+      the old fixed k=64 meant ~156k-row cells and an executor-OOM
+      dense cosine matrix).
+    * the per-cell cosine never materializes more than
+      ~``pair_block_floats`` floats at once: the prune walks the cell
+      in column blocks of ``pair_block_floats / cell_rows`` vectors,
+      comparing each block only against earlier-id rows — identical
+      drop set to the full matrix, bounded memory even when k-means
+      hands one cell far more than the target (skewed embedding mass).
     """
     pruned = df.select(F.col(id_col), F.col(vec_col))
-    centroids, _ = kmeans_fit(df, vec_col=vec_col, k=k, seed=seed)
+    n = pruned.count()
+    k = max(int(k), -(-n // max(int(target_cell_rows), 1)))
+    centroids, _ = kmeans_fit(df, vec_col=vec_col, k=k, seed=seed,
+                              max_iter=kmeans_max_iter)
     cent = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12,
     )
@@ -342,14 +361,26 @@ def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
 
     thr = float(cos_threshold)
 
+    blk_floats = int(pair_block_floats)
+
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
         order = np.argsort(pdf["id"].to_numpy(), kind="stable")
         ids = pdf["id"].to_numpy()[order]
         vecs = np.stack(pdf["vec"].to_numpy()[order])
-        sims = vecs @ vecs.T
-        # drop j if any i < j has cos(i, j) > threshold
-        upper = np.triu(sims, 1) > thr
-        losers = ids[upper.any(axis=0)]
+        m = len(ids)
+        # drop j if any i < j has cos(i, j) > threshold.  Blocked so
+        # the sim matrix slice is at most m x block ~ blk_floats
+        # values, however large k-means made this cell.
+        block = max(1, blk_floats // max(m, 1))
+        loser_chunks = []
+        for b0 in range(1, m, block):
+            b1 = min(b0 + block, m)
+            sims = vecs[:b1] @ vecs[b0:b1].T
+            lt = (np.arange(b1)[:, None] < np.arange(b0, b1)[None, :])
+            hit = (sims > thr) & lt
+            loser_chunks.append(ids[b0:b1][hit.any(axis=0)])
+        losers = (np.concatenate(loser_chunks) if loser_chunks
+                  else ids[:0])
         return pd.DataFrame({"id": losers})
 
     losers = assigned.groupBy("cell").applyInPandas(

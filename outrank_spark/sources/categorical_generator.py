@@ -347,6 +347,15 @@ class CategoricalClassification:
                     for i in range(1, n):
                         y += boundary > p_points[i]
                 else:
+                    # INTENTIONAL divergence from the reference: for a
+                    # SCALAR p with n > 2 classes the reference stacks
+                    # cumulative p*100 percentiles (cc_generator.py:
+                    # 495-505), which raises once p*(n-1) > 1 (e.g. the
+                    # default p=0.5 with n=4).  Equal 1/n percentile
+                    # shares are well-defined for every (p, n) and
+                    # match the reference exactly in its only always-
+                    # valid scalar case (p = 1/n); pass a LIST p to get
+                    # the reference's cumulative scheme verbatim.
                     share = 1.0 / n
                     pcts = [share * 100 * (i + 1) for i in range(n - 1)]
                     p_points = np.percentile(boundary, pcts)

@@ -740,6 +740,36 @@ class TestRealCodecs:
             media.where(F.col("media_id") == 1), reg).collect()
         assert len(feats) == 1 and len(feats[0]["feature"]) == 8
 
+    def test_none_returning_decoder_drops_item(self, spark):
+        """ADVICE r3: a registered decoder that returns None WITHOUT
+        raising must read as 'drop' for that item — first in the batch
+        (previously NameError) and mid-batch (previously the prior
+        item's stale verdict)."""
+        from outrank_spark.operators.multimodal import (
+            DecoderRegistry,
+            deterministic_fake_decoder,
+            media_quality_gate,
+        )
+
+        reg = DecoderRegistry()
+        good = deterministic_fake_decoder(shape=(8, 8, 3))
+        reg.register("image/none", lambda payload: None)
+        reg.register("image/fake", good)
+        rows = [
+            (1, "image/none", b"\x01"),   # first item: None decode
+            (2, "image/fake", b"\x02"),   # kept
+            (3, "image/none", b"\x03"),   # after a keeper: still drop
+        ]
+        media = spark.createDataFrame(
+            rows, "media_id long, kind string, payload binary",
+        ).coalesce(1)
+        got = {r["media_id"]: r
+               for r in media_quality_gate(media, reg,
+                                           min_pixels=4).collect()}
+        assert not got[1]["keep"] and got[1]["decoded_h"] == -1
+        assert got[2]["keep"]
+        assert not got[3]["keep"] and got[3]["decoded_h"] == -1
+
     def test_ppm_crlf_header(self):
         """Windows-written P6 (CRLF header terminator) must decode the
         raster from the right offset, not shift by one byte."""
@@ -812,6 +842,84 @@ class TestSemanticDedup:
         rows = [(i, rng.standard_normal(8).tolist()) for i in range(30)]
         df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
         assert semantic_dedup(df, k=2, cos_threshold=1.01).count() == 30
+
+    def test_blocked_prune_matches_full_matrix(self, spark):
+        """Forcing the per-cell cosine into many tiny column blocks
+        (pair_block_floats=64 -> block of 1-2 vectors) must keep the
+        drop set identical to the effectively-unblocked default."""
+        from outrank_spark.operators.similarity import semantic_dedup
+
+        rng = np.random.default_rng(17)
+        base = rng.standard_normal((40, 16))
+        rows = [(i, base[i].tolist()) for i in range(40)]
+        for i in range(10):
+            dup = base[i] + rng.standard_normal(16) * 0.01
+            rows.append((40 + i, dup.tolist()))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        kept_full = sorted(
+            r["vec_id"] for r in
+            semantic_dedup(df, k=4, cos_threshold=0.95).collect())
+        kept_blocked = sorted(
+            r["vec_id"] for r in
+            semantic_dedup(df, k=4, cos_threshold=0.95,
+                           pair_block_floats=64).collect())
+        assert kept_blocked == kept_full
+
+    @pytest.mark.slow
+    def test_million_rows_default_k_autoscales(self, spark):
+        """VERDICT r3 item 3: at 1M rows the old fixed k=64 meant
+        ~15.6k-row cells and a dense 15.6k^2 cosine matrix per task;
+        with k auto-derived from n (target_cell_rows) and the blocked
+        prune, the DEFAULT call must complete and prune the planted
+        duplicates without raising k by hand."""
+        from outrank_spark.operators.similarity import semantic_dedup
+
+        n = 1_000_000
+        anchors = np.random.Generator(np.random.PCG64(5)) \
+            .standard_normal((32, 32))
+
+        def gen(batches):
+            from outrank_spark.hashing import splitmix64
+
+            for pdf in batches:
+                ids = pdf["id"].to_numpy()
+                base = np.where(ids % 50 == 1, ids - 1, ids)
+                vecs = anchors[base % 32].copy()
+                # avalanche-hashed counter noise: deterministic per id,
+                # independent of partitioning AND decorrelated across
+                # ids (a plain Weyl/multiplicative counter leaves all
+                # noise vectors on a lattice line -> spurious cos ~ 1).
+                # Sized so same-anchor distinct ids sit well below cos
+                # 0.95 (mean cos ~0.34, tail negligible even across ~4k cellmates)
+                # while planted dups stay ~1.
+                ctr = (base[:, None] * 32 + np.arange(32)[None, :]) \
+                    .astype(np.uint64)
+                u = splitmix64(ctr).astype(np.float64) * (2.0 ** -64)
+                vecs += (u - 0.5) * 4.8
+                dup = (ids % 50 == 1)
+                vecs[dup] += ((u[dup] - 0.5) * 0.01)
+                yield pd.DataFrame({
+                    "vec_id": ids, "embedding": [v.tolist() for v in vecs],
+                })
+
+        df = spark.range(n).mapInPandas(
+            gen, schema="vec_id long, embedding array<double>")
+        kept = semantic_dedup(df, cos_threshold=0.95)
+        kept_dups = kept.filter(F.col("vec_id") % 50 == 1).count()
+        n_dups = df.filter(F.col("vec_id") % 50 == 1).count()
+        total_kept = kept.count()
+        # every planted dup has a cos~1 twin at id-1 -> pruned UNLESS
+        # the pair happens to straddle a Voronoi boundary (the tiny
+        # per-dim jitter can flip the argmax for pairs sitting exactly
+        # between two centroids).  That within-cell-only property is
+        # inherent to SemDeDup as published; observed 7/20k here —
+        # bound the miss rate at 0.1%.
+        n_planted = n // 50
+        assert kept_dups <= n_planted * 0.001
+        # non-dup rows are anchor + wide noise: the overwhelming
+        # majority survive (a few same-anchor borderline cosines may
+        # legitimately collapse)
+        assert total_kept >= int((n - n_dups) * 0.95)
 
 
 class TestWinnowedSpans:

@@ -281,6 +281,24 @@ class TestSequencePacking:
         assert m.sort_values("doc_id").reset_index(drop=True).equals(
             m2.sort_values("doc_id").reset_index(drop=True))
 
+    def test_null_and_empty_text_pack_as_zero_tokens(self, spark):
+        """Null / empty / whitespace-only docs contribute 0 tokens:
+        no null manifest rows, no phantom token inflating later
+        offsets (ADVICE r3)."""
+        from outrank_spark.operators.packing import pack_sequences
+
+        df = spark.createDataFrame(
+            [(0, "a b c"), (1, None), (2, ""), (3, "   "), (4, "x y")],
+            "doc_id long, text string",
+        )
+        m = pack_sequences(df, seq_len=10, buckets=1).toPandas()
+        assert len(m) == 5 and not m.isna().any().any()
+        by_id = m.set_index("doc_id")
+        assert by_id.loc[[1, 2, 3], "n_tokens"].tolist() == [0, 0, 0]
+        assert int(m["n_tokens"].sum()) == 5
+        # stream is gapless: max end == total tokens
+        assert int((m["start_offset"] + m["n_tokens"]).max()) == 5
+
 
 class TestCorpusPipeline:
     def test_stage_attrition_and_manifest_consistency(self, spark):
@@ -316,3 +334,69 @@ class TestCorpusPipeline:
         # manifest covers exactly the surviving corpus
         assert out["manifest"].count() == stats["after_rebalance"]
         assert out["corpus"].count() == stats["after_rebalance"]
+
+    def test_optional_stage_wiring_variants(self, spark):
+        """VERDICT r3 item 8: every optional stage (decontamination,
+        quality floor, rebalance) must wire in/out per config, with
+        HAND-COMPUTED attrition counts per variant."""
+        from outrank_spark.plans.corpus_pipeline import (
+            CorpusPipelineConfig,
+            prepare_training_corpus,
+        )
+
+        # 100 distinct docs (globally unique token sets so near-dedup
+        # keeps them all) + 10 exact duplicates of docs 0..9
+        rows = [(i, "en" if i % 4 else "de",
+                 " ".join(f"w{i}_{j}" for j in range(25)))
+                for i in range(100)]
+        rows += [(100 + k, "en", rows[k][2]) for k in range(10)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, text string")
+
+        # variant A: everything optional OFF -> stats ends at
+        # after_dedup, corpus == manifest == 100 rows
+        out = prepare_training_corpus(
+            df, benchmark=None,
+            cfg=CorpusPipelineConfig(drop_quality_fraction=0,
+                                     group_col=None, pack_buckets=2,
+                                     seq_len=64),
+        )
+        stats = out["stats"].first().asDict()
+        assert set(stats) == {"input", "after_dedup"}
+        assert stats == {"input": 110, "after_dedup": 100}
+        assert out["corpus"].count() == 100
+        assert out["manifest"].count() == 100
+
+        # variant B: decontamination ON (benchmark = verbatim copies of
+        # docs 0..4 -> contamination 1.0 each -> exactly 5 dropped),
+        # others off
+        bench = df.where(F.col("doc_id") < 5).select("doc_id", "text")
+        out = prepare_training_corpus(
+            df, benchmark=bench,
+            cfg=CorpusPipelineConfig(drop_quality_fraction=0,
+                                     group_col=None, pack_buckets=2,
+                                     seq_len=64),
+        )
+        stats = out["stats"].first().asDict()
+        assert set(stats) == {"input", "after_dedup",
+                              "after_decontamination"}
+        assert stats["after_dedup"] == 100
+        assert stats["after_decontamination"] == 95
+        kept_ids = {r["doc_id"] for r in
+                    out["corpus"].select("doc_id").collect()}
+        assert kept_ids.isdisjoint(range(5))
+
+        # variant C: rebalance ON without quality floor; uniform group
+        # sizes (en 75 / de 25 of the kept 100) -> temperature keeps
+        # the minority group whole and the stats column appears
+        out = prepare_training_corpus(
+            df, benchmark=None,
+            cfg=CorpusPipelineConfig(drop_quality_fraction=0,
+                                     group_col="lang", tau=0.5,
+                                     pack_buckets=2, seq_len=64),
+        )
+        stats = out["stats"].first().asDict()
+        assert set(stats) == {"input", "after_dedup", "after_rebalance"}
+        assert stats["after_dedup"] == 100
+        assert 0 < stats["after_rebalance"] <= 100
+        assert out["manifest"].count() == stats["after_rebalance"]

@@ -172,6 +172,23 @@ class TestSparkBackendEquivalence:
         )
         assert np.allclose(np_out, spark_out, rtol=1e-9, atol=1e-12, equal_nan=True)
 
+    def test_division_null_propagates_as_null(self, spark):
+        """ADVICE r3: a SQL-null denominator must yield null, not
+        +-inf — `den != 0` is null (not false) on null inputs, so the
+        sign branches would otherwise catch them."""
+        from pyspark.sql import functions as F
+
+        p = parse_expr("1 / np.cos(X)")
+        sdf = spark.createDataFrame(
+            [(1.0,), (None,), (0.0,)], "x double")
+        out = sdf.select(
+            F.col("x"), p.to_spark(F.col("x"), {}).alias("y"),
+        ).collect()
+        by_x = {r["x"]: r["y"] for r in out}
+        assert by_x[None] is None
+        assert abs(by_x[0.0] - 1.0) < 1e-12          # 1/cos(0)
+        assert abs(by_x[1.0] - 1.0 / np.cos(1.0)) < 1e-12
+
     def test_enrich_with_gates(self, spark):
         rng = np.random.default_rng(7)
         pdf = pd.DataFrame({
