@@ -142,7 +142,8 @@ class ParityHyperLogLog:
     P = 19
 
     def __init__(self, error_rate: float = 0.005, p: int | None = None,
-                 warmup_limit: int | None = None):
+                 warmup_limit: int | None = None,
+                 hash_mode: str = "fast"):
         # defaults reproduce the reference exactly (p=19, warmup m/2);
         # smaller p bounds the per-partition blob (bitmap m/8 bytes)
         # for wide high-cardinality column sets at scale
@@ -150,6 +151,17 @@ class ParityHyperLogLog:
         self.m = 1 << self.p
         self.warmup_limit = (self.m // 2 if warmup_limit is None
                              else warmup_limit)
+        if hash_mode not in ("fast", "reference"):
+            raise ValueError(f"unknown hash_mode {hash_mode!r}")
+        # "fast": package hash family (uint64, one pass).  "reference":
+        # BYTE-PARITY with the reference chain — values go through
+        # ``internal_hash`` = xxh32(utf8, seed=20141025).hexdigest()
+        # (core_utils.py:46-48) into the warmup set, and buckets are
+        # xxh32(hex_token, seed=p) & (m-1)
+        # (counting_ultiloglog.py:21-32), so BOTH the warmup distinct
+        # counts and the post-warmup occupancy — hence every estimate —
+        # are identical to a real OutRank run on the same value stream.
+        self.hash_mode = hash_mode
         # warmup "set" is a sorted unique uint64 array — all updates
         # and merges stay vectorized numpy (no Python int churn)
         self.warmup: np.ndarray | None = np.empty(0, dtype=np.uint64)
@@ -157,6 +169,12 @@ class ParityHyperLogLog:
 
     # -- internals -----------------------------------------------------
     def _buckets_of(self, h: np.ndarray) -> np.ndarray:
+        if self.hash_mode == "reference":
+            from outrank_spark.hashing import _to_hex, xxh32
+
+            hx = _to_hex(h.astype(np.uint32), 4)
+            return (xxh32(hx, seed=self.p).astype(np.int64)
+                    & (self.m - 1))
         return (h & np.uint64(self.m - 1)).astype(np.int64)
 
     def _set_buckets(self, buckets: np.ndarray) -> None:
@@ -173,6 +191,14 @@ class ParityHyperLogLog:
 
     # -- build ---------------------------------------------------------
     def update(self, values) -> "ParityHyperLogLog":
+        if self.hash_mode == "reference":
+            from outrank_spark.hashing import xxh32
+
+            # warmup stores the 32-bit internal_hash itself: distinct
+            # counts then equal the reference's distinct-hex-token
+            # warmup set (collision structure included)
+            return self.update_hashes(
+                xxh32(values, seed=20141025).astype(np.uint64))
         return self.update_hashes(hash_values(values))
 
     def update_hashes(self, h: np.ndarray) -> "ParityHyperLogLog":
@@ -191,6 +217,9 @@ class ParityHyperLogLog:
     def merge(self, other: "ParityHyperLogLog") -> "ParityHyperLogLog":
         if other.p != self.p:
             raise ValueError("cannot merge parity-HLLs with different p")
+        if other.hash_mode != self.hash_mode:
+            raise ValueError(
+                "cannot merge parity-HLLs with different hash_mode")
         if self.warmup is not None and other.warmup is not None:
             self.warmup = np.union1d(self.warmup, other.warmup)
             if self.warmup.size >= self.warmup_limit:
@@ -221,7 +250,10 @@ class ParityHyperLogLog:
 
     # -- wire ----------------------------------------------------------
     def to_bytes(self) -> bytes:
-        head = struct.pack("<BBBI", 2, 1 if self.warmup is None else 0,
+        # ver 2 = fast hash family (round-3 wire format, unchanged);
+        # ver 3 = reference-parity hash chain, same layout otherwise
+        ver = 3 if self.hash_mode == "reference" else 2
+        head = struct.pack("<BBBI", ver, 1 if self.warmup is None else 0,
                            self.p, self.warmup_limit & 0xFFFFFFFF)
         if self.warmup is not None:
             return head + self.warmup.tobytes()  # already sorted unique
@@ -231,7 +263,8 @@ class ParityHyperLogLog:
     def from_bytes(cls, blob: bytes) -> "ParityHyperLogLog":
         ver, phase, p, warmup_limit = struct.unpack_from("<BBBI", blob)
         off = struct.calcsize("<BBBI")
-        out = cls(p=p, warmup_limit=warmup_limit)
+        out = cls(p=p, warmup_limit=warmup_limit,
+                  hash_mode="reference" if ver == 3 else "fast")
         if phase == 0:
             out.warmup = np.frombuffer(blob, dtype=np.uint64, offset=off).copy()
         else:

@@ -57,6 +57,47 @@ class TestCliSelftestGolden:
 
 
 @pytest.mark.slow
+class TestSparkSubmitPyFiles:
+    def test_selftest_runs_from_zip_only(self, tmp_path):
+        """North-rule deployment shape: `spark-submit --py-files
+        outrank_spark.zip jobs/rank_job.py --task ranking`.  The
+        wrapper is copied OUTSIDE the repo so the package can resolve
+        ONLY from the zip (driver imports + executor closures both),
+        proving the job ships as a self-contained artifact."""
+        import shutil
+        import zipfile
+
+        zpath = tmp_path / "outrank_spark.zip"
+        pkg = os.path.join(REPO, "outrank_spark")
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _, files in os.walk(pkg):
+                if "__pycache__" in root:
+                    continue
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        z.write(full, os.path.relpath(full, REPO))
+        wrapper = tmp_path / "rank_job.py"
+        shutil.copy(WRAPPER, str(wrapper))
+
+        spark_submit = shutil.which("spark-submit")
+        assert spark_submit, "spark-submit not on PATH"
+        env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+        env["PYSPARK_PYTHON"] = sys.executable
+        env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+        res = subprocess.run(
+            [spark_submit, "--master", "local[8]",
+             "--driver-memory", "4g",   # local-mode driver IS the executor
+             "--py-files", str(zpath), str(wrapper),
+             "--task", "selftest", "--shuffle_partitions", "16"],
+            cwd=str(tmp_path), capture_output=True, text=True,
+            timeout=560, env=env,
+        )
+        assert res.returncode == 0, res.stderr[-4000:]
+        assert "SELFTEST OK" in res.stdout
+
+
+@pytest.mark.slow
 class TestCliRankingRoundTrip:
     def test_generate_rank_summarize(self, tmp_path):
         cwd = str(tmp_path)

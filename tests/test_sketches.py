@@ -82,6 +82,69 @@ class TestParityHLL:
         h = ParityHyperLogLog().update(np.arange(1000))
         assert len(sketch_from_bytes("parity_hll", h.to_bytes())) == 1000
 
+    def test_reference_hash_chain_byte_parity(self):
+        """hash_mode='reference' reproduces the reference's FULL hash
+        chain — internal_hash = xxh32(v, seed=20141025).hexdigest()
+        into the warmup set (core_utils.py:46-48), then
+        xxh32(hex_token, seed=p) & (m-1) buckets
+        (counting_ultiloglog.py:21-32) — so every estimate equals a
+        literal simulation of HyperLogLogWCache.add()/__len__ built on
+        the independently-validated scalar xxh32 (test_hashing.py),
+        across the warmup boundary and through blob round-trips."""
+        from tests.test_hashing import scalar_xxh32
+
+        p, m = 8, 1 << 8
+        warmup_limit = m // 2
+
+        # literal simulation of the reference structure at small p
+        warmup: set = set()
+        occupied: set = set()
+        hll_flag = False
+
+        def ref_add(value: str):
+            nonlocal hll_flag
+            hexed = format(scalar_xxh32(value.encode(), 20141025), "08x")
+            if len(warmup) < warmup_limit and not hll_flag:
+                warmup.add(hexed)
+            else:
+                if not hll_flag:
+                    for el in sorted(warmup):
+                        occupied.add(
+                            scalar_xxh32(el.encode(), p) & (m - 1))
+                    warmup.clear()
+                    hll_flag = True
+                occupied.add(scalar_xxh32(hexed.encode(), p) & (m - 1))
+
+        def ref_len() -> int:
+            if not hll_flag:
+                return len(warmup)
+            empty = m - len(occupied)
+            if empty == 0:
+                return 1 << p
+            return int(np.ceil(m * np.log(m / empty))) - 1
+
+        h = ParityHyperLogLog(p=p, hash_mode="reference")
+        vals = [f"value_{i}" for i in range(600)]   # crosses warmup at 128
+        for lo in range(0, 600, 97):                # uneven batches
+            batch = vals[lo:lo + 97]
+            for v in batch:
+                ref_add(v)
+            h.update(np.array(batch, dtype=object))
+            # blob round-trip must preserve the chain mid-stream
+            h = ParityHyperLogLog.from_bytes(h.to_bytes())
+            assert h.hash_mode == "reference"
+            assert len(h) == ref_len(), f"diverged at {lo}"
+
+    def test_reference_mode_merge_guard_and_union(self):
+        a = ParityHyperLogLog(p=8, hash_mode="reference") \
+            .update(np.array(["x", "y"], dtype=object))
+        b = ParityHyperLogLog(p=8, hash_mode="reference") \
+            .update(np.array(["y", "z"], dtype=object))
+        assert len(a.merge(b)) == 3
+        with pytest.raises(ValueError, match="hash_mode"):
+            a.merge(ParityHyperLogLog(p=8).update(np.array(["x"],
+                                                           dtype=object)))
+
 
 class TestStandardHLL:
     def test_small_range_near_exact(self):
