@@ -27,8 +27,9 @@ Task dispatch (reference ``__main__.py:255-293``):
     selftest             -> generate 100k x 100, rank, assert the
                             201-row / label-(2; 100) golden
                             (task_selftest.py:19-42)
-    visualization        -> data-first artifact exports (TSV; images
-                            import-gated on matplotlib)
+    visualization        -> artifact exports: data TSVs + standalone
+                            SVG renderings (raster images additionally
+                            when matplotlib is importable)
 """
 from __future__ import annotations
 
@@ -452,8 +453,9 @@ def _task_selftest(spark, args) -> None:
 
 
 def _task_visualization(args) -> None:
-    """Data-first visualization artifacts from pairwise_ranks.tsv
-    (reference task_visualization.py:13-26); images only when
+    """Visualization artifacts from pairwise_ranks.tsv (reference
+    task_visualization.py:13-26): data TSVs plus dependency-free SVG
+    renderings (plans/svg_render.py); raster images additionally when
     matplotlib is importable."""
     import pandas as pd
 

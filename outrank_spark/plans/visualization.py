@@ -340,14 +340,33 @@ def visualize_all(triplets: pd.DataFrame, output_folder: str,
         z, columns=["id_a", "id_b", "height", "size"]))
     _w("SilhouetteProfile.tsv", profile)
     _w("TopClustering.tsv", clustering)
-    for k, df in barplot_data(triplets, label, reference_json).items():
+    slices = barplot_data(triplets, label, reference_json)
+    for k, df in slices.items():
         _w(f"barplot_top_{k}.tsv", df)
+
+    # Rendered images: dependency-free SVG always (plans/svg_render.py
+    # — the masked heatmap, the clustermap, the silhouette sweep and
+    # the barplots of reference ranking_visualization.py:21-270 as
+    # standalone .svg), plus matplotlib raster output when importable.
+    from outrank_spark.plans import svg_render
+
+    written.append(svg_render.heatmap_svg(
+        pivot, os.path.join(output_folder, "heatmap.svg")))
+    written.append(svg_render.clustermap_svg(
+        pivot, z, os.path.join(output_folder, "clustermap.svg")))
+    written.append(svg_render.silhouette_svg(
+        profile, os.path.join(output_folder, "SilhouetteProfile.svg")))
+    for k, df in slices.items():
+        written.append(svg_render.barplot_svg(
+            df, os.path.join(output_folder, f"barplot_top_{k}.svg"),
+            label=label))
     if _try_render_images(pivot, z, output_folder, image_format):
         written.append(
             os.path.join(output_folder, f"heatmap.{image_format}"),
         )
     else:
         logger.info(
-            "matplotlib unavailable — data TSVs written, images skipped",
+            "matplotlib unavailable — TSV + SVG artifacts written, "
+            "raster images skipped",
         )
     return written

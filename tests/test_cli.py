@@ -132,7 +132,9 @@ class TestCliRankingRoundTrip:
         assert res.returncode == 0, res.stderr[-4000:]
         for artifact in ("heatmap.tsv", "TopClustering.tsv",
                          "SilhouetteProfile.tsv",
-                         "dendrogram_complete.tsv"):
+                         "dendrogram_complete.tsv",
+                         "heatmap.svg", "clustermap.svg",
+                         "SilhouetteProfile.svg"):
             assert (tmp_path / "out" / artifact).exists(), artifact
         top = pd.read_csv(tmp_path / "out" / "TopClustering.tsv", sep="\t")
         assert list(top.columns) == ["ClusterID", "Feature"]
@@ -230,7 +232,9 @@ class TestTaskAllParity:
         # visualization artifacts
         for artifact in ("heatmap.tsv", "TopClustering.tsv",
                          "SilhouetteProfile.tsv",
-                         "dendrogram_complete.tsv"):
+                         "dendrogram_complete.tsv",
+                         "heatmap.svg", "clustermap.svg",
+                         "SilhouetteProfile.svg"):
             assert (out / artifact).exists(), artifact
         clusters = pd.read_csv(out / "TopClustering.tsv", sep="\t")
         assert len(clusters) == len(pairwise["FeatureA"].unique())
