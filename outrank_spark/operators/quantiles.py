@@ -1,0 +1,232 @@
+"""Distributed EXACT grouped quantiles — the scale path for q08's shape.
+
+The reference reports numeric feature bounds from driver-side numpy
+percentiles (task_summary.py / default transformer grid percentiles);
+Spark's built-in ``percentile()`` is exact but buffers each group's
+full value list inside one aggregation task, and a per-group window
+sort has the same single-task bottleneck — both are fine as ORACLE
+shapes and both break on a 100 TB group.
+
+This operator computes bit-exact interpolated quantiles (the
+``quantile_cont`` / Spark ``percentile`` formula: position
+``p * (n-1)``, linear interpolation between the two neighbouring order
+statistics) with **no group ever materialized in one task**, via
+classic two-pass distributed selection:
+
+1. range-repartition by ``(group, value)`` and sort within partitions
+   — every partition holds a contiguous slice of each group's sorted
+   order, sized by the range partitioner, never by group size;
+2. pass 1 (metadata): per-partition, per-group row counts
+   (``partitions x groups`` rows to the driver — metadata, not data);
+3. the driver turns each requested quantile into at most two global
+   order-statistic indices per group and maps them onto
+   ``(partition, offset-within-partition)`` via the cumulative counts;
+4. pass 2: each partition emits only its requested order statistics
+   (``<= groups x probs x 2`` rows total); the driver interpolates.
+
+Scale notes: both collects are metadata-sized (the operator is meant
+for grouping columns with bounded cardinality — feature names, status
+codes, shards; for million-group cases use the KLL rollup in
+``operators.sketch_build.grouped_quantiles`` instead).  The heavy data
+moves exactly once (the range shuffle), each task sorts only its own
+slice, and skewed groups spread over as many partitions as their row
+share requires.
+"""
+from __future__ import annotations
+
+import math
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["exact_grouped_quantiles"]
+
+
+def _partition_group_counts(df: DataFrame, group_col: str) -> pd.DataFrame:
+    """Pass 1: (pid, group, cnt) rows, one per partition x group."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        counts: dict[object, int] = {}
+        for pdf in batches:
+            for g, c in pdf[group_col].value_counts(dropna=False).items():
+                counts[g] = counts.get(g, 0) + int(c)
+        if counts:
+            yield pd.DataFrame({
+                "pid": pid,
+                group_col: list(counts.keys()),
+                "cnt": list(counts.values()),
+            })
+
+    schema = f"pid int, {group_col} string, cnt long"
+    return df.mapInPandas(fn, schema=schema).toPandas()
+
+
+def exact_grouped_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: Sequence[float],
+    num_partitions: int | None = None,
+) -> pd.DataFrame:
+    """Exact interpolated quantiles of ``value_col`` per ``group_col``.
+
+    Returns a pandas frame ``group_col, q_<p>...`` (metadata-sized:
+    one row per group).  Nulls in ``value_col`` are ignored, matching
+    ``percentile()`` / ``quantile_cont``.
+    """
+    probs = [float(p) for p in probs]
+    if not probs or any(not (0.0 <= p <= 1.0) for p in probs):
+        raise ValueError("probs must be within [0, 1]")
+    spark = df.sparkSession
+    n_part = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
+
+    data = (
+        df.select(F.col(group_col).cast("string").alias(group_col),
+                  F.col(value_col).cast("double").alias(value_col))
+        # null groups are excluded (coalesce beforehand to keep them);
+        # null values ignored like percentile()/quantile_cont
+        .where(F.col(value_col).isNotNull()
+               & F.col(group_col).isNotNull())
+        .repartitionByRange(n_part, group_col, value_col)
+        .sortWithinPartitions(group_col, value_col)
+    )
+    # cache: passes 1 and 2 must see identical partition contents (a
+    # re-shuffle between passes could legally re-sample range bounds)
+    data = data.persist()
+    try:
+        counts = _partition_group_counts(data, group_col)
+        if counts.empty:
+            return pd.DataFrame(
+                columns=[group_col] + [_q_name(p) for p in probs])
+
+        # cumulative start offset of each (group, pid) slice in the
+        # group's global sorted order; range partitioning guarantees
+        # ascending pid == ascending value slice within a group
+        counts = counts.sort_values([group_col, "pid"], kind="stable")
+        counts["start"] = (
+            counts.groupby(group_col, sort=False)["cnt"].cumsum()
+            - counts["cnt"]
+        )
+        totals = counts.groupby(group_col, sort=False)["cnt"].sum()
+        start_of = {(r[0], int(r[1])): int(r[2]) for r in
+                    counts[[group_col, "pid", "start"]].itertuples(
+                        index=False)}
+
+        # requested global order-statistic indices per group -> the
+        # (partition, local-offset) that holds each
+        need: set[tuple[str, int]] = set()
+        for g, n in totals.items():
+            for p in probs:
+                pos = p * (n - 1)
+                need.add((g, int(math.floor(pos))))
+                need.add((g, int(math.ceil(pos))))
+        gslices = {g: pdf for g, pdf in counts.groupby(group_col,
+                                                       sort=False)}
+        wanted: dict[int, list[tuple[str, int]]] = {}  # pid -> [(g, local)]
+        for g, gi in need:
+            s = gslices[g]
+            row = s[s["start"] <= gi].iloc[-1]  # last slice starting <= gi
+            wanted.setdefault(int(row["pid"]), []).append(
+                (g, gi - int(row["start"])))
+
+        picked = _pick_order_statistics(data, group_col, value_col,
+                                        wanted)
+        idx_of = {
+            (r[0], start_of[(r[0], int(r[3]))] + int(r[1])): float(r[2])
+            for r in picked.itertuples(index=False)
+        }
+        if len(idx_of) != len(need):
+            raise RuntimeError(
+                f"order-statistic pick mismatch: wanted {len(need)}, "
+                f"got {len(idx_of)} — partition contents changed "
+                "between passes")
+
+        rows = []
+        for g, n in totals.items():
+            out = {group_col: g}
+            for p in probs:
+                pos = p * (n - 1)
+                lo, hi = int(math.floor(pos)), int(math.ceil(pos))
+                vlo = idx_of[(g, lo)]
+                vhi = idx_of[(g, hi)]
+                # Spark Percentile.scala's exact weighted form (NOT
+                # lo + (hi-lo)*frac) so results are bitwise-equal to
+                # the built-in percentile()
+                out[_q_name(p)] = (vlo * (hi - pos) + vhi * (pos - lo)
+                                   if hi != lo else vlo)
+            rows.append(out)
+        return (pd.DataFrame(rows)
+                .sort_values(group_col, kind="stable")
+                .reset_index(drop=True))
+    finally:
+        data.unpersist()
+
+
+def _q_name(p: float) -> str:
+    """Column name for prob p: q25 for 0.25, q5 for 0.5, q01 for
+    0.01; endpoints q0 / q100 (so 0.1 -> q1 and 1.0 -> q100 never
+    collide)."""
+    if p == 1.0:
+        return "q100"
+    return "q" + f"{p:g}".replace("0.", "").replace(".", "_")
+
+
+def _pick_order_statistics(
+    data: DataFrame, group_col: str, value_col: str,
+    wanted: dict[int, list[tuple[str, int]]],
+) -> pd.DataFrame:
+    """Pass 2: emit (group, GLOBAL idx, value) for each requested
+    (group, local-offset) pick, tracking per-group positions across
+    the partition's Arrow batches."""
+    spark = data.sparkSession
+    bc = spark.sparkContext.broadcast(wanted)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        picks = bc.value.get(pid)
+        if not picks:
+            for _ in batches:
+                pass
+            return
+        remaining: dict[str, list[int]] = {}
+        for g, local in picks:
+            remaining.setdefault(g, []).append(local)
+        seen: dict[str, int] = {}
+        out_g, out_i, out_v = [], [], []
+        for pdf in batches:
+            groups = pdf[group_col].to_numpy()
+            vals = pdf[value_col].to_numpy()
+            # contiguous runs per group (partition is sorted by group)
+            change = np.flatnonzero(groups[1:] != groups[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(groups)]))
+            for s, e in zip(starts, ends):
+                g = groups[s]
+                if g not in remaining:
+                    seen[g] = seen.get(g, 0) + (e - s)
+                    continue
+                base = seen.get(g, 0)
+                for local in remaining[g]:
+                    if base <= local < base + (e - s):
+                        out_g.append(g)
+                        out_i.append(local)
+                        out_v.append(float(vals[s + local - base]))
+                seen[g] = base + (e - s)
+        if out_g:
+            yield pd.DataFrame({
+                group_col: out_g, "local": out_i, "val": out_v,
+                "pid": pid,
+            })
+
+    schema = f"{group_col} string, local long, val double, pid int"
+    picked = data.mapInPandas(fn, schema=schema).toPandas()
+    bc.unpersist()
+    return picked

@@ -255,7 +255,12 @@ def q08_grouped_quantiles(spark, sf_dir):
     (`operators.sketch_build.grouped_quantiles`, exercised by
     q54_grouped_quantile_sketch), which keeps per-task state at O(k)
     per group and merges associatively, or `approx_percentile` when
-    Spark-native accuracy (~2/k rank error) suffices.
+    Spark-native accuracy (~2/k rank error) suffices.  When EXACT
+    quantiles are required at scale, use the two-pass distributed
+    order-statistic selection (`operators.quantiles.
+    exact_grouped_quantiles`, exercised by
+    q68_exact_quantiles_distributed) — bitwise-equal to percentile()
+    with no group ever held in one task.
     """
     li = load(spark, sf_dir, "lineitem")
     return (
@@ -2445,6 +2450,52 @@ FROM offsets GROUP BY bucket ORDER BY bucket
 
 
 
+def q68_exact_quantiles_distributed(spark, sf_dir):
+    """Distributed EXACT grouped quantiles — the at-scale exact
+    counterpart to q08's ``percentile()`` oracle shape.
+
+    Two-pass range-partitioned order-statistic selection
+    (operators/quantiles.py): range-shuffle + per-partition sort, a
+    metadata pass of per-partition group counts, then each partition
+    emits only its requested order statistics.  No group is ever
+    buffered in one task, so the plan survives a 100 TB group; only
+    metadata (partitions x groups counts, groups x probs x 2 picks)
+    reaches the driver.  Results are bitwise-equal to the built-in
+    exact ``percentile()`` (Percentile.scala's weighted interpolation
+    form, pinned in tests/test_quantiles.py); the 4-decimal rounding
+    here absorbs the last-bit arithmetic difference vs DuckDB's
+    ``quantile_cont``.
+    """
+    from outrank_spark.operators.quantiles import exact_grouped_quantiles
+
+    li = load(spark, sf_dir, "lineitem")
+    pdf = exact_grouped_quantiles(
+        li, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.75, 0.95])
+    return (
+        spark.createDataFrame(pdf)
+        .select(
+            "l_returnflag",
+            F.round("q25", 4).alias("p25_price"),
+            F.round("q5", 4).alias("p50_price"),
+            F.round("q75", 4).alias("p75_price"),
+            F.round("q95", 4).alias("p95_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_Q68 = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def q67_full_training_pipeline(spark, sf_dir):
     """The capstone composition (plans/corpus_pipeline.
     prepare_training_corpus): normalize -> exact+near dedup ->
@@ -2481,7 +2532,7 @@ def q67_full_training_pipeline(spark, sf_dir):
 # the other rows-only queries take the tail.  Do NOT re-sort
 # numerically without keeping the exact-oracle block in the window.
 QUERIES = {
-    # --- exact DuckDB oracles (48) ---
+    # --- exact DuckDB oracles (49) ---
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
     "q03_events_hourly": q03_events_hourly,
@@ -2530,6 +2581,7 @@ QUERIES = {
     "q63_text_normalization": q63_text_normalization,
     "q64_lm_quality_tiers": q64_lm_quality_tiers,
     "q66_sequence_packing": q66_sequence_packing,
+    "q68_exact_quantiles_distributed": q68_exact_quantiles_distributed,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship first so it stays inside the 50-query window
     "q23_ranking_flagship": q23_ranking_flagship,
@@ -2604,4 +2656,5 @@ ORACLES = {
     "q63_text_normalization": ORACLE_Q63,
     "q64_lm_quality_tiers": ORACLE_Q64,
     "q66_sequence_packing": ORACLE_Q66,
+    "q68_exact_quantiles_distributed": ORACLE_Q68,
 }

@@ -1,0 +1,115 @@
+"""Distributed exact grouped quantiles (operators/quantiles.py).
+
+Oracle: Spark's built-in exact ``percentile()`` — every comparison is
+bitwise (``==`` on float64), since the operator reproduces
+Percentile.scala's weighted interpolation form exactly.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from outrank_spark.operators.quantiles import exact_grouped_quantiles
+
+SF = "/root/testdata/sf0.001"
+
+
+def _builtin(df, group_col, value_col, probs):
+    aggs = [
+        F.expr(f"percentile({value_col}, {p})").alias(f"p{i}")
+        for i, p in enumerate(probs)
+    ]
+    return (
+        df.groupBy(F.col(group_col).cast("string").alias(group_col))
+        .agg(*aggs)
+        .toPandas()
+        .sort_values(group_col, kind="stable")
+        .reset_index(drop=True)
+    )
+
+
+class TestExactGroupedQuantiles:
+    def test_bitwise_vs_builtin_on_lineitem(self, spark):
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        probs = [0.25, 0.5, 0.75, 0.95]
+        got = exact_grouped_quantiles(
+            li, "l_returnflag", "l_extendedprice", probs)
+        ref = _builtin(li, "l_returnflag", "l_extendedprice", probs)
+        for i, c in enumerate(["q25", "q5", "q75", "q95"]):
+            assert (got[c].values == ref[f"p{i}"].values).all()
+
+    def test_ties_and_endpoints_integer_column(self, spark):
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        got = exact_grouped_quantiles(
+            li, "l_linestatus", "l_quantity", [0.0, 0.5, 1.0])
+        ref = _builtin(li, "l_linestatus", "l_quantity",
+                       [0.0, 0.5, 1.0])
+        assert (got[["q0", "q5", "q100"]].values
+                == ref[["p0", "p1", "p2"]].values).all()
+
+    def test_many_groups_across_few_partitions(self, spark):
+        df = spark.range(40_000).select(
+            (F.col("id") % 200).cast("string").alias("g"),
+            (F.xxhash64("id") % 10_000).cast("double").alias("v"),
+        )
+        got = exact_grouped_quantiles(df, "g", "v", [0.5],
+                                      num_partitions=8)
+        ref = _builtin(df, "g", "v", [0.5])
+        assert len(got) == 200
+        assert (got["q5"].values == ref["p0"].values).all()
+
+    def test_partition_count_invariance(self, spark):
+        """Exactness cannot depend on how the range partitioner slices
+        the sorted order."""
+        df = spark.range(5_000).select(
+            (F.col("id") % 7).cast("string").alias("g"),
+            F.sin("id").alias("v"),
+        )
+        a = exact_grouped_quantiles(df, "g", "v", [0.1, 0.9],
+                                    num_partitions=2)
+        b = exact_grouped_quantiles(df, "g", "v", [0.1, 0.9],
+                                    num_partitions=19)
+        assert (a.values == b.values).all()
+
+    def test_single_row_group_and_interpolation(self, spark):
+        df = spark.createDataFrame(
+            [("a", 5.0), ("b", 1.0), ("b", 3.0)], "g string, v double")
+        r = exact_grouped_quantiles(df, "g", "v", [0.5, 0.9])
+        assert r[r.g == "a"]["q5"].iloc[0] == 5.0
+        assert r[r.g == "a"]["q9"].iloc[0] == 5.0
+        # pos = 0.9 -> 1*(1-0.9) + 3*0.9 ... weighted form on (1,3)
+        assert r[r.g == "b"]["q9"].iloc[0] == pytest.approx(2.8,
+                                                            abs=1e-12)
+
+    def test_nulls_ignored_and_null_groups_dropped(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", None), ("a", 3.0), (None, 9.0)],
+            "g string, v double")
+        r = exact_grouped_quantiles(df, "g", "v", [0.5])
+        assert list(r["g"]) == ["a"]
+        assert r["q5"].iloc[0] == 2.0
+
+    def test_empty_and_bad_probs(self, spark):
+        df = spark.createDataFrame([], "g string, v double")
+        r = exact_grouped_quantiles(df, "g", "v", [0.5])
+        assert len(r) == 0
+        with pytest.raises(ValueError):
+            exact_grouped_quantiles(df, "g", "v", [1.5])
+        with pytest.raises(ValueError):
+            exact_grouped_quantiles(df, "g", "v", [])
+
+    def test_skewed_group_spreads_over_partitions(self, spark):
+        """One group holding ~90% of rows must still match — its
+        sorted order spans many range partitions."""
+        df = spark.range(30_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit("hot"))
+            .otherwise(F.lit("cold")).alias("g"),
+            (F.xxhash64("id") % 99_991).cast("double").alias("v"),
+        )
+        got = exact_grouped_quantiles(df, "g", "v",
+                                      [0.01, 0.5, 0.99],
+                                      num_partitions=12)
+        ref = _builtin(df, "g", "v", [0.01, 0.5, 0.99])
+        assert (got[["q01", "q5", "q99"]].values
+                == ref[["p0", "p1", "p2"]].values).all()
