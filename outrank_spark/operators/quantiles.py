@@ -35,6 +35,7 @@ share requires.
 from __future__ import annotations
 
 import math
+import re
 from typing import Iterator, Sequence
 
 import numpy as np
@@ -82,40 +83,46 @@ def exact_grouped_quantiles(
     probs = [float(p) for p in probs]
     if not probs or any(not (0.0 <= p <= 1.0) for p in probs):
         raise ValueError("probs must be within [0, 1]")
+    names = [_q_name(p) for p in probs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"probs produce colliding column names: {names}")
     spark = df.sparkSession
     n_part = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions"))
 
+    # user columns are renamed to fixed internal names immediately, so
+    # arbitrary group/value column names (spaces, reserved words, or
+    # collisions with the operator's own pid/cnt/local/val columns)
+    # never reach a DDL string or an internal frame
     data = (
-        df.select(F.col(group_col).cast("string").alias(group_col),
-                  F.col(value_col).cast("double").alias(value_col))
+        df.select(F.col(group_col).cast("string").alias("__g"),
+                  F.col(value_col).cast("double").alias("__v"))
         # null groups are excluded (coalesce beforehand to keep them);
         # null values ignored like percentile()/quantile_cont
-        .where(F.col(value_col).isNotNull()
-               & F.col(group_col).isNotNull())
-        .repartitionByRange(n_part, group_col, value_col)
-        .sortWithinPartitions(group_col, value_col)
+        .where(F.col("__v").isNotNull() & F.col("__g").isNotNull())
+        .repartitionByRange(n_part, "__g", "__v")
+        .sortWithinPartitions("__g", "__v")
     )
     # cache: passes 1 and 2 must see identical partition contents (a
     # re-shuffle between passes could legally re-sample range bounds)
     data = data.persist()
     try:
-        counts = _partition_group_counts(data, group_col)
+        counts = _partition_group_counts(data, "__g")
         if counts.empty:
             return pd.DataFrame(
-                columns=[group_col] + [_q_name(p) for p in probs])
+                columns=[group_col] + names)
 
         # cumulative start offset of each (group, pid) slice in the
         # group's global sorted order; range partitioning guarantees
         # ascending pid == ascending value slice within a group
-        counts = counts.sort_values([group_col, "pid"], kind="stable")
+        counts = counts.sort_values(["__g", "pid"], kind="stable")
         counts["start"] = (
-            counts.groupby(group_col, sort=False)["cnt"].cumsum()
+            counts.groupby("__g", sort=False)["cnt"].cumsum()
             - counts["cnt"]
         )
-        totals = counts.groupby(group_col, sort=False)["cnt"].sum()
+        totals = counts.groupby("__g", sort=False)["cnt"].sum()
         start_of = {(r[0], int(r[1])): int(r[2]) for r in
-                    counts[[group_col, "pid", "start"]].itertuples(
+                    counts[["__g", "pid", "start"]].itertuples(
                         index=False)}
 
         # requested global order-statistic indices per group -> the
@@ -126,7 +133,7 @@ def exact_grouped_quantiles(
                 pos = p * (n - 1)
                 need.add((g, int(math.floor(pos))))
                 need.add((g, int(math.ceil(pos))))
-        gslices = {g: pdf for g, pdf in counts.groupby(group_col,
+        gslices = {g: pdf for g, pdf in counts.groupby("__g",
                                                        sort=False)}
         wanted: dict[int, list[tuple[str, int]]] = {}  # pid -> [(g, local)]
         for g, gi in need:
@@ -135,8 +142,7 @@ def exact_grouped_quantiles(
             wanted.setdefault(int(row["pid"]), []).append(
                 (g, gi - int(row["start"])))
 
-        picked = _pick_order_statistics(data, group_col, value_col,
-                                        wanted)
+        picked = _pick_order_statistics(data, "__g", "__v", wanted)
         idx_of = {
             (r[0], start_of[(r[0], int(r[3]))] + int(r[1])): float(r[2])
             for r in picked.itertuples(index=False)
@@ -149,7 +155,7 @@ def exact_grouped_quantiles(
 
         rows = []
         for g, n in totals.items():
-            out = {group_col: g}
+            out = {"__g": g}
             for p in probs:
                 pos = p * (n - 1)
                 lo, hi = int(math.floor(pos)), int(math.ceil(pos))
@@ -162,6 +168,7 @@ def exact_grouped_quantiles(
                                    if hi != lo else vlo)
             rows.append(out)
         return (pd.DataFrame(rows)
+                .rename(columns={"__g": group_col})
                 .sort_values(group_col, kind="stable")
                 .reset_index(drop=True))
     finally:
@@ -174,7 +181,8 @@ def _q_name(p: float) -> str:
     collide)."""
     if p == 1.0:
         return "q100"
-    return "q" + f"{p:g}".replace("0.", "").replace(".", "_")
+    body = f"{p:g}".replace("0.", "", 1)
+    return "q" + re.sub(r"[^0-9A-Za-z]", "_", body)
 
 
 def _pick_order_statistics(
@@ -193,8 +201,8 @@ def _pick_order_statistics(
         pid = TaskContext.get().partitionId()
         picks = bc.value.get(pid)
         if not picks:
-            for _ in batches:
-                pass
+            # returning without consuming is allowed by mapInPandas;
+            # draining would deserialize every Arrow batch for nothing
             return
         remaining: dict[str, list[int]] = {}
         for g, local in picks:
@@ -202,6 +210,8 @@ def _pick_order_statistics(
         seen: dict[str, int] = {}
         out_g, out_i, out_v = [], [], []
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             groups = pdf[group_col].to_numpy()
             vals = pdf[value_col].to_numpy()
             # contiguous runs per group (partition is sorted by group)

@@ -156,8 +156,10 @@ class _Svg:
 
 
 def _score_colormap(vmin: float, vmax: float):
-    """(color_fn, legend_stops): sequential when all values >= 0,
-    diverging around 0 otherwise."""
+    """(color_fn, legend_stops, legend_bounds): sequential when all
+    values >= 0, diverging around 0 otherwise; legend_bounds are the
+    values at the gradient's ends (the symmetric +/-amp pair in the
+    diverging case)."""
     if vmin >= 0:
         span = (vmax - vmin) or 1.0
 
@@ -165,14 +167,17 @@ def _score_colormap(vmin: float, vmax: float):
             return seq_color((v - vmin) / span)
 
         stops = [(t, seq_color(t)) for t in np.linspace(0, 1, 9)]
-        return fn, stops, False
+        return fn, stops, (vmin, vmax)
     amp = max(abs(vmin), abs(vmax)) or 1.0
 
     def fn(v: float) -> str:
         return div_color(v / amp)
 
     stops = [((t + 1) / 2, div_color(t)) for t in np.linspace(-1, 1, 9)]
-    return fn, stops, True
+    # the gradient spans the symmetric [-amp, amp] range; labeling it
+    # with vmin/vmax would misstate the value->color mapping whenever
+    # |vmin| != |vmax|
+    return fn, stops, (-amp, amp)
 
 
 def _colorbar(svg: _Svg, x: float, y: float, h: float, stops,
@@ -209,7 +214,7 @@ def heatmap_svg(pivot: pd.DataFrame, path: str,
     shown = vals[tril]
     vmin = float(shown.min()) if shown.size else 0.0
     vmax = float(shown.max()) if shown.size else 1.0
-    fn, stops, _ = _score_colormap(vmin, vmax)
+    fn, stops, (cb_lo, cb_hi) = _score_colormap(vmin, vmax)
 
     cell, lab = _cell_geometry(n)
     left = 150.0 if lab else 40.0
@@ -235,7 +240,7 @@ def heatmap_svg(pivot: pd.DataFrame, path: str,
                      top + n * cell + 8, cols[i][:24], size=lab,
                      fill=MUTED, anchor="end", rotate=-60)
     _colorbar(svg, left + n * cell + 24, top, min(n * cell, 220.0),
-              stops, vmin, vmax)
+              stops, cb_lo, cb_hi)
     svg.write(path)
     return path
 
@@ -266,12 +271,18 @@ def clustermap_svg(pivot: pd.DataFrame, z: np.ndarray, path: str,
     ranking_visualization.py:55)."""
     vals = pivot.values.astype(float)
     n = vals.shape[0]
+    if n == 0:
+        svg = _Svg(360, 80)
+        svg.text(12, 22, title, size=14, fill=INK, weight="600")
+        svg.text(12, 52, "no features to cluster", size=11, fill=MUTED)
+        svg.write(path)
+        return path
     order = leaf_order(z, n)
     vals = vals[np.ix_(order, order)]
     rows = [str(pivot.index[i]) for i in order]
 
     vmin, vmax = float(vals.min()), float(vals.max())
-    fn, stops, _ = _score_colormap(vmin, vmax)
+    fn, stops, _bounds = _score_colormap(vmin, vmax)
     cell, lab = _cell_geometry(n)
     dend_w = 120.0
     left = dend_w + (150.0 if lab else 12.0)
@@ -368,9 +379,9 @@ def silhouette_svg(profile: pd.DataFrame, path: str) -> str:
         svg.write(path)
         return path
     xs = profile["threshold"].to_numpy(dtype=float)
-    for row, (col, color, name) in enumerate([
-        ("Silhouette", SERIES1, "silhouette"),
-        ("numClusters", SERIES2, "clusters"),
+    for row, (col, color) in enumerate([
+        ("Silhouette", SERIES1),
+        ("numClusters", SERIES2),
     ]):
         ys = profile[col].to_numpy(dtype=float)
         y0 = 50.0 + row * (panel_h + 80)
@@ -380,14 +391,16 @@ def silhouette_svg(profile: pd.DataFrame, path: str) -> str:
         _line_panel(svg, xs, ys, x0, y0, w, panel_h, color,
                     lambda i, c=col, y=ys: (
                         f"threshold {xs[i]:.4f}: {c} {y[i]:.4f}"))
-        best = int(np.argmax(profile["Silhouette"].to_numpy()))
+        sil = profile["Silhouette"].to_numpy(dtype=float)
+        # LAST argmax: hierarchical_cluster_data keeps the last max
+        # (`>=` at visualization.py), so the marked dot must agree
+        # with the TopClustering.tsv it accompanies
+        best = int(np.flatnonzero(sil == sil.max())[-1])
         svg.circle(x0 + (xs[best] - xs.min()) /
                    ((xs.max() - xs.min()) or 1) * w,
                    y0 + panel_h - (ys[best] - ys.min()) /
                    ((ys.max() - ys.min()) or 1) * panel_h,
                    4, color, title=f"best threshold {xs[best]:.4f}")
-        svg.text(x0 + w, y0 - 8, name, size=10, fill=INK2, anchor="end")
-        svg.circle(x0 + w - 46, y0 - 11, 4, color)
     svg.write(path)
     return path
 
@@ -414,33 +427,43 @@ def barplot_svg(ranks: pd.DataFrame, path: str, label: str = "",
         svg.text(left + 9, 42, "feature", size=10, fill=INK2)
         svg.circle(left + 70, 38, 4, SERIES2)
         svg.text(left + 79, 42, "in reference model", size=10, fill=INK2)
+    # value scale spans [min(0, vmin), max(0, vmax)] with the baseline
+    # at 0, so negative scores render as leftward bars instead of
+    # silently clamping to zero width
     vmax = float(shown["Value"].max()) if n else 1.0
-    vmax = vmax if vmax > 0 else 1.0
+    vmin = float(shown["Value"].min()) if n else 0.0
+    lo, hi = min(0.0, vmin), max(0.0, vmax)
+    span = (hi - lo) or 1.0
+    base_x = left + (0.0 - lo) / span * bar_w
     for i in range(n):
         r = shown.iloc[i]
         v = float(r["Value"])
-        bw = max(0.0, v / vmax * bar_w)
+        bw = abs(v) / span * bar_w
+        sgn = 1.0 if v >= 0 else -1.0
         y = top + i * row_h
         color = (SERIES2 if has_flag and bool(r["InReferenceModel"])
                  else SERIES1)
         name = str(r["Feature"])
         svg.text(left - 6, y + row_h - 5, name[:34], size=10,
                  fill=INK2, anchor="end")
-        # square at the baseline, 4px-rounded at the data end
+        # square at the zero baseline, 4px-rounded at the data end
+        # (mirrored for negative values)
         hh = row_h - 2  # the 2px surface gap between bars
         rxr = min(4.0, bw / 2)
+        sweep = 1 if sgn > 0 else 0
         svg.path(
-            f"M {left:.1f} {y:.1f} h {bw - rxr:.2f}"
-            f" a {rxr} {rxr} 0 0 1 {rxr} {rxr}"
+            f"M {base_x:.1f} {y:.1f} h {sgn * (bw - rxr):.2f}"
+            f" a {rxr} {rxr} 0 0 {sweep} {sgn * rxr} {rxr}"
             f" v {hh - 2 * rxr:.2f}"
-            f" a {rxr} {rxr} 0 0 1 {-rxr} {rxr}"
-            f" h {-(bw - rxr):.2f} z",
+            f" a {rxr} {rxr} 0 0 {sweep} {-sgn * rxr} {rxr}"
+            f" h {-sgn * (bw - rxr):.2f} z",
             stroke="none", fill=color, title=f"{name}: {v:.4f}",
         )
         if n <= 60:
-            svg.text(left + bw + 5, y + row_h - 5, f"{v:.3f}",
-                     size=9, fill=INK2)
-    svg.line(left, top, left, top + n * row_h, stroke=AXIS, width=1)
+            lx = base_x + sgn * bw + 5 * sgn
+            svg.text(lx, y + row_h - 5, f"{v:.3f}", size=9,
+                     fill=INK2, anchor="start" if sgn > 0 else "end")
+    svg.line(base_x, top, base_x, top + n * row_h, stroke=AXIS, width=1)
     if total > n:
         svg.text(left, top + n * row_h + 24,
                  f"top {n} of {total} shown - full data in the TSV",

@@ -99,6 +99,21 @@ class TestExactGroupedQuantiles:
         with pytest.raises(ValueError):
             exact_grouped_quantiles(df, "g", "v", [])
 
+    def test_adversarial_column_names(self, spark):
+        """Group/value columns named like the operator's internals
+        (pid/cnt/local/val) or needing quoting must work unchanged."""
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 3.0), ("b", 7.0)],
+            ["pid", "local"])
+        r = exact_grouped_quantiles(df, "pid", "local", [0.5])
+        assert list(r["pid"]) == ["a", "b"]
+        assert list(r["q5"]) == [2.0, 7.0]
+
+    def test_duplicate_probs_rejected(self, spark):
+        df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+        with pytest.raises(ValueError, match="colliding"):
+            exact_grouped_quantiles(df, "g", "v", [0.5, 0.5])
+
     def test_skewed_group_spreads_over_partitions(self, spark):
         """One group holding ~90% of rows must still match — its
         sorted order spans many range partitions."""

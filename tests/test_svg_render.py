@@ -123,6 +123,24 @@ class TestHeatmap:
 
 
 class TestClustermap:
+    def test_empty_pivot_writes_note(self, tmp_path):
+        path = str(tmp_path / "empty.svg")
+        clustermap_svg(pd.DataFrame(), np.zeros((0, 4)), path)
+        texts = [t.text for t in _parse(path).iter(f"{NS}text")]
+        assert any("no features" in t for t in texts)
+
+    def test_diverging_colorbar_labels_match_gradient(self, tmp_path):
+        """Scores in [-0.2, 1.0]: the diverging gradient spans the
+        symmetric [-1, 1] range, and the colorbar labels must say so
+        (not vmin/vmax)."""
+        vals = np.array([[1.0, -0.2], [-0.2, 1.0]])
+        piv = pd.DataFrame(vals, index=["a", "b"], columns=["a", "b"])
+        path = str(tmp_path / "div.svg")
+        heatmap_svg(piv, path)
+        texts = [t.text for t in _parse(path).iter(f"{NS}text")]
+        assert "1" in texts and "-1" in texts
+        assert "-0.2" not in texts
+
     def test_reorders_and_draws_n_minus_1_links(self, tmp_path):
         piv = _pivot4()
         z, _, _, pivot = hierarchical_cluster_data(
@@ -156,6 +174,24 @@ class TestSilhouette:
         hover = [c for c in _titled(root, "circle")
                  if c.get("fill") == "transparent"]
         assert len(hover) == 2 * len(profile)
+
+    def test_best_marker_keeps_last_max(self, tmp_path):
+        """Tied silhouette maxima: hierarchical_cluster_data keeps the
+        LAST max (`>=`), so the marked dot must use the last one."""
+        profile = pd.DataFrame({
+            "Silhouette": [0.5, 0.3, 0.5],
+            "threshold": [0.1, 0.2, 0.3],
+            "numClusters": [8, 5, 3],
+        })
+        path = str(tmp_path / "tie.svg")
+        silhouette_svg(profile, path)
+        root = _parse(path)
+        best = [c.find(f"{NS}title").text
+                for c in _titled(root, "circle")
+                if c.get("fill") != "transparent"
+                and c.find(f"{NS}title") is not None
+                and "best threshold" in c.find(f"{NS}title").text]
+        assert best and all("0.3000" in t for t in best)
 
     def test_empty_profile_writes_note(self, tmp_path):
         path = str(tmp_path / "empty.svg")
@@ -196,6 +232,24 @@ class TestBarplot:
         assert len(bars) == MAX_BARS
         texts = [t.text for t in root.iter(f"{NS}text")]
         assert any("full data in the TSV" in t for t in texts)
+
+    def test_negative_values_render_leftward(self, tmp_path):
+        ranks = pd.DataFrame({
+            "Feature": ["a", "b", "c"],
+            "Value": [1.0, -0.5, 0.25],
+            "InReferenceModel": [False, False, False],
+        })
+        path = str(tmp_path / "neg.svg")
+        barplot_svg(ranks, path)
+        root = _parse(path)
+        bars = [p for p in _titled(root, "path")
+                if p.get("fill") in (SERIES1, SERIES2)]
+        assert len(bars) == 3
+        # the -0.5 bar must have real width, drawn leftward ("h -")
+        neg = [p for p in bars
+               if p.find(f"{NS}title").text == "b: -0.5000"][0]
+        first_h = float(neg.get("d").split(" h ")[1].split(" ")[0])
+        assert first_h < -20  # leftward and visible
 
     def test_widths_proportional(self, tmp_path):
         path = str(tmp_path / "prop.svg")
