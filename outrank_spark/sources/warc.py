@@ -1,0 +1,254 @@
+"""WARC / WET source connector — the native Common-Crawl formats.
+
+The north star targets "Common-Crawl-style web pages"; at 100 TB the
+raw inputs are WARC archives (ISO 28500: headered records with binary
+HTTP payloads) and their WET text conversions.  This connector parses
+both into the repo's pages shape with no third-party warc library:
+
+- ``read_warc``  -> one row per record: ``(url, warc_ts, record_type,
+  content_type, payload binary)``
+- ``read_wet``   -> conversion records decoded to ``(url, warc_ts,
+  text)``
+- ``pages_from_warc`` -> north-rule pages schema ``(url, warc_ts,
+  html, text, lang)``: response records with the HTTP envelope
+  stripped, ``text`` extracted by the deterministic extractor
+  (operators/derived.extract_text_from_html) so the per-row
+  byte-identity invariant carries over from the pages table.
+
+Scale contract (same as read_zst_lines): ``binaryFile`` ships each
+archive to one task and records are parsed in a single streamed pass,
+so parallelism == file count.  That matches how Common Crawl is laid
+out (a crawl is ~64k-90k archives of ~1 GiB) and how production Spark
+WARC jobs (e.g. the public sparkcc pattern) schedule: many medium
+shards, never one giant file.  Member-gzip archives (.warc.gz — each
+record its own gzip member, the CC on-disk format) are decompressed
+incrementally member-by-member; plain ``.warc`` parses as-is.
+
+Malformed records (bad header block, short payload) are SKIPPED and
+counted per task in the ``n_bad`` accumulator column of
+``read_warc_with_stats`` — never silently absorbed into neighbouring
+records, because resynchronization happens on the next ``WARC/``
+version line.
+"""
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = [
+    "read_warc", "read_warc_with_stats", "read_wet", "pages_from_warc",
+    "parse_warc_bytes", "write_warc_bytes",
+]
+
+_CRLF = b"\r\n"
+_SEP = b"\r\n\r\n"
+
+
+def _gunzip_members(raw: bytes, chunk: int = 1 << 20) -> bytes:
+    """Decompress concatenated gzip members (the .warc.gz layout)
+    incrementally; plain (non-gzip) input is returned unchanged."""
+    if len(raw) < 2 or raw[:2] != b"\x1f\x8b":
+        return raw
+    out = []
+    pos = 0
+    view = memoryview(raw)
+    while pos < len(raw):
+        d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+        while not d.eof and pos < len(raw):
+            fed = bytes(view[pos:pos + chunk])
+            out.append(d.decompress(fed))
+            pos += len(fed)  # advance by bytes actually fed, not chunk
+        # rewind to the first byte the decompressor did not consume
+        pos -= len(d.unused_data)
+        if not d.eof:  # truncated trailing member
+            break
+    return b"".join(out)
+
+
+def parse_warc_bytes(raw: bytes) -> tuple[list[dict], int]:
+    """Parse one (possibly member-gzipped) WARC archive.
+
+    Returns ``(records, n_bad)``; each record dict carries
+    ``headers`` (dict, original case-insensitive keys lowered) and
+    ``payload`` (bytes).  Bad blocks are skipped and counted;
+    resync is on the next ``WARC/`` magic."""
+    data = _gunzip_members(raw)
+    records: list[dict] = []
+    n_bad = 0
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # resynchronize on the record magic
+        start = data.find(b"WARC/", pos)
+        if start < 0:
+            break
+        # the spec terminates every record with two CRLFs; only
+        # NON-delimiter bytes between records are junk
+        if start > pos and data[pos:start].strip(b"\r\n"):
+            n_bad += 1  # junk between records
+        head_end = data.find(_SEP, start)
+        if head_end < 0:
+            n_bad += 1
+            break
+        head = data[start:head_end]
+        headers: dict[str, str] = {}
+        lines = head.split(_CRLF)
+        for ln in lines[1:]:
+            k, _, v = ln.partition(b":")
+            if _:
+                headers[k.strip().lower().decode("iso-8859-1")] = (
+                    v.strip().decode("iso-8859-1", errors="replace"))
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            n_bad += 1
+            pos = head_end + len(_SEP)
+            continue
+        body_start = head_end + len(_SEP)
+        if body_start + length > n:
+            n_bad += 1  # truncated payload
+            break
+        records.append({
+            "headers": headers,
+            "payload": data[body_start:body_start + length],
+        })
+        pos = body_start + length
+    return records, n_bad
+
+
+def _strip_http_envelope(payload: bytes) -> tuple[bytes, str]:
+    """(body, http content-type) from an HTTP response payload; a
+    payload without an HTTP status line is returned unchanged."""
+    if not payload.startswith(b"HTTP/"):
+        return payload, ""
+    sep = payload.find(_SEP)
+    if sep < 0:
+        return payload, ""
+    ctype = ""
+    for ln in payload[:sep].split(_CRLF)[1:]:
+        k, _, v = ln.partition(b":")
+        if _ and k.strip().lower() == b"content-type":
+            ctype = v.strip().decode("iso-8859-1", errors="replace")
+    return payload[sep + len(_SEP):], ctype
+
+
+_RECORD_SCHEMA = ("url string, warc_ts timestamp, record_type string, "
+                  "content_type string, payload binary")
+
+
+def _record_frames(batches: Iterator[pd.DataFrame], kinds: set[str],
+                   with_stats: bool) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        for content, path in zip(pdf["content"], pdf["path"]):
+            records, n_bad = parse_warc_bytes(bytes(content))
+            rows = []
+            for r in records:
+                h = r["headers"]
+                rtype = h.get("warc-type", "")
+                if kinds and rtype not in kinds:
+                    continue
+                payload, http_ct = _strip_http_envelope(r["payload"])
+                rows.append({
+                    "url": h.get("warc-target-uri"),
+                    "warc_ts": h.get("warc-date"),
+                    "record_type": rtype,
+                    "content_type": http_ct
+                    or h.get("content-type", ""),
+                    "payload": payload,
+                })
+            out = pd.DataFrame(
+                rows, columns=["url", "warc_ts", "record_type",
+                               "content_type", "payload"],
+            )
+            out["warc_ts"] = pd.to_datetime(
+                out["warc_ts"], errors="coerce", utc=True, format="mixed",
+            ).dt.tz_localize(None)
+            if with_stats:
+                out["source_file"] = path
+                out["n_bad_in_file"] = np.int64(n_bad)
+            yield out
+
+
+def read_warc(spark: SparkSession, path: str,
+              kinds: tuple[str, ...] = ("response",)) -> DataFrame:
+    """Records of the given WARC-Type(s) from ``.warc`` /
+    ``.warc.gz`` archives under ``path``; HTTP envelopes stripped from
+    response payloads.  ``kinds=()`` keeps every record type."""
+    bf = spark.read.format("binaryFile") \
+        .option("pathGlobFilter", "*.warc*").load(path)
+    kind_set = set(kinds)
+    return bf.select("content", "path").mapInPandas(
+        lambda it: _record_frames(it, kind_set, False),
+        schema=_RECORD_SCHEMA,
+    )
+
+
+def read_warc_with_stats(spark: SparkSession, path: str,
+                         kinds: tuple[str, ...] = ("response",),
+                         ) -> DataFrame:
+    """``read_warc`` plus per-file provenance: ``source_file`` and
+    ``n_bad_in_file`` (malformed blocks skipped in that archive) —
+    the no-silent-drops variant for audit pipelines."""
+    bf = spark.read.format("binaryFile") \
+        .option("pathGlobFilter", "*.warc*").load(path)
+    kind_set = set(kinds)
+    return bf.select("content", "path").mapInPandas(
+        lambda it: _record_frames(it, kind_set, True),
+        schema=_RECORD_SCHEMA + ", source_file string, n_bad_in_file long",
+    )
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """WET text conversions: ``(url, warc_ts, text)`` from
+    ``conversion`` records, payload decoded as UTF-8 (the WET
+    contract), invalid bytes replaced."""
+    recs = read_warc(spark, path, kinds=("conversion",))
+    return recs.select(
+        "url", "warc_ts",
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
+    )
+
+
+def pages_from_warc(spark: SparkSession, path: str) -> DataFrame:
+    """North-rule pages shape from raw WARC archives: response
+    payloads as ``html``, ``text`` via the deterministic extractor
+    (byte-identity invariant preserved), ``lang`` null (downstream
+    langid fills it — operators/text.py)."""
+    from outrank_spark.operators.derived import extract_text_from_html
+
+    recs = read_warc(spark, path, kinds=("response",))
+    pages = recs.select(
+        "url", "warc_ts",
+        F.col("payload").alias("html"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    return extract_text_from_html(pages, out="text").select(
+        "url", "warc_ts", "html", "text", "lang",
+    )
+
+
+def write_warc_bytes(records: list[dict], member_gzip: bool = False,
+                     ) -> bytes:
+    """Serialize records (dicts of ``headers``/``payload``) to WARC
+    bytes — the deterministic fixture-side inverse of
+    ``parse_warc_bytes`` used by tests and the synthetic generators.
+    ``member_gzip=True`` emits the Common-Crawl .warc.gz layout (one
+    gzip member per record, mtime pinned to 0 for determinism)."""
+    import gzip
+
+    out = []
+    for r in records:
+        head = [b"WARC/1.0"]
+        for k, v in r["headers"].items():
+            head.append(f"{k}: {v}".encode("iso-8859-1"))
+        head.append(f"Content-Length: {len(r['payload'])}"
+                    .encode("iso-8859-1"))
+        block = (_CRLF.join(head) + _SEP + r["payload"] + _CRLF + _CRLF)
+        if member_gzip:
+            block = gzip.compress(block, mtime=0)
+        out.append(block)
+    return b"".join(out)

@@ -1,0 +1,153 @@
+"""WARC / WET connector (sources/warc.py).
+
+Fixtures are deterministic in-test WARC bytes built by
+``write_warc_bytes`` (the serializer inverse of the parser), written
+as both plain ``.warc`` and member-gzip ``.warc.gz`` — the Common
+Crawl on-disk layout.  Byte identity of payloads is asserted
+everywhere; malformed blocks must be skipped AND counted.
+"""
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from outrank_spark.sources.warc import (
+    pages_from_warc,
+    parse_warc_bytes,
+    read_warc,
+    read_warc_with_stats,
+    read_wet,
+    write_warc_bytes,
+)
+
+
+def _http(body: bytes, ctype: str = "text/html") -> bytes:
+    return (b"HTTP/1.1 200 OK\r\n"
+            + f"Content-Type: {ctype}\r\n".encode()
+            + f"Content-Length: {len(body)}\r\n\r\n".encode()
+            + body)
+
+
+def _records():
+    html1 = (b"<html><head><title>t1</title></head>"
+             b"<body>alpha beta</body></html>")
+    html2 = b"<html><body>\xc3\xa9l\xc3\xa8ve</body></html>"
+    return [
+        {"headers": {"WARC-Type": "warcinfo",
+                     "WARC-Date": "2024-03-01T00:00:00Z"},
+         "payload": b"software: test"},
+        {"headers": {"WARC-Type": "response",
+                     "WARC-Target-URI": "http://a.example/x",
+                     "WARC-Date": "2024-03-01T01:02:03Z"},
+         "payload": _http(html1)},
+        {"headers": {"WARC-Type": "response",
+                     "WARC-Target-URI": "http://b.example/y",
+                     "WARC-Date": "2024-03-02T04:05:06Z"},
+         "payload": _http(html2, "text/html; charset=utf-8")},
+        {"headers": {"WARC-Type": "conversion",
+                     "WARC-Target-URI": "http://a.example/x",
+                     "WARC-Date": "2024-03-01T01:02:03Z"},
+         "payload": "alpha beta élève".encode("utf-8")},
+    ], html1, html2
+
+
+class TestParser:
+    def test_round_trip_plain_and_member_gzip(self):
+        recs, _, _ = _records()
+        for gz in (False, True):
+            raw = write_warc_bytes(recs, member_gzip=gz)
+            parsed, n_bad = parse_warc_bytes(raw)
+            assert n_bad == 0
+            assert len(parsed) == 4
+            for orig, got in zip(recs, parsed):
+                assert got["payload"] == orig["payload"]
+                assert (got["headers"]["warc-type"]
+                        == orig["headers"]["WARC-Type"])
+
+    def test_malformed_blocks_skipped_and_counted(self):
+        recs, _, _ = _records()
+        good = write_warc_bytes(recs[1:2])
+        # bad content-length (non-numeric) + leading junk
+        bad = (b"junkjunk" + b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"Content-Length: NaN\r\n\r\n")
+        parsed, n_bad = parse_warc_bytes(bad + good)
+        assert len(parsed) == 1
+        assert parsed[0]["headers"]["warc-target-uri"] == \
+            "http://a.example/x"
+        assert n_bad >= 2  # junk + bad header
+
+    def test_truncated_payload_counted(self):
+        recs, _, _ = _records()
+        raw = write_warc_bytes(recs[1:2])
+        parsed, n_bad = parse_warc_bytes(raw[:-30])
+        assert parsed == [] and n_bad == 1
+
+    def test_truncated_gzip_member(self):
+        recs, _, _ = _records()
+        first = write_warc_bytes(recs[:1], member_gzip=True)
+        raw = write_warc_bytes(recs[:2], member_gzip=True)
+        # cut 20 bytes into the SECOND member: its deflate stream is
+        # incomplete, so only the first record can come back
+        parsed, n_bad = parse_warc_bytes(raw[:len(first) + 20])
+        assert len(parsed) == 1
+        assert parsed[0]["headers"]["warc-type"] == "warcinfo"
+
+
+class TestSparkReaders:
+    @pytest.fixture()
+    def warc_dir(self, tmp_path):
+        recs, html1, html2 = _records()
+        (tmp_path / "a.warc").write_bytes(write_warc_bytes(recs))
+        (tmp_path / "b.warc.gz").write_bytes(
+            write_warc_bytes(recs, member_gzip=True))
+        # a decoy non-warc file the glob must skip
+        (tmp_path / "notes.txt").write_bytes(b"not a warc")
+        return str(tmp_path), html1, html2
+
+    def test_read_warc_responses_byte_identical(self, spark, warc_dir):
+        path, html1, html2 = warc_dir
+        rows = read_warc(spark, path).orderBy("url", "warc_ts").collect()
+        # 2 response records per archive x 2 archives
+        assert len(rows) == 4
+        by_url = {}
+        for r in rows:
+            by_url.setdefault(r["url"], []).append(r)
+        assert bytes(by_url["http://a.example/x"][0]["payload"]) == html1
+        assert bytes(by_url["http://b.example/y"][0]["payload"]) == html2
+        r = by_url["http://b.example/y"][0]
+        assert r["content_type"] == "text/html; charset=utf-8"
+        assert r["warc_ts"].isoformat() == "2024-03-02T04:05:06"
+
+    def test_read_warc_all_kinds(self, spark, warc_dir):
+        path, _, _ = warc_dir
+        rows = read_warc(spark, path, kinds=()).collect()
+        assert len(rows) == 8
+        kinds = {r["record_type"] for r in rows}
+        assert kinds == {"warcinfo", "response", "conversion"}
+
+    def test_stats_variant_counts_bad_blocks(self, spark, tmp_path):
+        recs, _, _ = _records()
+        raw = (b"garbage" + write_warc_bytes(recs[1:2]))
+        (tmp_path / "dirty.warc").write_bytes(raw)
+        rows = read_warc_with_stats(spark, str(tmp_path)).collect()
+        assert len(rows) == 1
+        assert rows[0]["n_bad_in_file"] == 1
+        assert rows[0]["source_file"].endswith("dirty.warc")
+
+    def test_read_wet_utf8(self, spark, warc_dir):
+        path, _, _ = warc_dir
+        rows = read_wet(spark, path).collect()
+        texts = {r["text"] for r in rows}
+        assert texts == {"alpha beta élève"}
+        assert len(rows) == 2  # one conversion record per archive
+
+    def test_pages_from_warc_shape_and_extraction(self, spark, warc_dir):
+        path, html1, _ = warc_dir
+        df = pages_from_warc(spark, path)
+        assert [f.name for f in df.schema.fields] == [
+            "url", "warc_ts", "html", "text", "lang"]
+        rows = {(r["url"], bytes(r["html"])): r for r in df.collect()}
+        r = rows[("http://a.example/x", html1)]
+        assert "alpha beta" in r["text"]
+        assert r["lang"] is None
