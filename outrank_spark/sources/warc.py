@@ -85,6 +85,8 @@ def parse_warc_bytes(raw: bytes) -> tuple[list[dict], int]:
         # resynchronize on the record magic
         start = data.find(b"WARC/", pos)
         if start < 0:
+            if data[pos:].strip(b"\r\n"):
+                n_bad += 1  # trailing junk with no further record
             break
         # the spec terminates every record with two CRLFs; only
         # NON-delimiter bytes between records are junk
