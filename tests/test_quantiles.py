@@ -99,6 +99,43 @@ class TestExactGroupedQuantiles:
         with pytest.raises(ValueError):
             exact_grouped_quantiles(df, "g", "v", [])
 
+    def test_property_random_grouped_data_vs_numpy(self, spark):
+        """Randomized micro-corpora vs a numpy oracle of the exact
+        weighted interpolation formula (seeded loop rather than
+        hypothesis: each example pays a Spark job, so examples are few
+        and deterministic)."""
+        import math
+
+        rng = np.random.default_rng(1234)
+        for trial in range(6):
+            n_groups = int(rng.integers(1, 6))
+            rows = []
+            for g in range(n_groups):
+                size = int(rng.integers(1, 40))
+                vals = rng.choice(
+                    [rng.normal(), 0.0, 1.0, -3.5, 2.25], size=size,
+                ) + rng.normal(size=size) * (trial % 2)
+                rows += [(f"g{g}", float(v)) for v in vals]
+            probs = sorted(set(
+                float(p) for p in rng.random(int(rng.integers(1, 4)))
+            )) or [0.5]
+            df = spark.createDataFrame(rows, "g string, v double") \
+                .repartition(int(rng.integers(1, 6)))
+            got = exact_grouped_quantiles(
+                df, "g", "v", probs,
+                num_partitions=int(rng.integers(1, 9)))
+            by_g = {}
+            for g, v in rows:
+                by_g.setdefault(g, []).append(v)
+            for _, r in got.iterrows():
+                vals = np.sort(np.array(by_g[r["g"]]))
+                for j, p in enumerate(probs):
+                    pos = p * (len(vals) - 1)
+                    lo, hi = int(math.floor(pos)), int(math.ceil(pos))
+                    want = (vals[lo] if lo == hi else
+                            vals[lo] * (hi - pos) + vals[hi] * (pos - lo))
+                    assert r.iloc[1 + j] == want, (trial, r["g"], p)
+
     def test_adversarial_column_names(self, spark):
         """Group/value columns named like the operator's internals
         (pid/cnt/local/val) or needing quoting must work unchanged."""
