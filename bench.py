@@ -382,6 +382,51 @@ def minhash_probe(spark, n_docs: int = 200_000) -> float:
     return dt
 
 
+def warc_probe(spark, n_archives: int = 48,
+               recs_per: int = 600) -> float:
+    """Source-connector scale probe: parse n_archives member-gzip
+    .warc.gz archives (the Common-Crawl on-disk layout) through
+    read_warc and aggregate payload sizes.  Archives are generated
+    deterministically ONCE per process into a temp dir (generation
+    excluded from the metric); parallelism == archive count, the
+    connector's documented scale contract.  Returns wall seconds."""
+    import os as _os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from outrank_spark.sources.warc import read_warc, write_warc_bytes
+
+    root = _os.path.join(tempfile.gettempdir(),
+                         f"warc_bench_{n_archives}_{recs_per}")
+    if not _os.path.isdir(root):
+        _os.makedirs(root, exist_ok=True)
+        body = b"<html><body>" + b"token " * 120 + b"</body></html>"
+        for a in range(n_archives):
+            recs = [
+                {"headers": {
+                    "WARC-Type": "response",
+                    "WARC-Target-URI":
+                        f"http://d{a}.example/p{i}",
+                    "WARC-Date": "2024-03-01T00:00:00Z"},
+                 "payload":
+                     b"HTTP/1.1 200 OK\r\nContent-Type: text/html"
+                     b"\r\n\r\n" + body + str(i).encode()}
+                for i in range(recs_per)
+            ]
+            with open(_os.path.join(root, f"{a:03d}.warc.gz"),
+                      "wb") as f:
+                f.write(write_warc_bytes(recs, member_gzip=True))
+    t0 = time.time()
+    row = read_warc(spark, root).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("payload")).alias("bytes"),
+    ).first()
+    dt = time.time() - t0
+    assert row["n"] == n_archives * recs_per and row["bytes"] > 0
+    return dt
+
+
 def quality_model_probe(spark, n_docs: int = 150_000) -> float:
     """LLM-family scale probe: train the hashed-bag logistic quality
     classifier (3 full-corpus gradient epochs, 64k-dim weights) and
@@ -609,14 +654,15 @@ def main() -> None:
             )
             out[n] = [float(v)
                       for v in r.stdout.strip().splitlines()[-1].split()]
-        names = ("asof", "components", "minhash", "quality", "semdedup")
+        names = ("asof", "components", "minhash", "quality", "semdedup",
+                 "warc")
         res = {
-            "metric": (f"asof/components/minhash/quality/semdedup "
+            "metric": (f"asof/components/minhash/quality/semdedup/warc "
                        f"scaling local[{lo}]->local[{hi}]"),
             "unit": "efficiency",
             "asof_rows": 16_000_000, "components_edges": 4_000_000,
             "minhash_docs": 200_000, "quality_docs": 150_000,
-            "semdedup_rows": 150_000,
+            "semdedup_rows": 150_000, "warc_records": 48 * 600,
         }
         for i, name in enumerate(names):
             res[f"{name}_t{lo}_sec"] = round(out[lo][i], 2)
@@ -629,7 +675,7 @@ def main() -> None:
     if "--scaling-ops-child" in sys.argv:
         n = int(sys.argv[sys.argv.index("--scaling-ops-child") + 1])
         probes = (asof_probe, components_probe, minhash_probe,
-                  quality_model_probe, semdedup_probe)
+                  quality_model_probe, semdedup_probe, warc_probe)
         spark = make_spark(n)
         try:
             # warm at FULL size: a small-shape warmup leaves the large
