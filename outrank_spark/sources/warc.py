@@ -207,11 +207,20 @@ def read_warc_with_stats(spark: SparkSession, path: str,
 def read_wet(spark: SparkSession, path: str) -> DataFrame:
     """WET text conversions: ``(url, warc_ts, text)`` from
     ``conversion`` records, payload decoded as UTF-8 (the WET
-    contract), invalid bytes replaced."""
+    contract) with invalid bytes REPLACED — Spark's builtin
+    ``decode`` raises MALFORMED_CHARACTER_CODING on the broken
+    encodings a real crawl always contains, so the decode runs
+    lenient in an Arrow-batched pandas UDF instead."""
+
+    @F.pandas_udf("string")
+    def utf8_lenient(payloads: pd.Series) -> pd.Series:
+        return payloads.map(
+            lambda b: None if b is None
+            else bytes(b).decode("utf-8", errors="replace"))
+
     recs = read_warc(spark, path, kinds=("conversion",))
     return recs.select(
-        "url", "warc_ts",
-        F.decode(F.col("payload"), "UTF-8").alias("text"),
+        "url", "warc_ts", utf8_lenient(F.col("payload")).alias("text"),
     )
 
 

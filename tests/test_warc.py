@@ -142,6 +142,18 @@ class TestSparkReaders:
         assert texts == {"alpha beta élève"}
         assert len(rows) == 2  # one conversion record per archive
 
+    def test_read_wet_invalid_utf8_replaced(self, spark, tmp_path):
+        """Broken encodings (every real crawl has them) must decode
+        leniently, never abort the job."""
+        recs = [{"headers": {"WARC-Type": "conversion",
+                             "WARC-Target-URI": "http://x/1",
+                             "WARC-Date": "2024-01-01T00:00:00Z"},
+                 "payload": b"ok \xff\xfe broken"}]
+        (tmp_path / "x.warc").write_bytes(write_warc_bytes(recs))
+        rows = read_wet(spark, str(tmp_path)).collect()
+        assert len(rows) == 1
+        assert rows[0]["text"] == "ok �� broken"
+
     def test_warc_feeds_training_pipeline_end_to_end(self, spark,
                                                      tmp_path):
         """Integration: raw .warc.gz archives -> pages_from_warc ->
