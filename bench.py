@@ -466,10 +466,14 @@ def quality_model_probe(spark, n_docs: int = 150_000) -> float:
     return dt
 
 
-def semdedup_probe(spark, n_rows: int = 150_000) -> float:
-    """SemDeDup scale probe: k-means (auto-scaled k) + per-cell
-    blocked cosine prune over n_rows 32-dim embeddings with 2% planted
-    near-duplicates, generated executor-side.  Returns wall seconds."""
+def semdedup_probe(spark, n_rows: int = 600_000) -> float:
+    """SemDeDup scale probe: k-means (auto-scaled k -> ~147 cells) +
+    per-cell blocked cosine prune over n_rows 32-dim embeddings with
+    2% planted near-duplicates, generated executor-side.  600k rows:
+    at 150k the probe measured the ~10 sequential iteration barriers
+    (scheduling + Arrow + worker spin-up, ~flat in cores), not the
+    operator's per-pass compute — too small to show scaling that the
+    100 TB regime is actually made of.  Returns wall seconds."""
     import numpy as np
     import pandas as pd
 
@@ -662,7 +666,7 @@ def main() -> None:
             "unit": "efficiency",
             "asof_rows": 16_000_000, "components_edges": 4_000_000,
             "minhash_docs": 200_000, "quality_docs": 150_000,
-            "semdedup_rows": 150_000, "warc_records": 48 * 600,
+            "semdedup_rows": 600_000, "warc_records": 48 * 600,
         }
         for i, name in enumerate(names):
             res[f"{name}_t{lo}_sec"] = round(out[lo][i], 2)
