@@ -382,8 +382,8 @@ def minhash_probe(spark, n_docs: int = 200_000) -> float:
     return dt
 
 
-def warc_probe(spark, n_archives: int = 48,
-               recs_per: int = 600) -> float:
+def warc_probe(spark, n_archives: int = 64,
+               recs_per: int = 3000) -> float:
     """Source-connector scale probe: parse n_archives member-gzip
     .warc.gz archives (the Common-Crawl on-disk layout) through
     read_warc and aggregate payload sizes.  Archives are generated
@@ -401,7 +401,7 @@ def warc_probe(spark, n_archives: int = 48,
                          f"warc_bench_{n_archives}_{recs_per}")
     if not _os.path.isdir(root):
         _os.makedirs(root, exist_ok=True)
-        body = b"<html><body>" + b"token " * 120 + b"</body></html>"
+        body = b"<html><body>" + b"token " * 1000 + b"</body></html>"
         for a in range(n_archives):
             recs = [
                 {"headers": {
@@ -666,7 +666,7 @@ def main() -> None:
             "unit": "efficiency",
             "asof_rows": 16_000_000, "components_edges": 4_000_000,
             "minhash_docs": 200_000, "quality_docs": 150_000,
-            "semdedup_rows": 600_000, "warc_records": 48 * 600,
+            "semdedup_rows": 600_000, "warc_records": 64 * 3000,
         }
         for i, name in enumerate(names):
             res[f"{name}_t{lo}_sec"] = round(out[lo][i], 2)

@@ -253,7 +253,13 @@ def kmeans_fit(df: DataFrame, vec_col: str = "embedding", k: int = 16,
         d2 = np.minimum(d2, ((sample - init[j]) ** 2).sum(axis=1))
     centroids = init
     inertia = float("inf")
-    src = df.select(vec_col)
+    # persist the projected vectors: every Lloyd iteration re-executes
+    # this plan, and without a persist the full upstream lineage (a
+    # parquet scan + decode, or a generator pipeline) runs max_iter
+    # times instead of once
+    from pyspark import StorageLevel
+
+    src = df.select(vec_col).persist(StorageLevel.MEMORY_AND_DISK)
 
     for _ in range(max_iter):
         cent = centroids  # bind for the closure
@@ -297,6 +303,7 @@ def kmeans_fit(df: DataFrame, vec_col: str = "embedding", k: int = 16,
         centroids, inertia = new, new_inertia
         if shift < tol:
             break
+    src.unpersist()
     return centroids, inertia
 
 
