@@ -40,8 +40,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 __all__ = [
-    "read_warc", "read_warc_with_stats", "read_wet", "pages_from_warc",
-    "parse_warc_bytes", "write_warc_bytes",
+    "read_warc", "read_warc_stream", "read_warc_with_stats", "read_wet",
+    "pages_from_warc", "parse_warc_bytes", "write_warc_bytes",
+    "IncrementalWarcParser",
 ]
 
 _CRLF = b"\r\n"
@@ -69,57 +70,140 @@ def _gunzip_members(raw: bytes, chunk: int = 1 << 20) -> bytes:
     return b"".join(out)
 
 
+class IncrementalWarcParser:
+    """Push-based WARC parser with bounded memory.
+
+    ``feed(chunk)`` returns the records completed by that chunk;
+    ``finish()`` flushes the tail and accounts for truncation.  The
+    internal buffer never holds more than one in-flight record plus
+    one fed chunk, so a task can stream a multi-GiB archive while
+    resident memory stays at O(largest record).  Semantics (resync on
+    the ``WARC/`` magic, one ``n_bad`` per junk gap, truncated header/
+    payload counted) are identical to ``parse_warc_bytes`` for every
+    chunking of the same bytes — pinned by a hypothesis property."""
+
+    def __init__(self) -> None:
+        self._buf = bytearray()
+        self._gap_junk = False   # current inter-record gap held junk
+        self.n_bad = 0
+
+    def feed(self, chunk: bytes) -> list[dict]:
+        self._buf += chunk
+        return self._drain(final=False)
+
+    def finish(self) -> list[dict]:
+        return self._drain(final=True)
+
+    def _drain(self, final: bool) -> list[dict]:
+        buf = self._buf
+        records: list[dict] = []
+        pos = 0
+        while True:
+            start = buf.find(b"WARC/", pos)
+            if start < 0:
+                if final:
+                    if self._gap_junk or bytes(buf[pos:]).strip(b"\r\n"):
+                        self.n_bad += 1  # trailing junk, no record
+                        self._gap_junk = False
+                    pos = len(buf)
+                else:
+                    # drop the unusable prefix, keep 4 bytes that could
+                    # be a split "WARC" magic; remember junk for the
+                    # one-per-gap count when the next magic arrives
+                    keep = max(pos, len(buf) - 4)
+                    if bytes(buf[pos:keep]).strip(b"\r\n"):
+                        self._gap_junk = True
+                    pos = keep
+                break
+            if self._gap_junk or (
+                    start > pos and bytes(buf[pos:start]).strip(b"\r\n")):
+                self.n_bad += 1  # junk between records: once per gap
+                self._gap_junk = False
+            head_end = buf.find(_SEP, start)
+            if head_end < 0:
+                if final:
+                    self.n_bad += 1  # truncated header block
+                    pos = len(buf)
+                else:
+                    pos = start      # wait for the rest of the header
+                break
+            headers: dict[str, str] = {}
+            for ln in bytes(buf[start:head_end]).split(_CRLF)[1:]:
+                k, _, v = ln.partition(b":")
+                if _:
+                    headers[k.strip().lower().decode("iso-8859-1")] = (
+                        v.strip().decode("iso-8859-1", errors="replace"))
+            try:
+                length = int(headers["content-length"])
+            except (KeyError, ValueError):
+                self.n_bad += 1
+                pos = head_end + len(_SEP)
+                continue
+            body_start = head_end + len(_SEP)
+            if body_start + length > len(buf):
+                if final:
+                    self.n_bad += 1  # truncated payload
+                    pos = len(buf)
+                else:
+                    pos = start      # wait for the full payload
+                break
+            records.append({
+                "headers": headers,
+                "payload": bytes(buf[body_start:body_start + length]),
+            })
+            pos = body_start + length
+        del buf[:pos]
+        return records
+
+
 def parse_warc_bytes(raw: bytes) -> tuple[list[dict], int]:
-    """Parse one (possibly member-gzipped) WARC archive.
+    """Parse one (possibly member-gzipped) WARC archive in memory.
 
     Returns ``(records, n_bad)``; each record dict carries
     ``headers`` (dict, original case-insensitive keys lowered) and
-    ``payload`` (bytes).  Bad blocks are skipped and counted;
-    resync is on the next ``WARC/`` magic."""
-    data = _gunzip_members(raw)
-    records: list[dict] = []
-    n_bad = 0
-    pos = 0
-    n = len(data)
-    while pos < n:
-        # resynchronize on the record magic
-        start = data.find(b"WARC/", pos)
-        if start < 0:
-            if data[pos:].strip(b"\r\n"):
-                n_bad += 1  # trailing junk with no further record
-            break
-        # the spec terminates every record with two CRLFs; only
-        # NON-delimiter bytes between records are junk
-        if start > pos and data[pos:start].strip(b"\r\n"):
-            n_bad += 1  # junk between records
-        head_end = data.find(_SEP, start)
-        if head_end < 0:
-            n_bad += 1
-            break
-        head = data[start:head_end]
-        headers: dict[str, str] = {}
-        lines = head.split(_CRLF)
-        for ln in lines[1:]:
-            k, _, v = ln.partition(b":")
-            if _:
-                headers[k.strip().lower().decode("iso-8859-1")] = (
-                    v.strip().decode("iso-8859-1", errors="replace"))
-        try:
-            length = int(headers["content-length"])
-        except (KeyError, ValueError):
-            n_bad += 1
-            pos = head_end + len(_SEP)
-            continue
-        body_start = head_end + len(_SEP)
-        if body_start + length > n:
-            n_bad += 1  # truncated payload
-            break
-        records.append({
-            "headers": headers,
-            "payload": data[body_start:body_start + length],
-        })
-        pos = body_start + length
-    return records, n_bad
+    ``payload`` (bytes).  Bad blocks are skipped and counted; resync
+    is on the next ``WARC/`` magic.  Delegates to
+    :class:`IncrementalWarcParser` (single parsing implementation)."""
+    p = IncrementalWarcParser()
+    records = p.feed(_gunzip_members(raw))
+    records += p.finish()
+    return records, p.n_bad
+
+
+def _iter_decompressed(fileobj, chunk: int = 1 << 20):
+    """Yield decompressed chunks from a file object that is either a
+    plain byte stream or concatenated gzip members (.warc.gz); bounded
+    memory (one chunk window).  A corrupt gzip member or truncated
+    tail ends the stream — the record parser's ``finish()`` then
+    accounts for any partial record."""
+    first = fileobj.read(2)
+    if first != b"\x1f\x8b":
+        if first:
+            yield first
+        while True:
+            b = fileobj.read(chunk)
+            if not b:
+                return
+            yield b
+    carry = first
+    try:
+        while True:
+            d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+            while not d.eof:
+                data = carry or fileobj.read(chunk)
+                carry = b""
+                if not data:
+                    return  # truncated trailing member
+                out = d.decompress(data)
+                if out:
+                    yield out
+            carry = d.unused_data
+            if not carry:
+                carry = fileobj.read(chunk)
+                if not carry:
+                    return
+    except zlib.error:
+        return  # corrupt member: stop at the last clean boundary
 
 
 def _strip_http_envelope(payload: bytes) -> tuple[bytes, str]:
@@ -140,6 +224,31 @@ def _strip_http_envelope(payload: bytes) -> tuple[bytes, str]:
 
 _RECORD_SCHEMA = ("url string, warc_ts timestamp, record_type string, "
                   "content_type string, payload binary")
+_RECORD_COLUMNS = ["url", "warc_ts", "record_type", "content_type",
+                   "payload"]
+
+
+def _record_row(r: dict, kinds: set[str]) -> dict | None:
+    h = r["headers"]
+    rtype = h.get("warc-type", "")
+    if kinds and rtype not in kinds:
+        return None
+    payload, http_ct = _strip_http_envelope(r["payload"])
+    return {
+        "url": h.get("warc-target-uri"),
+        "warc_ts": h.get("warc-date"),
+        "record_type": rtype,
+        "content_type": http_ct or h.get("content-type", ""),
+        "payload": payload,
+    }
+
+
+def _rows_frame(rows: list[dict]) -> pd.DataFrame:
+    out = pd.DataFrame(rows, columns=_RECORD_COLUMNS)
+    out["warc_ts"] = pd.to_datetime(
+        out["warc_ts"], errors="coerce", utc=True, format="mixed",
+    ).dt.tz_localize(None)
+    return out
 
 
 def _record_frames(batches: Iterator[pd.DataFrame], kinds: set[str],
@@ -147,28 +256,9 @@ def _record_frames(batches: Iterator[pd.DataFrame], kinds: set[str],
     for pdf in batches:
         for content, path in zip(pdf["content"], pdf["path"]):
             records, n_bad = parse_warc_bytes(bytes(content))
-            rows = []
-            for r in records:
-                h = r["headers"]
-                rtype = h.get("warc-type", "")
-                if kinds and rtype not in kinds:
-                    continue
-                payload, http_ct = _strip_http_envelope(r["payload"])
-                rows.append({
-                    "url": h.get("warc-target-uri"),
-                    "warc_ts": h.get("warc-date"),
-                    "record_type": rtype,
-                    "content_type": http_ct
-                    or h.get("content-type", ""),
-                    "payload": payload,
-                })
-            out = pd.DataFrame(
-                rows, columns=["url", "warc_ts", "record_type",
-                               "content_type", "payload"],
-            )
-            out["warc_ts"] = pd.to_datetime(
-                out["warc_ts"], errors="coerce", utc=True, format="mixed",
-            ).dt.tz_localize(None)
+            rows = [row for r in records
+                    if (row := _record_row(r, kinds)) is not None]
+            out = _rows_frame(rows)
             if with_stats:
                 out["source_file"] = path
                 out["n_bad_in_file"] = np.int64(n_bad)
@@ -202,6 +292,58 @@ def read_warc_with_stats(spark: SparkSession, path: str,
         lambda it: _record_frames(it, kind_set, True),
         schema=_RECORD_SCHEMA + ", source_file string, n_bad_in_file long",
     )
+
+
+def read_warc_stream(spark: SparkSession, path: str,
+                     kinds: tuple[str, ...] = ("response",),
+                     chunk_bytes: int = 8 << 20,
+                     batch_records: int = 512) -> DataFrame:
+    """Bounded-memory variant of :func:`read_warc`: distributes file
+    PATHS (not contents) and stream-parses each archive incrementally
+    inside the task — resident memory is O(one record + one chunk)
+    per task, so multi-GiB archives never materialize, where
+    ``binaryFile`` ships the whole compressed archive as one Arrow
+    cell (hard 2 GiB cell limit, full decompressed archive resident).
+
+    Requires executor-visible filesystem paths (local / NFS — true in
+    local mode and on shared-storage clusters); use :func:`read_warc`
+    for object stores that only the Hadoop reader can open.
+    Parallelism == file count, like every reader in this module."""
+    import glob as _glob
+    import os as _os
+
+    pattern = (_os.path.join(path, "*.warc*")
+               if _os.path.isdir(path) else path)
+    files = sorted(_glob.glob(pattern))
+    if not files:
+        raise FileNotFoundError(f"no .warc archives match {pattern!r}")
+    paths_df = spark.createDataFrame(
+        [(f,) for f in files], "path string",
+    ).repartition(len(files))
+    kind_set = set(kinds)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for p in pdf["path"]:
+                parser = IncrementalWarcParser()
+                rows: list[dict] = []
+                with open(p, "rb") as f:
+                    for chunk in _iter_decompressed(f, chunk_bytes):
+                        for r in parser.feed(chunk):
+                            row = _record_row(r, kind_set)
+                            if row is not None:
+                                rows.append(row)
+                            if len(rows) >= batch_records:
+                                yield _rows_frame(rows)
+                                rows = []
+                    for r in parser.finish():
+                        row = _record_row(r, kind_set)
+                        if row is not None:
+                            rows.append(row)
+                if rows:
+                    yield _rows_frame(rows)
+
+    return paths_df.mapInPandas(fn, schema=_RECORD_SCHEMA)
 
 
 def read_wet(spark: SparkSession, path: str) -> DataFrame:

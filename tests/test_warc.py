@@ -16,6 +16,7 @@ from outrank_spark.sources.warc import (
     pages_from_warc,
     parse_warc_bytes,
     read_warc,
+    read_warc_stream,
     read_warc_with_stats,
     read_wet,
     write_warc_bytes,
@@ -118,6 +119,33 @@ class TestSparkReaders:
         r = by_url["http://b.example/y"][0]
         assert r["content_type"] == "text/html; charset=utf-8"
         assert r["warc_ts"].isoformat() == "2024-03-02T04:05:06"
+
+    def test_stream_reader_matches_binaryfile_reader(self, spark,
+                                                     warc_dir):
+        """read_warc_stream (paths + incremental parse, bounded
+        memory) must produce exactly read_warc's rows; tiny
+        chunk/batch sizes force the incremental paths."""
+        path, _, _ = warc_dir
+
+        def key(r):
+            return (r["url"] or "", r["record_type"],
+                    bytes(r["payload"]))
+
+        want = sorted(read_warc(spark, path, kinds=()).collect(),
+                      key=key)
+        got = sorted(
+            read_warc_stream(spark, path, kinds=(), chunk_bytes=256,
+                             batch_records=3).collect(),
+            key=key)
+        assert len(got) == len(want) == 8
+        for a, b in zip(got, want):
+            assert key(a) == key(b)
+            assert a["warc_ts"] == b["warc_ts"]
+            assert a["content_type"] == b["content_type"]
+
+    def test_stream_reader_missing_path_raises(self, spark, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            read_warc_stream(spark, str(tmp_path / "nope"))
 
     def test_read_warc_all_kinds(self, spark, warc_dir):
         path, _, _ = warc_dir

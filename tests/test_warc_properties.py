@@ -14,6 +14,7 @@ import gzip
 from hypothesis import given, settings, strategies as st
 
 from outrank_spark.sources.warc import (
+    IncrementalWarcParser,
     _gunzip_members,
     parse_warc_bytes,
     write_warc_bytes,
@@ -88,6 +89,31 @@ class TestParserProperties:
         assert len(part) <= len(full)
         for orig, got in zip(full[:len(part)], part):
             assert got["payload"] == orig["payload"]
+
+    @given(recs=records, junk=st.binary(min_size=0, max_size=40),
+           cuts=st.lists(st.integers(min_value=0, max_value=2000),
+                         min_size=0, max_size=12),
+           trunc=st.integers(min_value=0, max_value=25))
+    @settings(**SETTINGS)
+    def test_incremental_equals_batch_for_any_chunking(
+            self, recs, junk, cuts, trunc):
+        """The incremental parser must produce the same records AND
+        the same n_bad as the batch parse for EVERY chunking of the
+        same byte stream — including junk prefixes and truncation."""
+        raw = junk + write_warc_bytes(recs)
+        raw = raw[:len(raw) - trunc] if trunc else raw
+        want_records, want_bad = parse_warc_bytes(raw)
+
+        p = IncrementalWarcParser()
+        got: list = []
+        pos = 0
+        for c in sorted(set(min(c, len(raw)) for c in cuts)):
+            got += p.feed(raw[pos:c])
+            pos = c
+        got += p.feed(raw[pos:])
+        got += p.finish()
+        assert got == want_records
+        assert p.n_bad == want_bad
 
     @given(chunks=st.lists(payloads, min_size=0, max_size=6))
     @settings(**SETTINGS)
