@@ -47,27 +47,18 @@ __all__ = [
 
 _CRLF = b"\r\n"
 _SEP = b"\r\n\r\n"
+_MAX_HEADER_BYTES = 1 << 20  # a WARC header block is KBs; 1 MiB = junk
 
 
 def _gunzip_members(raw: bytes, chunk: int = 1 << 20) -> bytes:
-    """Decompress concatenated gzip members (the .warc.gz layout)
-    incrementally; plain (non-gzip) input is returned unchanged."""
-    if len(raw) < 2 or raw[:2] != b"\x1f\x8b":
-        return raw
-    out = []
-    pos = 0
-    view = memoryview(raw)
-    while pos < len(raw):
-        d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
-        while not d.eof and pos < len(raw):
-            fed = bytes(view[pos:pos + chunk])
-            out.append(d.decompress(fed))
-            pos += len(fed)  # advance by bytes actually fed, not chunk
-        # rewind to the first byte the decompressor did not consume
-        pos -= len(d.unused_data)
-        if not d.eof:  # truncated trailing member
-            break
-    return b"".join(out)
+    """Decompress concatenated gzip members (the .warc.gz layout);
+    plain (non-gzip) input is returned unchanged.  Single
+    implementation: delegates to :func:`_iter_decompressed`, so batch
+    and streaming readers share one member-loop semantics (truncated
+    trailing member = clean stop; corrupt member = ``zlib.error``)."""
+    import io
+
+    return b"".join(_iter_decompressed(io.BytesIO(raw), chunk))
 
 
 class IncrementalWarcParser:
@@ -77,14 +68,25 @@ class IncrementalWarcParser:
     ``finish()`` flushes the tail and accounts for truncation.  The
     internal buffer never holds more than one in-flight record plus
     one fed chunk, so a task can stream a multi-GiB archive while
-    resident memory stays at O(largest record).  Semantics (resync on
-    the ``WARC/`` magic, one ``n_bad`` per junk gap, truncated header/
-    payload counted) are identical to ``parse_warc_bytes`` for every
-    chunking of the same bytes — pinned by a hypothesis property."""
+    resident memory stays at O(min(largest record, max_record_bytes)).
+    Semantics (resync on the ``WARC/`` magic, one ``n_bad`` per junk
+    gap, truncated header/payload counted) are identical to
+    ``parse_warc_bytes`` for every chunking of the same bytes — pinned
+    by a hypothesis property.
 
-    def __init__(self) -> None:
+    ``max_record_bytes`` (default 1 GiB) bounds the in-flight record:
+    a corrupt header claiming a larger Content-Length is counted bad
+    and resynced past, instead of buffering the rest of the archive
+    waiting for a payload that never completes (its payload bytes then
+    count as one junk gap — two ``n_bad`` for that record, never a
+    silent swallow of everything after it).  Negative or non-numeric
+    lengths are likewise counted bad and skipped — an unvalidated
+    negative length would loop the parser forever."""
+
+    def __init__(self, max_record_bytes: int = 1 << 30) -> None:
         self._buf = bytearray()
         self._gap_junk = False   # current inter-record gap held junk
+        self._max_record = int(max_record_bytes)
         self.n_bad = 0
 
     def feed(self, chunk: bytes) -> list[dict]:
@@ -124,6 +126,13 @@ class IncrementalWarcParser:
                 if final:
                     self.n_bad += 1  # truncated header block
                     pos = len(buf)
+                elif len(buf) - start > _MAX_HEADER_BYTES:
+                    # a "header" that never terminates is junk, not a
+                    # record — resync past the magic instead of
+                    # buffering without bound
+                    self.n_bad += 1
+                    pos = start + len(b"WARC/")
+                    continue
                 else:
                     pos = start      # wait for the rest of the header
                 break
@@ -135,6 +144,8 @@ class IncrementalWarcParser:
                         v.strip().decode("iso-8859-1", errors="replace"))
             try:
                 length = int(headers["content-length"])
+                if length < 0 or length > self._max_record:
+                    raise ValueError(length)
             except (KeyError, ValueError):
                 self.n_bad += 1
                 pos = head_end + len(_SEP)
@@ -173,9 +184,11 @@ def parse_warc_bytes(raw: bytes) -> tuple[list[dict], int]:
 def _iter_decompressed(fileobj, chunk: int = 1 << 20):
     """Yield decompressed chunks from a file object that is either a
     plain byte stream or concatenated gzip members (.warc.gz); bounded
-    memory (one chunk window).  A corrupt gzip member or truncated
-    tail ends the stream — the record parser's ``finish()`` then
-    accounts for any partial record."""
+    memory (one chunk window).  A truncated trailing member ends the
+    stream cleanly (the record parser's ``finish()`` accounts for any
+    partial record); a CORRUPT member raises ``zlib.error`` — loud, so
+    silently dropped archive tails can't masquerade as short archives
+    (both readers share this semantics via ``_gunzip_members``)."""
     first = fileobj.read(2)
     if first != b"\x1f\x8b":
         if first:
@@ -186,24 +199,21 @@ def _iter_decompressed(fileobj, chunk: int = 1 << 20):
                 return
             yield b
     carry = first
-    try:
-        while True:
-            d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
-            while not d.eof:
-                data = carry or fileobj.read(chunk)
-                carry = b""
-                if not data:
-                    return  # truncated trailing member
-                out = d.decompress(data)
-                if out:
-                    yield out
-            carry = d.unused_data
+    while True:
+        d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+        while not d.eof:
+            data = carry or fileobj.read(chunk)
+            carry = b""
+            if not data:
+                return  # truncated trailing member
+            out = d.decompress(data)  # zlib.error on corruption
+            if out:
+                yield out
+        carry = d.unused_data
+        if not carry:
+            carry = fileobj.read(chunk)
             if not carry:
-                carry = fileobj.read(chunk)
-                if not carry:
-                    return
-    except zlib.error:
-        return  # corrupt member: stop at the last clean boundary
+                return
 
 
 def _strip_http_envelope(payload: bytes) -> tuple[bytes, str]:
@@ -312,14 +322,18 @@ def read_warc_stream(spark: SparkSession, path: str,
     import glob as _glob
     import os as _os
 
-    pattern = (_os.path.join(path, "*.warc*")
+    # escape the directory component: a dir named "crawl[2024]" must
+    # not be read as a glob character class
+    pattern = (_os.path.join(_glob.escape(path), "*.warc*")
                if _os.path.isdir(path) else path)
     files = sorted(_glob.glob(pattern))
     if not files:
         raise FileNotFoundError(f"no .warc archives match {pattern!r}")
-    paths_df = spark.createDataFrame(
-        [(f,) for f in files], "path string",
-    ).repartition(len(files))
+    # parallelize with one slice per file: a guaranteed 1:1
+    # file-to-partition layout (DataFrame.repartition is round-robin
+    # from a random offset and can stack two archives on one task)
+    paths_df = spark.sparkContext.parallelize(
+        files, len(files)).map(lambda p: (p,)).toDF(["path"])
     kind_set = set(kinds)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -84,6 +84,65 @@ class TestParser:
         parsed, n_bad = parse_warc_bytes(raw[:-30])
         assert parsed == [] and n_bad == 1
 
+    def test_negative_content_length_terminates(self):
+        """A negative Content-Length once hung the parser forever
+        (pos went backward and re-found the same magic); it must be
+        counted bad and skipped."""
+        recs, _, _ = _records()
+        bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"Content-Length: -1000\r\n\r\n")
+        parsed, n_bad = parse_warc_bytes(bad + write_warc_bytes(recs[1:2]))
+        assert len(parsed) == 1
+        assert parsed[0]["headers"]["warc-target-uri"] == \
+            "http://a.example/x"
+        assert n_bad >= 1
+
+    def test_overstated_content_length_resyncs(self):
+        """A header claiming a payload larger than max_record_bytes
+        must not swallow every later record (it once buffered the
+        whole remaining archive, then dropped everything)."""
+        from outrank_spark.sources.warc import IncrementalWarcParser
+
+        recs, _, _ = _records()
+        bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"Content-Length: 999999999\r\n\r\n" + b"x" * 50)
+        raw = bad + write_warc_bytes(recs[1:3])
+        p = IncrementalWarcParser(max_record_bytes=10_000)
+        got = p.feed(raw) + p.finish()
+        assert len(got) == 2           # both good records recovered
+        assert p.n_bad >= 1
+
+    def test_endless_header_is_bounded(self):
+        """A 'header' that never terminates must not grow the buffer
+        without bound — it is junk past the magic."""
+        from outrank_spark.sources.warc import IncrementalWarcParser
+
+        recs, _, _ = _records()
+        p = IncrementalWarcParser()
+        p.feed(b"WARC/1.0\r\nX: " + b"a" * (2 << 20))
+        assert len(p._buf) < (2 << 20)  # buffer was trimmed
+        got = p.feed(b"\r\n" + write_warc_bytes(recs[1:2])) + p.finish()
+        assert len(got) == 1
+        assert p.n_bad >= 1
+
+    def test_corrupt_gzip_member_raises_in_both_readers(self, spark,
+                                                        tmp_path):
+        """good member + garbage + good member: both readers must fail
+        loudly (zlib.error), never silently drop the tail."""
+        import zlib as _zlib
+
+        from outrank_spark.sources.warc import _gunzip_members
+
+        recs, _, _ = _records()
+        raw = (write_warc_bytes(recs[1:2], member_gzip=True)
+               + b"\x1f\x8bGARBAGE-NOT-A-MEMBER"
+               + write_warc_bytes(recs[2:3], member_gzip=True))
+        with pytest.raises(_zlib.error):
+            _gunzip_members(raw)
+        (tmp_path / "bad.warc.gz").write_bytes(raw)
+        with pytest.raises(Exception):  # Py4J wraps the task failure
+            read_warc_stream(spark, str(tmp_path)).collect()
+
     def test_truncated_gzip_member(self):
         recs, _, _ = _records()
         first = write_warc_bytes(recs[:1], member_gzip=True)

@@ -90,17 +90,26 @@ class TestParserProperties:
         for orig, got in zip(full[:len(part)], part):
             assert got["payload"] == orig["payload"]
 
-    @given(recs=records, junk=st.binary(min_size=0, max_size=40),
+    @given(recs=records,
+           gaps=st.lists(st.binary(min_size=0, max_size=40),
+                         min_size=1, max_size=9),
            cuts=st.lists(st.integers(min_value=0, max_value=2000),
                          min_size=0, max_size=12),
            trunc=st.integers(min_value=0, max_value=25))
     @settings(**SETTINGS)
     def test_incremental_equals_batch_for_any_chunking(
-            self, recs, junk, cuts, trunc):
+            self, recs, gaps, cuts, trunc):
         """The incremental parser must produce the same records AND
         the same n_bad as the batch parse for EVERY chunking of the
-        same byte stream — including junk prefixes and truncation."""
-        raw = junk + write_warc_bytes(recs)
+        same byte stream — junk interleaved BETWEEN records (the
+        cross-chunk _gap_junk path), prefixes, and truncation
+        included."""
+        pieces = []
+        for i, r in enumerate(recs):
+            pieces.append(gaps[i % len(gaps)])
+            pieces.append(write_warc_bytes([r]))
+        pieces.append(gaps[len(recs) % len(gaps)])
+        raw = b"".join(pieces)
         raw = raw[:len(raw) - trunc] if trunc else raw
         want_records, want_bad = parse_warc_bytes(raw)
 
