@@ -442,12 +442,12 @@ def quality_model_probe(spark, n_docs: int = 150_000) -> float:
         train_quality_classifier,
     )
 
-    def corpus(prefix: str, lo: int, hi: int):
+    def corpus(prefix: str, vocab: int):
         toks = [
             F.concat(
                 F.lit(prefix),
                 F.pmod(F.xxhash64("id", F.lit(i)),
-                       F.lit(hi - lo)).cast("string"),
+                       F.lit(vocab)).cast("string"),
             )
             for i in range(24)
         ]
@@ -455,8 +455,8 @@ def quality_model_probe(spark, n_docs: int = 150_000) -> float:
             F.concat_ws(" ", *toks).alias("text"),
         )
 
-    pos = corpus("c", 0, 3000)
-    neg = corpus("n", 0, 3000)
+    pos = corpus("c", 3000)
+    neg = corpus("n", 3000)
     t0 = time.time()
     w = train_quality_classifier(pos, neg, dim=2 ** 16, epochs=3)
     scored = score_quality(pos.unionAll(neg), w)

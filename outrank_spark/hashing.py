@@ -165,9 +165,22 @@ def _encode_padded(values, pad_to: int) -> tuple[np.ndarray, np.ndarray]:
     if isinstance(values, pd.Series):
         values = values.to_numpy()
     arr = np.asarray(values, dtype=object)
+    if arr.size == 0:
+        return (np.zeros((0, pad_to), dtype=np.uint8),
+                np.zeros(0, dtype=np.int64))
     u = arr.astype("U")
     s = np.char.encode(u, "utf-8")
     lens = np.char.str_len(s).astype(np.int64)
+    # fixed-width U/S buffers cannot represent TRAILING NULs (they are
+    # indistinguishable from padding, so "a\x00" would hash as "a" —
+    # silently breaking byte parity on dirty web text).  The padded
+    # matrix bytes are still correct (UTF-8 NUL == the 0x00 padding),
+    # so only the lengths need fixing, detected from the original
+    # objects (interior NULs measure correctly already).
+    trailing = pd.Series(arr).str.endswith("\x00").to_numpy(dtype=bool)
+    if trailing.any():
+        idx = np.flatnonzero(trailing)
+        lens[idx] = [len(str(arr[i]).encode("utf-8")) for i in idx]
     width = s.dtype.itemsize
     padded = width + ((-width) % pad_to)
     mat = np.zeros((len(arr), max(padded, pad_to)), dtype=np.uint8)

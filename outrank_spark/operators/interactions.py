@@ -77,6 +77,14 @@ def with_interaction_features(
     if order <= 1:
         return df, []
     combos = list(itertools.combinations(all_columns, order))
+    if parity_hashes and not as_hex:
+        # parity tokens ARE hex strings (the reference's hexdigest);
+        # honoring as_hex=False would silently change the column type
+        # from the documented long to string
+        raise ValueError(
+            "parity_hashes=True emits reference hexdigest string "
+            "tokens and is incompatible with as_hex=False (the "
+            "long-typed scale path); drop one of the two flags")
     if planner is not None and upper_bound:
         combos = planner.sample(combos, upper_bound)
     new_names = []

@@ -340,10 +340,17 @@ def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
       drop set to the full matrix, bounded memory even when k-means
       hands one cell far more than the target (skewed embedding mass).
     """
-    pruned = df.select(F.col(id_col), F.col(vec_col))
+    from pyspark import StorageLevel
+
+    # one persist serves the autoscale count, the k-means iterations,
+    # and the cell assignment — without it the upstream lineage (a
+    # parquet scan + decode, or a generator pipeline) re-executes for
+    # each of those
+    pruned = df.select(F.col(id_col), F.col(vec_col)) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     n = pruned.count()
     k = max(int(k), -(-n // max(int(target_cell_rows), 1)))
-    centroids, _ = kmeans_fit(df, vec_col=vec_col, k=k, seed=seed,
+    centroids, _ = kmeans_fit(pruned, vec_col=vec_col, k=k, seed=seed,
                               max_iter=kmeans_max_iter)
     cent = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12,
@@ -390,7 +397,11 @@ def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
                   else ids[:0])
         return pd.DataFrame({"id": losers})
 
+    # eager localCheckpoint: the loser-id set (small — only the
+    # duplicates) materializes NOW so `pruned` can be released before
+    # the caller's anti-join runs
     losers = assigned.groupBy("cell").applyInPandas(
         prune, schema="id long",
-    ).withColumnRenamed("id", id_col)
+    ).withColumnRenamed("id", id_col).localCheckpoint(eager=True)
+    pruned.unpersist()
     return df.join(losers, id_col, "left_anti")

@@ -205,12 +205,50 @@ class ParityHyperLogLog:
         if h.size == 0:
             return self
         h = np.asarray(h).astype(np.uint64, copy=False)
-        if self.warmup is not None:
+        if self.warmup is None:
+            self._set_buckets(self._buckets_of(h))
+            return self
+        if self.hash_mode != "reference":
+            # fast mode keeps the original associative semantics
+            # (flush at >= limit, nothing dropped): merge of partials
+            # stays bitwise-equal to a single pass, the north-rule
+            # property the distributed build relies on
             self.warmup = np.union1d(self.warmup, h)
             if self.warmup.size >= self.warmup_limit:
                 self._to_registers()
+            return self
+        # Reference boundary semantics (counting_ultiloglog.py add():
+        # `if len(warmup_set) < warmup_size and not hll_flag`): the
+        # warmup set persists until the NEXT add after it is full —
+        # len() reports the EXACT count at exactly warmup_limit
+        # distinct values — and that triggering add's value is DROPPED
+        # (the elif flushes without hashing it; a reference quirk,
+        # replicated for byte parity).  Vectorized per-element
+        # equivalent: find the first element processed while the set
+        # already holds warmup_limit values.
+        if self.warmup.size >= self.warmup_limit:
+            self._to_registers()          # flush; h[0] is the trigger
+            if h.size > 1:
+                self._set_buckets(self._buckets_of(h[1:]))
+            return self
+        is_new = ~np.isin(h, self.warmup)
+        first_idx = np.unique(h, return_index=True)[1]
+        first_seen = np.zeros(h.size, dtype=bool)
+        first_seen[first_idx] = True
+        new = is_new & first_seen
+        c_before = np.cumsum(new) - new   # distinct adds BEFORE elem i
+        trigger = np.flatnonzero(self.warmup.size + c_before
+                                 >= self.warmup_limit)
+        if trigger.size == 0:
+            # whole batch fits (possibly ending exactly at the limit:
+            # stay in warmup — the reference still reports exact here)
+            self.warmup = np.union1d(self.warmup, h)
         else:
-            self._set_buckets(self._buckets_of(h))
+            k = int(trigger[0])
+            self.warmup = np.union1d(self.warmup, h[:k])
+            self._to_registers()
+            if k + 1 < h.size:            # h[k] dropped, rest hashed
+                self._set_buckets(self._buckets_of(h[k + 1:]))
         return self
 
     # -- merge ---------------------------------------------------------
@@ -222,7 +260,19 @@ class ParityHyperLogLog:
                 "cannot merge parity-HLLs with different hash_mode")
         if self.warmup is not None and other.warmup is not None:
             self.warmup = np.union1d(self.warmup, other.warmup)
-            if self.warmup.size >= self.warmup_limit:
+            # fast mode: flush at >= limit exactly like update — merge
+            # of partials stays bitwise-equal to a single pass.
+            # reference mode: flush only when the union EXCEEDS the
+            # limit, so a combined stream of exactly warmup_limit
+            # distinct values stays in warmup (exact count), matching
+            # the single-pass boundary; merge is this library's
+            # distributed extension (the reference has no merge) and
+            # flushes without dropping a trigger value, so past the
+            # boundary a merged occupancy can include the one value a
+            # single-pass reference run drops — documented divergence.
+            if (self.warmup.size > self.warmup_limit
+                    if self.hash_mode == "reference"
+                    else self.warmup.size >= self.warmup_limit):
                 self._to_registers()
             return self
         if self.warmup is not None:

@@ -264,3 +264,25 @@ class TestInteractionParity:
         assert len(out[0]) == 8
         assert out[0] == format(
             scalar_xxh32(b"feature_value", 20141025), "08x")
+
+
+class TestNulBytes:
+    def test_trailing_and_interior_nuls_hash_correctly(self):
+        """Fixed-width numpy buffers drop trailing NULs; the encoder
+        must still hash the full byte string (dirty web text contains
+        embedded NULs)."""
+        import numpy as np
+
+        from outrank_spark.hashing import xxh32, xxh64
+
+        vals = ["a\x00", "a", "\x00", "", "a\x00b", "x\x00\x00",
+                "caf\u00e9\x00"]
+        arr = np.array(vals, dtype=object)
+        got64 = xxh64(arr, seed=7)
+        got32 = xxh32(arr, seed=7)
+        for i, v in enumerate(vals):
+            b = v.encode("utf-8")
+            assert int(got64[i]) == scalar_xxh64(b, 7), v
+            assert int(got32[i]) == scalar_xxh32(b, 7), v
+        # the regression this pins: "a\x00" must differ from "a"
+        assert got64[0] != got64[1]

@@ -102,17 +102,20 @@ class TestParityHLL:
         hll_flag = False
 
         def ref_add(value: str):
+            # counting_ultiloglog.py add() verbatim: the add arriving
+            # with a FULL warmup set flushes it and DROPS its own
+            # value (the elif branch never hashes `value`); only
+            # later adds reach the registers
             nonlocal hll_flag
             hexed = format(scalar_xxh32(value.encode(), 20141025), "08x")
             if len(warmup) < warmup_limit and not hll_flag:
                 warmup.add(hexed)
+            elif not hll_flag:
+                for el in sorted(warmup):
+                    occupied.add(scalar_xxh32(el.encode(), p) & (m - 1))
+                warmup.clear()
+                hll_flag = True
             else:
-                if not hll_flag:
-                    for el in sorted(warmup):
-                        occupied.add(
-                            scalar_xxh32(el.encode(), p) & (m - 1))
-                    warmup.clear()
-                    hll_flag = True
                 occupied.add(scalar_xxh32(hexed.encode(), p) & (m - 1))
 
         def ref_len() -> int:
@@ -134,6 +137,46 @@ class TestParityHLL:
             h = ParityHyperLogLog.from_bytes(h.to_bytes())
             assert h.hash_mode == "reference"
             assert len(h) == ref_len(), f"diverged at {lo}"
+
+    def test_reference_mode_exact_at_warmup_boundary(self):
+        """Exactly warmup_limit distinct values: the reference is
+        STILL in warmup and reports the exact count (the flush fires
+        on the NEXT add, which also drops its own value — replicated
+        element-for-element, batch splits included)."""
+        p, limit = 8, (1 << 8) // 2
+        h = ParityHyperLogLog(p=p, hash_mode="reference")
+        h.update(np.array([f"v{i}" for i in range(limit)],
+                          dtype=object))
+        assert len(h) == limit          # exact, not linear-counted
+        assert h.warmup is not None
+        # one more add: flush fires, the trigger value is dropped —
+        # occupancy equals hashing only the 128 warmup values
+        h.update(np.array(["dropped"], dtype=object))
+        assert h.warmup is None
+        ref = ParityHyperLogLog(p=p, hash_mode="reference")
+        ref.update(np.array([f"v{i}" for i in range(limit)],
+                            dtype=object))
+        ref.update(np.array(["also-dropped"], dtype=object))
+        assert len(h) == len(ref)
+        assert bytes(h.bitmap) == bytes(ref.bitmap)
+
+    def test_reference_mode_boundary_batch_splits_agree(self):
+        """The same stream fed in different batch shapes must land in
+        the identical state across the warmup boundary."""
+        p, limit = 8, (1 << 8) // 2
+        vals = [f"x{i}" for i in range(limit + 40)]
+        shapes = [[len(vals)], [limit, 40], [limit + 1, 39],
+                  [97, len(vals) - 97], [1] * len(vals)]
+        states = []
+        for shape in shapes:
+            h = ParityHyperLogLog(p=p, hash_mode="reference")
+            lo = 0
+            for n in shape:
+                h.update(np.array(vals[lo:lo + n], dtype=object))
+                lo += n
+            assert h.warmup is None
+            states.append((len(h), bytes(h.bitmap)))
+        assert all(s == states[0] for s in states)
 
     def test_reference_mode_merge_guard_and_union(self):
         a = ParityHyperLogLog(p=8, hash_mode="reference") \
