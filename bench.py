@@ -11,8 +11,11 @@ synthetic pages table, then prints ONE JSON line:
 
 Scaling evidence mode (north rule: efficiency >= 0.8 from N to 4N):
 ``python bench.py --scaling`` reruns the ranking job in two fresh
-subprocesses at local[8] and local[32] on identical input and reports
-efficiency = (T8 / T32) / 4.
+subprocesses at local[N] and local[4N] on identical input (default
+N=2 — the pair where a pure-CPU calibration shows the VM can sustain
+a true 4x; see BENCH.md) and reports efficiency = (T_N / T_4N) / 4.
+``--scaling-ops`` does the same for six operator probes; ``--skew``
+measures the salted hot-key merge.
 """
 from __future__ import annotations
 
