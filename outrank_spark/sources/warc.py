@@ -380,14 +380,24 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def pages_from_warc(spark: SparkSession, path: str) -> DataFrame:
+def pages_from_warc(spark: SparkSession, path: str,
+                    reader: str = "binaryfile") -> DataFrame:
     """North-rule pages shape from raw WARC archives: response
     payloads as ``html``, ``text`` via the deterministic extractor
     (byte-identity invariant preserved), ``lang`` null (downstream
-    langid fills it — operators/text.py)."""
+    langid fills it — operators/text.py).  ``reader='stream'`` routes
+    through :func:`read_warc_stream` (bounded memory, local/NFS
+    paths); ``'binaryfile'`` through :func:`read_warc` (object
+    stores)."""
     from outrank_spark.operators.derived import extract_text_from_html
 
-    recs = read_warc(spark, path, kinds=("response",))
+    if reader == "stream":
+        recs = read_warc_stream(spark, path, kinds=("response",))
+    elif reader == "binaryfile":
+        recs = read_warc(spark, path, kinds=("response",))
+    else:
+        raise ValueError(f"unknown reader {reader!r}: "
+                         "use 'stream' or 'binaryfile'")
     pages = recs.select(
         "url", "warc_ts",
         F.col("payload").alias("html"),

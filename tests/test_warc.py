@@ -297,6 +297,78 @@ class TestSparkReaders:
                         if k.startswith("n_")]
         assert stage_counts == sorted(stage_counts, reverse=True)
 
+    def test_ingest_job_end_to_end(self, spark, tmp_path):
+        """ingest(): archives -> partitioned pages parquet with
+        latest-capture url dedup; round-trips through
+        read_pages_table with the extractor invariant intact."""
+        from outrank_spark.jobs.ingest_warc import build_parser, ingest
+        from outrank_spark.operators.derived import (
+            extract_text_from_html,
+        )
+        from outrank_spark.sources.pages import read_pages_table
+
+        arch = tmp_path / "archives"
+        arch.mkdir()
+        recs = []
+        for i, (url, day, body) in enumerate([
+            ("http://a.example/x", "2024-03-01", b"old capture"),
+            ("http://a.example/x", "2024-03-05", b"new capture"),
+            ("http://b.example/y", "2024-03-01", b"only capture"),
+        ]):
+            recs.append({"headers": {
+                "WARC-Type": "response",
+                "WARC-Target-URI": url,
+                "WARC-Date": f"{day}T0{i}:00:00Z"},
+                "payload": _http(b"<html><body>" + body
+                                 + b"</body></html>")})
+        (arch / "c.warc.gz").write_bytes(
+            write_warc_bytes(recs, member_gzip=True))
+
+        out = str(tmp_path / "pages")
+        args = build_parser().parse_args([
+            "--input", str(arch), "--output", out,
+            "--reader", "stream", "--partition_by", "day",
+            "--url_dedup", "latest"])
+        n = ingest(spark, args)
+        assert n == 2  # latest capture per url
+        # day partitioning on disk -> partition pruning is possible
+        import os
+        assert any(d.startswith("crawl_date=2024-03-05")
+                   for d in os.listdir(out))
+        pages = read_pages_table(spark, out)
+        rows = {r["url"]: r for r in pages.collect()}
+        assert rows["http://a.example/x"]["warc_ts"].day == 5
+        ext = {r["url"]: r["extracted_text"]
+               for r in extract_text_from_html(pages).collect()}
+        assert ext["http://a.example/x"] == "new capture"
+        assert ext["http://b.example/y"] == "only capture"
+
+    def test_ingest_cli_subprocess(self, tmp_path):
+        """The spark-submit wrapper shape: fresh process, stream
+        reader, JSON summary line."""
+        import json
+        import subprocess
+        import sys
+
+        arch = tmp_path / "archives"
+        arch.mkdir()
+        recs, _, _ = _records()
+        (arch / "a.warc").write_bytes(write_warc_bytes(recs))
+        out = str(tmp_path / "pages")
+        r = subprocess.run(
+            [sys.executable, "jobs/ingest_warc.py",
+             "--input", str(arch), "--output", out,
+             "--spark_master", "local[2]",
+             "--shuffle_partitions", "4",
+             "--partition_by", "none"],
+            capture_output=True, text=True, cwd="/root/repo",
+            timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        summary = json.loads(r.stdout.strip().splitlines()[-1])
+        assert summary["pages"] == 2  # the two response records
+        assert summary["output"] == out
+
     def test_pages_from_warc_shape_and_extraction(self, spark, warc_dir):
         path, html1, _ = warc_dir
         df = pages_from_warc(spark, path)
