@@ -1,0 +1,121 @@
+"""Equal-frequency (quantile) binning of numeric columns.
+
+The reference discretizes numeric features only implicitly (value
+strings / rounding transformer grids, transformers vault); for MI
+scoring of *continuous* features a proper equal-frequency
+discretization is the standard preprocessing step, so this operator
+makes it first-class: bin boundaries are the ``1/k .. (k-1)/k``
+quantiles, and every row is assigned ``1 + #(boundaries < value)``.
+
+Scale shape (the whole point):
+
+* boundaries come from a metadata-sized computation — either the
+  two-pass distributed order-statistic selection
+  (``operators.quantiles.exact_grouped_quantiles``, exact, no group
+  ever buffered in one task) or a single-pass ``approx_percentile``
+  (KLL-backed built-in, one scan) — never a global window sort.  A
+  naive ``ntile() OVER (ORDER BY value)`` moves the ENTIRE table into
+  one task; this operator never does that.
+* assignment is a broadcast of ``groups x (k-1)`` doubles followed by
+  one scan with a pure-JVM ``aggregate()`` over the boundary array —
+  no shuffle of the data rows at all.
+
+Boundaries are rounded to ``boundary_dp`` decimals *before*
+comparison so the assignment is reproducible across engines and
+floating-point environments (the q69 DuckDB oracle relies on this:
+``quantile_cont`` and the two-pass selection agree bitwise on these
+inputs, and the rounding absorbs any last-bit difference before it
+can flip a ``value > boundary`` comparison).
+
+With heavily duplicated values, adjacent boundaries can coincide and
+some bins come out empty / merged — the standard quantile-binning
+behaviour (pandas ``qcut`` raises instead; we keep the row count
+invariant and document it).
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["quantile_bin"]
+
+
+def quantile_bin(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int,
+    group_col: str | None = None,
+    *,
+    method: str = "exact",
+    boundary_dp: int = 4,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Add ``bin_col`` in ``1..n_bins`` by equal-frequency binning.
+
+    ``method="exact"`` uses the two-pass distributed selection
+    (bitwise ``percentile()`` semantics); ``method="approx"`` uses
+    ``approx_percentile`` (one scan, KLL error bounds) — the same
+    trade as q08 vs q54/q68.  With ``group_col``, boundaries are per
+    group (broadcast back — boundary table is groups x (k-1),
+    metadata-sized; meant for bounded-cardinality groups).  Null
+    values (and rows whose group produced no boundaries) get a null
+    bin; no data row is dropped.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    if method not in ("exact", "approx"):
+        raise ValueError(f"unknown method: {method!r}")
+    probs = [i / n_bins for i in range(1, n_bins)]
+
+    grp = group_col or "__all"
+    base = df if group_col else df.withColumn("__all", F.lit("all"))
+
+    if method == "exact":
+        from outrank_spark.operators.quantiles import (
+            exact_grouped_quantiles,
+        )
+
+        pdf = exact_grouped_quantiles(base, grp, value_col, probs)
+        qnames = [c for c in pdf.columns if c != grp]
+        rows = [
+            (str(r[grp]),
+             [round(float(r[q]), boundary_dp) for q in qnames])
+            for _, r in pdf.iterrows()
+        ]
+        spark = df.sparkSession
+        bdf = spark.createDataFrame(
+            rows, f"`{grp}` string, __bounds array<double>")
+    else:
+        bdf = (
+            base.where(F.col(value_col).isNotNull())
+            .groupBy(F.col(grp).cast("string").alias(grp))
+            .agg(F.percentile_approx(
+                value_col, probs, 100_000).alias("__bounds"))
+            .select(
+                grp,
+                F.transform(
+                    "__bounds",
+                    lambda b: F.round(b, boundary_dp),
+                ).alias("__bounds"),
+            )
+        )
+
+    # broadcast join: boundary side is groups x (k-1) — metadata
+    joined = base.withColumn("__gk", F.col(grp).cast("string")).join(
+        F.broadcast(bdf.withColumnRenamed(grp, "__gk")),
+        "__gk", "left")
+
+    def _assign(bounds: Column, v: Column) -> Column:
+        return F.aggregate(
+            bounds,
+            F.lit(1),
+            lambda acc, b: acc + F.when(v > b, 1).otherwise(0),
+        )
+
+    out = joined.withColumn(
+        bin_col,
+        F.when(
+            F.col(value_col).isNotNull() & F.col("__bounds").isNotNull(),
+            _assign(F.col("__bounds"), F.col(value_col)),
+        ),
+    ).drop("__gk", "__bounds")
+    return out.drop("__all") if group_col is None else out

@@ -20,7 +20,8 @@ from outrank_spark.functions.text import (
 __all__ = ["fit_langid", "with_language_id", "with_quality_features",
            "redact_pii", "PII_PATTERNS",
            "with_token_counts", "with_fingerprints", "tfidf_top_terms",
-           "ngram_logprob_scores", "normalize_text"]
+           "ngram_logprob_scores", "normalize_text",
+           "pmi_collocations"]
 
 
 def fit_langid(df: DataFrame, text_col: str = "text",
@@ -357,3 +358,60 @@ def normalize_text(df: DataFrame, text_col: str = "text",
     if lowercase:
         col = F.lower(col)
     return staged.withColumn(out, col)
+
+
+def pmi_collocations(df: DataFrame, text_col: str = "text",
+                     min_count: int = 10, top_k: int = 100,
+                     decimals: int = 6) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual
+    information — the word2vec/phrase-mining preprocessing step
+    (Mikolov et al.'s phrase detection uses the same count form).
+
+    PMI(x, y) = ln( c(x,y) * N / (c(x,·) * c(·,y)) ) over adjacent
+    bigram events: c(x,·) counts x as a LEFT word, c(·,y) counts y as
+    a RIGHT word, N = total bigrams.  Marginals are computed from the
+    UNFILTERED bigram counts (filtering first would bias every
+    probability), while the ``min_count`` floor prunes the candidate
+    set before the joins — the classic guard against PMI's
+    rare-pair explosion (a pair seen once between two rare words
+    maxes the score).
+
+    Scale shape: tokenization + bigram formation are one pure-JVM
+    map (slice/transform — no self-join on position), the single big
+    shuffle is ``groupBy(w1, w2)`` with map-side combine (the
+    Zipf-head pair collapses to one row per map task), the three
+    count relations are vocabulary-sized, N is a broadcast 1-row
+    aggregate, and the final ordering is a TakeOrdered top-k, not a
+    full sort.  PMI is rounded BEFORE ranking so the (pmi desc, w1,
+    w2) total order is identical across engines (cross-engine oracle
+    use, same convention as tfidf_top_terms).
+    """
+    a = F.split(F.col(text_col), " ")
+    pairs = (
+        df.select(a.alias("__a"))
+        .where(F.size("__a") >= 2)
+        .select(F.explode(F.expr(
+            "transform(slice(__a, 1, size(__a) - 1), "
+            "(w, i) -> struct(w AS w1, element_at(__a, i + 2) AS w2))"
+        )).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("pair_count"))
+    cx = c2.groupBy("w1").agg(F.sum("pair_count").alias("__cx"))
+    cy = c2.groupBy("w2").agg(F.sum("pair_count").alias("__cy"))
+    n = c2.agg(F.sum("pair_count").alias("__n"))
+    return (
+        c2.where(F.col("pair_count") >= min_count)
+        .join(cx, "w1").join(cy, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1", "w2", "pair_count",
+            F.round(F.log(
+                (F.col("pair_count").cast("double") * F.col("__n"))
+                / (F.col("__cx").cast("double") * F.col("__cy"))
+            ), decimals).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(top_k)
+    )
