@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["quantile_bin"]
+__all__ = ["quantile_bin", "discretize_features"]
 
 
 def quantile_bin(
@@ -119,3 +119,66 @@ def quantile_bin(
         ),
     ).drop("__gk", "__bounds")
     return out.drop("__all") if group_col is None else out
+
+
+def discretize_features(
+    df: DataFrame,
+    cols: list[str],
+    n_bins: int = 10,
+    *,
+    method: str = "approx",
+    boundary_dp: int = 4,
+    suffix: str = "_bin",
+) -> DataFrame:
+    """Discretize MANY numeric columns for categorical MI ranking.
+
+    The bridge between continuous features and the ranking job (which
+    scores categorical columns): every ``c`` in ``cols`` gains a
+    string column ``c + suffix`` holding its equal-frequency bin id —
+    feed those to ``plans.ranking_job.run_ranking`` unchanged.
+
+    ``method="approx"`` (default, the wide-table path) computes ALL
+    columns' KLL-backed boundaries in ONE aggregate scan
+    (``approx_percentile``, one job regardless of column count), then
+    assigns bins via chained JVM comparisons against literal
+    boundaries — zero shuffle, zero extra pass per column.
+    ``method="exact"`` routes each column through ``quantile_bin``'s
+    two-pass order-statistic selection (a couple of jobs per column —
+    use when bin edges must be bitwise ``percentile()`` exact).
+
+    Null values produce a null bin string, which the ranking job
+    already treats as a missing-value symbol.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if method == "exact":
+        out = df
+        for c in cols:
+            out = quantile_bin(out, c, n_bins, boundary_dp=boundary_dp,
+                               bin_col=c + suffix)
+            out = out.withColumn(c + suffix,
+                                 F.col(c + suffix).cast("string"))
+        return out
+    if method != "approx":
+        raise ValueError(f"unknown method: {method!r}")
+
+    probs = [i / n_bins for i in range(1, n_bins)]
+    row = df.agg(*[
+        F.percentile_approx(c, probs, 100_000).alias(c) for c in cols
+    ]).collect()[0]  # 1 row x cols — metadata
+    out = df
+    for c in cols:
+        bounds = row[c]
+        if bounds is None:      # all-null column
+            out = out.withColumn(c + suffix,
+                                 F.lit(None).cast("string"))
+            continue
+        bin_expr = F.lit(1)
+        for b in bounds:
+            bin_expr = bin_expr + F.when(
+                F.col(c) > round(float(b), boundary_dp), 1).otherwise(0)
+        out = out.withColumn(
+            c + suffix,
+            F.when(F.col(c).isNotNull(), bin_expr).cast("string"),
+        )
+    return out

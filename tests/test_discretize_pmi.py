@@ -14,7 +14,10 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from outrank_spark.operators.discretize import quantile_bin
+from outrank_spark.operators.discretize import (
+    discretize_features,
+    quantile_bin,
+)
 from outrank_spark.operators.text import pmi_collocations
 
 SF = "/root/testdata/sf0.001"
@@ -154,3 +157,65 @@ def test_pmi_documents_vs_numpy(spark):
         got.astype({"pair_count": "int64"}),
         exp.astype({"pair_count": "int64"}),
         check_like=True)
+
+
+# -------------------------------------------------- feature bridge
+
+def test_discretize_features_matches_per_column_approx(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet") \
+        .select("l_orderkey", "l_linenumber", "l_extendedprice",
+                "l_quantity")
+    wide = discretize_features(
+        li, ["l_extendedprice", "l_quantity"], n_bins=4).toPandas() \
+        .sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+    for c in ("l_extendedprice", "l_quantity"):
+        single = quantile_bin(li, c, 4, method="approx",
+                              bin_col="b").toPandas() \
+            .sort_values(["l_orderkey", "l_linenumber"]) \
+            .reset_index(drop=True)
+        assert (wide[c + "_bin"].astype(int).to_numpy()
+                == single["b"].to_numpy()).all()
+    # bins are strings, ready for the categorical ranking path
+    assert wide["l_quantity_bin"].map(type).eq(str).all()
+
+
+def test_discretize_features_null_handling(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0, None), (2, 2.0, None), (3, None, None),
+         (4, 4.0, None)],
+        "id long, v double, empty double")
+    out = discretize_features(df, ["v", "empty"], n_bins=2).toPandas() \
+        .set_index("id")
+    assert pd.isna(out.loc[3, "v_bin"])
+    assert out["empty_bin"].isna().all()
+    with pytest.raises(ValueError):
+        discretize_features(df, [])
+
+
+def test_numeric_feature_ranking_composition(spark):
+    """discretize_features -> run_ranking: a numeric feature carrying
+    the label signal must outrank a numeric noise feature."""
+    from outrank_spark.plans.ranking_job import (
+        RankingConfig,
+        run_ranking,
+    )
+
+    n = 4000
+    df = spark.range(n).select(
+        (F.col("id") % 2).cast("string").alias("label"),
+        # signal: disjoint value ranges per class + deterministic jitter
+        ((F.col("id") % 2) * 10.0
+         + (F.col("id") * 2654435761 % 997) / 997.0).alias("sig"),
+        # noise: label-independent deterministic pseudo-uniform
+        ((F.col("id") * 40503 % 1009) / 1009.0).alias("noise"),
+    )
+    feats = discretize_features(df, ["sig", "noise"], n_bins=4)
+    cfg = RankingConfig(
+        subsampling=1,
+        feature_columns=["label", "sig_bin", "noise_bin"],
+        include_cardinality_in_feature_names=False,
+    )
+    res = run_ranking(spark, feats, cfg)
+    singles = res.singles[res.singles["Feature"] != "label"]
+    ranked = list(singles["Feature"])
+    assert ranked.index("sig_bin") < ranked.index("noise_bin")
