@@ -469,6 +469,34 @@ def quality_model_probe(spark, n_docs: int = 150_000) -> float:
     return dt
 
 
+def discretize_probe(spark, n_rows: int = 60_000_000) -> float:
+    """Quantile-binning scale probe: discretize_features (approx —
+    the wide-table path) over 4 numeric columns x n_rows generated
+    JVM-side, then a count over the binned output.  Measures the two
+    scans the operator is made of — one approx_percentile aggregate
+    for ALL columns and one zero-shuffle assignment pass — with no
+    Python in either.  Returns wall seconds."""
+    from pyspark.sql import functions as F
+
+    from outrank_spark.operators.discretize import discretize_features
+
+    df = spark.range(n_rows).select(
+        "id",
+        (F.col("id") * 2654435761 % 999983).cast("double").alias("a"),
+        (F.col("id") * 40503 % 999979).cast("double").alias("b"),
+        F.log1p((F.col("id") % 100003).cast("double")).alias("c"),
+        ((F.col("id") % 7) * 1000 + F.col("id") % 997)
+        .cast("double").alias("d"),
+    )
+    t0 = time.time()
+    out = discretize_features(df, ["a", "b", "c", "d"], n_bins=16)
+    n = out.where(
+        F.col("a_bin").isNotNull() & F.col("d_bin").isNotNull()).count()
+    dt = time.time() - t0
+    assert n == n_rows
+    return dt
+
+
 def semdedup_probe(spark, n_rows: int = 600_000) -> float:
     """SemDeDup scale probe: k-means (auto-scaled k -> ~147 cells) +
     per-cell blocked cosine prune over n_rows 32-dim embeddings with
@@ -662,7 +690,7 @@ def main() -> None:
             out[n] = [float(v)
                       for v in r.stdout.strip().splitlines()[-1].split()]
         names = ("asof", "components", "minhash", "quality", "semdedup",
-                 "warc")
+                 "warc", "discretize")
         res = {
             "metric": (f"asof/components/minhash/quality/semdedup/warc "
                        f"scaling local[{lo}]->local[{hi}]"),
@@ -670,6 +698,7 @@ def main() -> None:
             "asof_rows": 16_000_000, "components_edges": 4_000_000,
             "minhash_docs": 200_000, "quality_docs": 150_000,
             "semdedup_rows": 600_000, "warc_records": 64 * 3000,
+            "discretize_rows": 60_000_000,
         }
         for i, name in enumerate(names):
             res[f"{name}_t{lo}_sec"] = round(out[lo][i], 2)
@@ -682,7 +711,8 @@ def main() -> None:
     if "--scaling-ops-child" in sys.argv:
         n = int(sys.argv[sys.argv.index("--scaling-ops-child") + 1])
         probes = (asof_probe, components_probe, minhash_probe,
-                  quality_model_probe, semdedup_probe, warc_probe)
+                  quality_model_probe, semdedup_probe, warc_probe,
+                  discretize_probe)
         spark = make_spark(n)
         try:
             # warm at FULL size: a small-shape warmup leaves the large
