@@ -692,8 +692,8 @@ def main() -> None:
         names = ("asof", "components", "minhash", "quality", "semdedup",
                  "warc", "discretize")
         res = {
-            "metric": (f"asof/components/minhash/quality/semdedup/warc "
-                       f"scaling local[{lo}]->local[{hi}]"),
+            "metric": (f"asof/components/minhash/quality/semdedup/warc"
+                       f"/discretize scaling local[{lo}]->local[{hi}]"),
             "unit": "efficiency",
             "asof_rows": 16_000_000, "components_edges": 4_000_000,
             "minhash_docs": 200_000, "quality_docs": 150_000,

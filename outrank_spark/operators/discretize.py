@@ -25,7 +25,15 @@ comparison so the assignment is reproducible across engines and
 floating-point environments (the q69 DuckDB oracle relies on this:
 ``quantile_cont`` and the two-pass selection agree bitwise on these
 inputs, and the rounding absorbs any last-bit difference before it
-can flip a ``value > boundary`` comparison).
+can flip a ``value > boundary`` comparison).  Every rounding site
+uses the HALF_UP tie-break: Spark ``F.round`` and this module's
+Python-side ``_round_half_up`` are both HALF_UP over the shortest
+decimal repr (bit-identical to each other — pinned in tests), and
+DuckDB rounds half-away too, agreeing except on boundaries whose
+binary double sits just below an apparent decimal tie (DuckDB scales
+the raw binary; such a boundary is not representable at ``dp``
+decimals in the first place, the last-bit class the rounding
+absorbs).
 
 With heavily duplicated values, adjacent boundaries can coincide and
 some bins come out empty / merged — the standard quantile-binning
@@ -34,9 +42,24 @@ invariant and document it).
 """
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["quantile_bin", "discretize_features"]
+
+
+def _round_half_up(x: float, dp: int) -> float:
+    """Round ties AWAY from zero, bit-identical to Spark's
+    ``F.round`` (Java BigDecimal HALF_UP over ``Double.toString``'s
+    shortest repr — exactly what ``Decimal(repr(x))`` reproduces) —
+    NOT like Python's builtin banker's ``round`` (0.03125 -> 0.0312
+    under half-even but 0.0313 under HALF_UP).  Keeping the literal
+    (Python-rounded) and expression (``F.round``) assignment paths on
+    one tie-break is what makes them interchangeable."""
+    q = Decimal(1).scaleb(-dp)
+    return float(Decimal(repr(float(x))).quantize(
+        q, rounding=ROUND_HALF_UP))
 
 
 def quantile_bin(
@@ -79,7 +102,7 @@ def quantile_bin(
         qnames = [c for c in pdf.columns if c != grp]
         rows = [
             (str(r[grp]),
-             [round(float(r[q]), boundary_dp) for q in qnames])
+             [_round_half_up(r[q], boundary_dp) for q in qnames])
             for _, r in pdf.iterrows()
         ]
         spark = df.sparkSession
@@ -144,9 +167,10 @@ def discretize_features(
     (``approx_percentile``, one job regardless of column count), then
     assigns bins via chained JVM comparisons against literal
     boundaries — zero shuffle, zero extra pass per column.
-    ``method="exact"`` routes each column through ``quantile_bin``'s
-    two-pass order-statistic selection (a couple of jobs per column —
-    use when bin edges must be bitwise ``percentile()`` exact).
+    ``method="exact"`` computes each column's boundaries with the
+    two-pass order-statistic selection — against the ORIGINAL input,
+    a couple of jobs per column, never an accumulating join chain —
+    for when bin edges must be bitwise ``percentile()`` exact.
 
     Null values produce a null bin string, which the ranking job
     already treats as a missing-value symbol.  ``accuracy`` is the
@@ -158,24 +182,39 @@ def discretize_features(
     """
     if not cols:
         raise ValueError("cols must be non-empty")
+    probs = [i / n_bins for i in range(1, n_bins)]
     if method == "exact":
-        out = df
+        from outrank_spark.operators.quantiles import (
+            exact_grouped_quantiles,
+        )
+
+        # boundaries come from the ORIGINAL df per column (an
+        # accumulating frame would drag every prior column's plan
+        # into each boundary computation — O(cols^2) work)
+        base = df.withColumn("__all", F.lit("all"))
+        bounds_of = {}
         for c in cols:
-            out = quantile_bin(out, c, n_bins, boundary_dp=boundary_dp,
-                               bin_col=c + suffix)
-            out = out.withColumn(c + suffix,
-                                 F.col(c + suffix).cast("string"))
-        return out
-    if method != "approx":
+            pdf = exact_grouped_quantiles(base, "__all", c, probs)
+            bounds_of[c] = (
+                None if pdf.empty else
+                [_round_half_up(v, boundary_dp)
+                 for v in pdf.drop(columns="__all").iloc[0]])
+    elif method == "approx":
+        row = df.agg(*[
+            F.percentile_approx(c, probs, accuracy).alias(c)
+            for c in cols
+        ]).collect()[0]  # 1 row x cols — metadata
+        bounds_of = {
+            c: (None if row[c] is None else
+                [_round_half_up(b, boundary_dp) for b in row[c]])
+            for c in cols
+        }
+    else:
         raise ValueError(f"unknown method: {method!r}")
 
-    probs = [i / n_bins for i in range(1, n_bins)]
-    row = df.agg(*[
-        F.percentile_approx(c, probs, accuracy).alias(c) for c in cols
-    ]).collect()[0]  # 1 row x cols — metadata
     out = df
     for c in cols:
-        bounds = row[c]
+        bounds = bounds_of[c]
         if bounds is None:      # all-null column
             out = out.withColumn(c + suffix,
                                  F.lit(None).cast("string"))
@@ -183,7 +222,7 @@ def discretize_features(
         bin_expr = F.lit(1)
         for b in bounds:
             bin_expr = bin_expr + F.when(
-                F.col(c) > round(float(b), boundary_dp), 1).otherwise(0)
+                F.col(c) > b, 1).otherwise(0)
         out = out.withColumn(
             c + suffix,
             F.when(F.col(c).isNotNull(), bin_expr).cast("string"),

@@ -249,6 +249,28 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     return df.select(*other, red.alias(out_col), *counts)
 
 
+def _adjacent_bigrams(df: DataFrame, text_col: str,
+                      id_col: str | None = None) -> DataFrame:
+    """The (w1, w2) adjacent-bigram relation from a split text column
+    — single source of truth for ngram_logprob_scores AND
+    pmi_collocations (one JVM transform/explode, no positional
+    self-join).  Documents with fewer than 2 tokens contribute
+    nothing; ``id_col`` is carried through when given."""
+    keep = [F.col(id_col)] if id_col else []
+    toks = df.select(
+        *keep, F.split(F.col(text_col), " ").alias("__a"),
+    ).where(F.size("__a") >= 2)
+    names = [id_col] if id_col else []
+    return toks.select(
+        *names,
+        F.explode(F.expr(
+            "transform(sequence(1, size(__a) - 1), "
+            "i -> struct(element_at(__a, i) AS w1, "
+            "element_at(__a, i + 1) AS w2))",
+        )).alias("__bg"),
+    ).select(*names, "__bg.w1", "__bg.w2")
+
+
 def ngram_logprob_scores(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id",
                          alpha: float = 0.5,
@@ -270,17 +292,7 @@ def ngram_logprob_scores(df: DataFrame, text_col: str = "text",
     its four consumers materialize the corpus scan once; pass False
     to trade repeated scans for zero cache footprint.
     """
-    toks = df.select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("a"),
-    ).where(F.size("a") >= 2)
-    big = toks.select(
-        id_col,
-        F.explode(F.expr(
-            "transform(sequence(1, size(a) - 1), "
-            "i -> struct(element_at(a, i) AS w1, "
-            "element_at(a, i + 1) AS w2))",
-        )).alias("bg"),
-    ).select(id_col, "bg.w1", "bg.w2")
+    big = _adjacent_bigrams(df, text_col, id_col)
     if cache_bigrams:
         # four consumers (c2, c1, v, the join base) would otherwise
         # each re-scan and re-explode the corpus; same optional-
@@ -386,16 +398,7 @@ def pmi_collocations(df: DataFrame, text_col: str = "text",
     w2) total order is identical across engines (cross-engine oracle
     use, same convention as tfidf_top_terms).
     """
-    a = F.split(F.col(text_col), " ")
-    pairs = (
-        df.select(a.alias("__a"))
-        .where(F.size("__a") >= 2)
-        .select(F.explode(F.expr(
-            "transform(slice(__a, 1, size(__a) - 1), "
-            "(w, i) -> struct(w AS w1, element_at(__a, i + 2) AS w2))"
-        )).alias("p"))
-        .select("p.w1", "p.w2")
-    )
+    pairs = _adjacent_bigrams(df, text_col)
     c2 = pairs.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("pair_count"))
     cx = c2.groupBy("w1").agg(F.sum("pair_count").alias("__cx"))

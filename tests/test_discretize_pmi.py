@@ -219,3 +219,18 @@ def test_numeric_feature_ranking_composition(spark):
     singles = res.singles[res.singles["Feature"] != "label"]
     ranked = list(singles["Feature"])
     assert ranked.index("sig_bin") < ranked.index("noise_bin")
+
+
+def test_round_half_up_matches_spark_f_round(spark):
+    """The literal assignment path (Python _round_half_up) and the
+    expression path (F.round) must round identically, ties included
+    — Python's builtin banker's round would split them on 0.03125."""
+    from outrank_spark.operators.discretize import _round_half_up
+
+    vals = [0.03125, -0.03125, 1.23455, 2.5e-4, 7.0, 123.456789,
+            0.00005, -1.5e-4]
+    got = spark.createDataFrame([(v,) for v in vals], "v double") \
+        .select(F.round("v", 4).alias("r")).toPandas()["r"].tolist()
+    assert got == [_round_half_up(v, 4) for v in vals]
+    # and the builtin would NOT match (the divergence class)
+    assert round(0.03125, 4) != _round_half_up(0.03125, 4)
