@@ -40,7 +40,8 @@ from outrank_spark.sketches import SKETCH_REGISTRY, sketch_from_bytes
 from outrank_spark.hashing import qcol
 
 __all__ = ["SketchPlan", "SketchCollection", "build_sketches",
-           "build_grouped_sketches", "grouped_quantiles", "probe_bloom"]
+           "build_grouped_sketches", "grouped_quantiles", "probe_bloom",
+           "exact_heavy_hitters", "theta_group_overlap"]
 
 _NUMERIC_ONLY = {"kll", "tdigest"}
 _BLOB_SCHEMA = "column string, kind string, blob binary"
@@ -96,6 +97,10 @@ class SketchCollection(dict):
                 row["estimate"] = sk.quantile(0.5)
             elif kind == "counter":
                 row["estimate"] = len(sk)
+            elif kind == "mg":
+                row["estimate"] = len(sk)
+            elif kind == "theta":
+                row["estimate"] = sk.estimate()
             rows.append(row)
         return pd.DataFrame(rows)
 
@@ -109,7 +114,7 @@ class SketchCollection(dict):
 # Sketch kinds that consume only a 64-bit value hash — computed
 # JVM-side (xxhash64) so Arrow ships zero-copy longs instead of
 # materializing millions of Python string objects.
-_HASH_INPUT = {"hll", "parity_hll"}
+_HASH_INPUT = {"hll", "parity_hll", "theta"}
 
 
 def _chan(col: str) -> str:
@@ -377,3 +382,100 @@ def grouped_quantiles(df, key_col: str, value_col: str,
             yield pd.DataFrame(rows, columns=["key", "q", "value"])
 
     return blobs.mapInPandas(finalize, "key string, q double, value double")
+
+
+def exact_heavy_hitters(df, col: str, threshold: int,
+                        k: int = 4096, merge: str = "grouped",
+                        count_alias: str = "n"):
+    """EXACT distributed heavy-hitter enumeration via Misra-Gries
+    candidate-verify: every value occurring >= ``threshold`` times,
+    with its exact count, WITHOUT a full-width groupBy shuffle.
+
+    Stage 1 builds one mergeable MG summary (sketches/frequent.py) in
+    a single scan; its tracked error bound makes the summary a proven
+    superset of the answer whenever ``threshold > err`` (guaranteed by
+    sizing ``k >= N / threshold``).  Stage 2 broadcasts the <= k
+    candidate values into a pushed-down ``isin`` filter and takes
+    exact counts of just those keys — at 100 TB the second scan
+    shuffles only the candidate rows' partial counts (<= k groups),
+    never the full value column.  The composition is exact by the
+    no-false-negative guarantee + exact verify; pinned against a
+    DuckDB ``GROUP BY .. HAVING`` oracle (q71) and a planted-Zipf
+    pytest where distinct >> k.
+
+    If the realized ``err`` reaches ``threshold`` (k undersized for
+    this stream), falls back to the plain exact aggregation — same
+    result, scale benefit lost — and warns.
+    """
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    plan = SketchPlan(columns=[col], sketches={"mg": {"k": k}})
+    mg = build_sketches(df, plan, merge=merge)[(col, "mg")]
+    exact = (
+        df.select(qcol(col).alias(col))
+        .where(qcol(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias(count_alias))
+        .where(F.col(count_alias) >= threshold)
+    )
+    if mg.err >= threshold:
+        warnings.warn(
+            f"exact_heavy_hitters: MG err {mg.err} >= threshold "
+            f"{threshold}; raise k to >= {-(-mg.n // threshold)} — "
+            f"falling back to full exact aggregation",
+            stacklevel=2,
+        )
+        return exact
+    cands = mg.candidates(threshold)
+    if not cands:
+        return exact.where(F.lit(False))
+    return exact.where(qcol(col).isin(cands))
+
+
+def theta_group_overlap(df, group_col: str, value_col: str,
+                        k: int = 4096, salt: int = 8):
+    """Pairwise distinct-value overlap between groups via per-group
+    KMV/theta sketches (sketches/theta.py): for every unordered group
+    pair, estimated |A|, |B|, |A ∪ B|, |A ∩ B| and Jaccard — e.g.
+    shared distinct users between event types, or distinct-URL overlap
+    between two crawl snapshots.
+
+    One salted grouped build (the same skew-safe two-level merge every
+    grouped sketch uses), then ONE blob row per group comes back to
+    the driver (k * 8 bytes each — metadata, never corpus rows) where
+    the O(G^2) pair table is computed over the tiny retained-hash
+    sets.  An exact-oracle equivalent needs a distinct-pair self-join
+    (|pairs| * |values| work); the sketch path reads the data once
+    regardless of the pair count.  Accuracy: union RSE 1/sqrt(k-2)
+    plus binomial Jaccard error sqrt(J(1-J)/k) — bound-tested against
+    DuckDB INTERSECT in tests/test_sketches.py.
+
+    Returns a driver-materialized pandas DataFrame (the result is
+    G*(G-1)/2 rows of scalars — report-sized, same convention as
+    SketchCollection.summary)."""
+    from itertools import combinations
+
+    blobs = build_grouped_sketches(
+        df, group_col, value_col, kind="theta", params={"k": k},
+        salt=salt,
+    ).collect()
+    sk_of = {r["key"]: sketch_from_bytes("theta", bytes(r["blob"]))
+             for r in blobs}
+    rows = []
+    for ga, gb in combinations(sorted(sk_of), 2):
+        a, b = sk_of[ga], sk_of[gb]
+        union = type(a)(a.k).merge(a).merge(b)
+        jac = a.jaccard(b)
+        rows.append({
+            "group_a": ga, "group_b": gb,
+            "est_a": a.estimate(), "est_b": b.estimate(),
+            "est_union": union.estimate(),
+            "est_intersection": jac * union.estimate(),
+            "jaccard": jac,
+        })
+    return pd.DataFrame(
+        rows, columns=["group_a", "group_b", "est_a", "est_b",
+                       "est_union", "est_intersection", "jaccard"],
+    )

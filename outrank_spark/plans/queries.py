@@ -2619,6 +2619,53 @@ LIMIT 100
 """
 
 
+def q71_heavy_hitter_users(spark, sf_dir):
+    """Users with >= 80 events, by Misra-Gries candidate-verify
+    (operators/sketch_build.exact_heavy_hitters): one-scan mergeable
+    MG summary -> proven candidate superset -> exact count of only
+    the <= k candidate keys.  EXACT by the no-false-negative
+    guarantee (threshold > tracked err, enforced in code), so the
+    DuckDB GROUP BY/HAVING oracle matches row for row.  Scale path:
+    the verify aggregation shuffles only candidate rows (Catalyst
+    pushes the isin below the agg to the scan); the full-width
+    groupBy shuffle of the naive plan never happens.  At this SF the
+    distinct count sits under k so the summary is exact (err 0); the
+    planted-Zipf pytest (tests/test_frequent_theta.py) pins the
+    overflow regime where distinct >> k."""
+    from outrank_spark.operators.sketch_build import exact_heavy_hitters
+
+    ev = load(spark, sf_dir, "events")
+    return exact_heavy_hitters(
+        ev, "user_id", threshold=80, k=4096, count_alias="n_events",
+    )
+
+
+ORACLE_Q71 = """
+SELECT user_id, count(*) AS n_events
+FROM events
+GROUP BY user_id
+HAVING count(*) >= 80
+ORDER BY user_id
+"""
+
+
+def q72_theta_event_overlap(spark, sf_dir):
+    """Pairwise distinct-user overlap between event types via
+    per-group KMV/theta sketches (operators/sketch_build.
+    theta_group_overlap): estimated |A|, |B|, |A ∪ B|, |A ∩ B| and
+    Jaccard for every unordered pair, from ONE scan + one blob row
+    per group — the exact INTERSECT equivalent re-reads the data per
+    pair.  Rows-only in the driver gate (estimates); accuracy is
+    bound-tested against exact set arithmetic in
+    tests/test_frequent_theta.py and measured in bench.py's
+    sketch_error block."""
+    from outrank_spark.operators.sketch_build import theta_group_overlap
+
+    ev = load(spark, sf_dir, "events")
+    pdf = theta_group_overlap(ev, "event_type", "user_id", k=4096)
+    return spark.createDataFrame(pdf)
+
+
 # Registry order matters: the driver's correctness gate only reaches
 # the FIRST 50 entries (observed cap, rounds 2-3), so all 51
 # exact-oracle queries come first (ascending) — entries 1-50 are all
@@ -2680,6 +2727,7 @@ QUERIES = {
     "q68_exact_quantiles_distributed": q68_exact_quantiles_distributed,
     "q69_quantile_binning": q69_quantile_binning,
     "q70_pmi_collocations": q70_pmi_collocations,
+    "q71_heavy_hitter_users": q71_heavy_hitter_users,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -2702,6 +2750,7 @@ QUERIES = {
     "q61_semantic_dedup": q61_semantic_dedup,
     "q65_quality_classifier": q65_quality_classifier,
     "q67_full_training_pipeline": q67_full_training_pipeline,
+    "q72_theta_event_overlap": q72_theta_event_overlap,
 }
 
 ORACLES = {
@@ -2758,4 +2807,5 @@ ORACLES = {
     "q68_exact_quantiles_distributed": ORACLE_Q68,
     "q69_quantile_binning": ORACLE_Q69,
     "q70_pmi_collocations": ORACLE_Q70,
+    "q71_heavy_hitter_users": ORACLE_Q71,
 }

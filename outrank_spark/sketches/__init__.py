@@ -26,6 +26,8 @@ from outrank_spark.sketches.tdigest import TDigest
 from outrank_spark.sketches.counters import BoundedCounter
 from outrank_spark.sketches.coverage import CoverageCounter
 from outrank_spark.sketches.rare import RareValueCounter
+from outrank_spark.sketches.frequent import FrequentItems
+from outrank_spark.sketches.theta import ThetaSketch
 
 SKETCH_REGISTRY = {
     "hll": HyperLogLog,
@@ -37,6 +39,8 @@ SKETCH_REGISTRY = {
     "counter": BoundedCounter,
     "coverage": CoverageCounter,
     "rare": RareValueCounter,
+    "mg": FrequentItems,
+    "theta": ThetaSketch,
 }
 
 
@@ -46,5 +50,6 @@ def sketch_from_bytes(kind: str, blob: bytes):
 __all__ = [
     "HyperLogLog", "ParityHyperLogLog", "CountMinSketch", "BloomFilter",
     "KLLSketch", "TDigest", "BoundedCounter", "CoverageCounter",
-    "RareValueCounter", "SKETCH_REGISTRY", "sketch_from_bytes",
+    "RareValueCounter", "FrequentItems", "ThetaSketch",
+    "SKETCH_REGISTRY", "sketch_from_bytes",
 ]
