@@ -41,7 +41,7 @@ __all__ = [
     "minhash_lsh_candidates", "ngram_jaccard_pairs",
     "simhash_signatures", "simhash_candidates",
     "embedding_neardup_candidates", "near_dedup_corpus",
-    "winnowed_span_pairs",
+    "winnowed_span_pairs", "dedup_paragraphs",
 ]
 
 
@@ -544,4 +544,74 @@ def winnowed_span_pairs(df: DataFrame, text_col: str = "text",
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )
+
+
+def dedup_paragraphs(df: DataFrame, paras_col: str = "paras",
+                     id_col: str = "doc_id", joiner: str = " ",
+                     text_out: str = "text") -> DataFrame:
+    """Paragraph-level (intra-document-unit) dedup: across the WHOLE
+    corpus, each distinct paragraph survives only at its first
+    occurrence in ``(id, position)`` order; every document is then
+    rebuilt from its surviving paragraphs in original order — the
+    boilerplate-removal stage of CCNet (Wenzek et al. 2020) and
+    RefinedWeb (Penedo et al. 2023), where repeated headers, nav bars
+    and license blurbs are struck from every copy but the first.
+
+    Shape, built for the 100 TB path:
+      1. ``posexplode`` paragraphs; key each by the 128-bit content
+         hash (:func:`_content_key` — birthday-safe at corpus scale).
+      2. ``groupBy(hash).agg(min(struct(id, pos)))`` — the owner per
+         paragraph.  min() is map-side combinable, so a boilerplate
+         paragraph on 10M pages collapses to one row per partition
+         before the shuffle (no hot-key sort, unlike a window over
+         the paragraph key).
+      3. join occurrences back on the hash (AQE handles residual
+         skew), keep only the owning occurrence.
+      4. rebuild per doc: collect_list + array_sort on pos, one
+         shuffle keyed by doc — per-group state is the document's own
+         paragraphs, bounded by document size, never corpus-wide.
+    A left join from the input ids keeps fully-boilerplate documents
+    as empty rows (n_kept = 0) instead of dropping them silently.
+
+    Returns ``(id, text_out, n_paras, n_kept)``.  Exact-oracle
+    verified end-to-end by q73; the DuckDB equivalent groups on
+    paragraph CONTENT — identical modulo 128-bit collisions.
+    """
+    occ = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(paras_col)).alias("pos", "para"),
+    ).withColumn("_h", F.xxhash64(F.col("para"))) \
+     .withColumn("_h2", F.xxhash64(F.lit("outrank-lane2"), F.col("para")))
+    owners = occ.groupBy("_h", "_h2").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
+    )
+    kept = (
+        occ.join(owners, ["_h", "_h2"])
+        .where((F.col(f"_first.{id_col}") == F.col(id_col))
+               & (F.col("_first.pos") == F.col("pos")))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            joiner,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("para"))),
+                ),
+                lambda s: s.getField("para"),
+            ),
+        ).alias(text_out),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = df.select(
+        F.col(id_col), F.size(F.col(paras_col)).alias("n_paras"),
+    )
+    return (
+        base.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(text_out), F.lit("")).alias(text_out),
+            "n_paras",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
     )

@@ -2666,6 +2666,59 @@ def q72_theta_event_overlap(spark, sf_dir):
     return spark.createDataFrame(pdf)
 
 
+def q73_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide paragraph dedup (operators/dedup.dedup_paragraphs):
+    every distinct paragraph survives only at its first (doc_id, pos)
+    occurrence; documents are rebuilt from survivors in order.  The
+    testdata's documents carry no paragraph breaks, so "paragraphs"
+    are deterministic 2-token chunks built identically in both
+    engines (Spark slice/transform vs DuckDB list slicing) — the
+    operator itself takes any array<string> column.  Exact oracle:
+    DuckDB groups on paragraph CONTENT where the operator groups on
+    the 128-bit content hash; identical modulo hash collisions."""
+    from outrank_spark.operators.dedup import dedup_paragraphs
+
+    docs = load(spark, sf_dir, "documents")
+    w = 2
+    chunked = docs.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, CAST(ceil(size(split(text, ' '))"
+            f" / {w}.0) AS INT)), i -> concat_ws(' ', "
+            f"slice(split(text, ' '), {w} * i - {w - 1}, {w})))",
+        ).alias("paras"),
+    )
+    return dedup_paragraphs(chunked, paras_col="paras", id_col="doc_id",
+                            joiner=" ", text_out="clean_text")
+
+
+ORACLE_Q73 = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+), chunks AS (
+  SELECT doc_id, i,
+         array_to_string(a[(2*i-1):(2*i)], ' ') AS para
+  FROM toks, LATERAL UNNEST(
+    generate_series(1, CAST(ceil(len(a) / 2.0) AS INT))) AS u(i)
+), ranked AS (
+  SELECT doc_id, i, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, i) AS rn
+  FROM chunks
+), rebuilt AS (
+  SELECT doc_id,
+         string_agg(para, ' ' ORDER BY i) AS clean_text,
+         count(*) AS n_kept
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       CAST(ceil(len(t.a) / 2.0) AS INT) AS n_paras,
+       coalesce(r.n_kept, 0) AS n_kept
+FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 # Registry order matters: the driver's correctness gate only reaches
 # the FIRST 50 entries (observed cap, rounds 2-3), so all 51
 # exact-oracle queries come first (ascending) — entries 1-50 are all
@@ -2728,6 +2781,7 @@ QUERIES = {
     "q69_quantile_binning": q69_quantile_binning,
     "q70_pmi_collocations": q70_pmi_collocations,
     "q71_heavy_hitter_users": q71_heavy_hitter_users,
+    "q73_paragraph_dedup": q73_paragraph_dedup,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -2808,4 +2862,5 @@ ORACLES = {
     "q69_quantile_binning": ORACLE_Q69,
     "q70_pmi_collocations": ORACLE_Q70,
     "q71_heavy_hitter_users": ORACLE_Q71,
+    "q73_paragraph_dedup": ORACLE_Q73,
 }

@@ -1000,3 +1000,53 @@ class TestNormalizeText:
                  winnowed_span_pairs(df, ngram=3, window=4).collect()}
         assert (5, 6) in pairs
         assert all(p[0] >= 5 for p in pairs)
+
+
+class TestParagraphDedup:
+    """dedup_paragraphs: corpus-wide first-occurrence paragraph dedup
+    (CCNet/RefinedWeb boilerplate removal), documents rebuilt in
+    original paragraph order."""
+
+    def _run(self, spark, rows):
+        from outrank_spark.operators.dedup import dedup_paragraphs
+
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, paras array<string>")
+        out = dedup_paragraphs(df, paras_col="paras", id_col="doc_id")
+        return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+    def test_boilerplate_struck_from_all_but_first(self, spark):
+        rows = [
+            (1, ["NAV BAR", "body one", "FOOTER"]),
+            (2, ["NAV BAR", "body two", "FOOTER"]),
+            (3, ["NAV BAR", "body three", "FOOTER"]),
+        ]
+        got = self._run(spark, rows)
+        assert got[1]["text"] == "NAV BAR body one FOOTER"
+        assert got[2]["text"] == "body two"
+        assert got[3]["text"] == "body three"
+        assert got[1]["n_kept"] == 3 and got[2]["n_kept"] == 1
+        assert all(v["n_paras"] == 3 for v in got.values())
+
+    def test_order_preserved_and_intra_doc_dups(self, spark):
+        # Repeats WITHIN a doc also collapse to the first position;
+        # survivors keep the original relative order.
+        rows = [(7, ["a", "b", "a", "c", "b", "d"])]
+        got = self._run(spark, rows)
+        assert got[7]["text"] == "a b c d"
+        assert got[7]["n_kept"] == 4 and got[7]["n_paras"] == 6
+
+    def test_fully_boilerplate_doc_kept_empty(self, spark):
+        rows = [(1, ["same", "same2"]), (2, ["same", "same2"])]
+        got = self._run(spark, rows)
+        assert got[2]["text"] == "" and got[2]["n_kept"] == 0
+        assert got[2]["n_paras"] == 2
+        assert got[1]["text"] == "same same2"
+
+    def test_first_occurrence_is_global_id_pos_order(self, spark):
+        # Owner = min (doc_id, pos) across the corpus, not arrival
+        # or partition order.
+        rows = [(10, ["x", "dup"]), (2, ["dup", "y"])]
+        got = self._run(spark, rows)
+        assert got[2]["text"] == "dup y"
+        assert got[10]["text"] == "x"
