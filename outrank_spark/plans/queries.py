@@ -2719,6 +2719,34 @@ ORDER BY t.doc_id
 """
 
 
+def q74_bpe_tokenizer(spark, sf_dir):
+    """BPE tokenizer training over the documents corpus
+    (operators/bpe.train_bpe): one map-side-combined word-histogram
+    shuffle, capped deterministic collect, driver-side merge learning
+    with lexicographic tie-break — then the merge table re-applied via
+    bpe_encode to report corpus-level compression (chars per BPE
+    token).  Rows-only: merge learning is iterative and not
+    SQL-expressible; the learner itself is pinned against an
+    independent brute-force implementation and the Sennrich et al.
+    2016 corpus in tests/test_bpe.py.  Deterministic: the result is a
+    pure function of the word histogram."""
+    from outrank_spark.operators.bpe import bpe_encode, train_bpe
+
+    docs = load(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=64, vocab_cap=50_000)
+    enc = bpe_encode(docs, merges)
+    stats = enc.agg(
+        F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+    return (
+        merges.crossJoin(F.broadcast(stats))   # 64 x 1-row stat join
+        .select("rank", "left", "right", "pair_count",
+                "total_bpe_tokens", "total_chars")
+        .orderBy("rank")
+    )
+
+
 # Registry order matters: the driver's correctness gate only reaches
 # the FIRST 50 entries (observed cap, rounds 2-3), so all 51
 # exact-oracle queries come first (ascending) — entries 1-50 are all
@@ -2805,6 +2833,7 @@ QUERIES = {
     "q65_quality_classifier": q65_quality_classifier,
     "q67_full_training_pipeline": q67_full_training_pipeline,
     "q72_theta_event_overlap": q72_theta_event_overlap,
+    "q74_bpe_tokenizer": q74_bpe_tokenizer,
 }
 
 ORACLES = {
