@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "funnel_counts", "cohort_retention"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, by: str,
@@ -140,4 +140,132 @@ def range_join(points: DataFrame, intervals: DataFrame, by: str,
             & (F.col(point_col) <= F.col(end_col)),
         )
         .drop("_b", "_rkey")
+    )
+
+
+def funnel_counts(df: DataFrame, steps: list, user_col: str = "user_id",
+                  type_col: str = "event_type", ts_col: str = "ts",
+                  horizon_seconds: int | None = None) -> DataFrame:
+    """Ordered-funnel conversion counts: for ``steps = [A, B, C]``,
+    how many users did A, then B strictly after it, then C strictly
+    after that — the sequential-min semantic (step k's time is the
+    MINIMUM timestamp of a step-k event strictly after step k-1's
+    time; greedy-earliest is provably optimal for it, so one ordered
+    fold per user computes every step time exactly).
+
+    ``horizon_seconds`` (optional) caps the whole funnel: steps 2..k
+    must land within that many seconds of the user's step-1 time.
+
+    Scale shape: the ``isin(steps)`` filter pushes to the scan, then
+    ONE shuffle keyed by user; per-user state is that user's own
+    funnel events (collect_list + array_sort), bounded by per-user
+    activity, never corpus-wide.  The fold and the final
+    furthest-step indicator sums are all-JVM (``F.aggregate`` — no
+    Python in the hot path); output is k rows.
+
+    Returns ``(step, event_type, n_users)`` where ``n_users`` counts
+    users whose furthest step reached is >= ``step`` (1-based), so
+    rows are monotone non-increasing — the classic funnel chart.
+    """
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct event types")
+    k = len(steps)
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+    horizon_us = (None if horizon_seconds is None
+                  else int(horizon_seconds) * 1_000_000)
+
+    ev = (
+        df.where(F.col(type_col).isin(list(steps)))
+        .select(
+            F.col(user_col).alias("_u"),
+            F.struct(
+                F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+                (F.array_position(steps_lit, F.col(type_col)) - 1)
+                .cast("int").alias("s"),
+            ).alias("_e"),
+        )
+    )
+    per_user = ev.groupBy("_u").agg(
+        F.array_sort(F.collect_list("_e")).alias("_evs"),
+    )
+
+    def fold(acc, e):
+        # acc: (stage, t1, last) — stage = steps completed so far
+        advance = (e["s"] == acc["stage"]) & (
+            (acc["stage"] == 0) | (e["t"] > acc["last"])
+        )
+        if horizon_us is not None:
+            advance = advance & (
+                (acc["stage"] == 0) | (e["t"] <= acc["t1"] + horizon_us)
+            )
+        return F.when(
+            advance,
+            F.struct(
+                (acc["stage"] + 1).alias("stage"),
+                F.when(acc["stage"] == 0, e["t"])
+                .otherwise(acc["t1"]).alias("t1"),
+                e["t"].alias("last"),
+            ),
+        ).otherwise(acc)
+
+    zero = F.struct(
+        F.lit(0).alias("stage"),
+        F.lit(None).cast("long").alias("t1"),
+        F.lit(None).cast("long").alias("last"),
+    )
+    furthest = per_user.select(
+        F.aggregate("_evs", zero, fold)["stage"].alias("_stage"),
+    )
+    counts = furthest.agg(*[
+        F.sum((F.col("_stage") >= i + 1).cast("long"))
+        .alias(f"_s{i}") for i in range(k)
+    ])
+    stack = ", ".join(
+        f"{i + 1}, '{steps[i]}', coalesce(_s{i}, 0L)" for i in range(k)
+    )
+    return counts.selectExpr(
+        f"stack({k}, {stack}) as (step, event_type, n_users)",
+    ).orderBy("step")
+
+
+def cohort_retention(df: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts",
+                     max_offset: int | None = None) -> DataFrame:
+    """Weekly cohort-retention matrix: users are cohorted by the ISO
+    week of their FIRST event; each (cohort_week, week_offset) cell
+    counts distinct users active that many weeks later.
+
+    Shape: one groupBy(user) for first-seen (map-side combinable
+    min), one user-keyed shuffle join back (AQE; both sides already
+    hash on user so the exchange is shared), one exact
+    count_distinct agg.  At 100 TB swap the exact distinct for the
+    HLL rollup (sketches/hll.py) — cells stay mergeable across
+    partitions/days; this exact shape is the oracle semantic.
+
+    Returns ``(cohort_week date, week_offset int, n_users)``.
+    """
+    firsts = df.groupBy(F.col(user_col).alias("_u")).agg(
+        F.date_trunc("week", F.min(F.col(ts_col).cast("timestamp")))
+        .alias("_cw"),
+    )
+    ev = df.select(
+        F.col(user_col).alias("_u"),
+        F.date_trunc("week", F.col(ts_col).cast("timestamp")).alias("_w"),
+    )
+    cells = (
+        ev.join(firsts, "_u")
+        .select(
+            "_u", F.col("_cw"),
+            (F.datediff(F.col("_w"), F.col("_cw")) / 7)
+            .cast("int").alias("week_offset"),
+        )
+    )
+    if max_offset is not None:
+        cells = cells.where(F.col("week_offset") <= int(max_offset))
+    return (
+        cells.groupBy(
+            F.col("_cw").cast("date").alias("cohort_week"), "week_offset",
+        )
+        .agg(F.count_distinct("_u").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
     )

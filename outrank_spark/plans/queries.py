@@ -2719,6 +2719,75 @@ ORDER BY t.doc_id
 """
 
 
+def q75_funnel_conversion(spark, sf_dir):
+    """Ordered funnel view -> click -> purchase over events
+    (operators/temporal.funnel_counts): sequential-min semantics —
+    step k's time is the min timestamp strictly after step k-1's.
+    One user-keyed shuffle, per-user JVM fold (F.aggregate), no
+    Python; the isin([steps]) predicate pushes to the parquet scan.
+    Exact oracle: DuckDB computes the same step times with chained
+    sequential-min CTEs."""
+    from outrank_spark.operators.temporal import funnel_counts
+
+    ev = load(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+ORACLE_Q75 = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+)
+SELECT * FROM (VALUES
+  (1, 'view',     (SELECT count(*) FROM s1)),
+  (2, 'click',    (SELECT count(*) FROM s2)),
+  (3, 'purchase', (SELECT count(*) FROM s3))
+) AS t(step, event_type, n_users)
+ORDER BY step
+"""
+
+
+def q76_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention (operators/temporal.cohort_retention):
+    users cohorted by the ISO week of their first event; each
+    (cohort_week, week_offset) cell counts distinct users active that
+    many weeks later.  One first-seen agg + one user-keyed join +
+    one exact distinct — the oracle semantic; at 100 TB the distinct
+    swaps for the HLL rollup (cells stay mergeable).  cohort_week is
+    emitted as 'yyyy-MM-dd' text so both engines hash identically."""
+    from outrank_spark.operators.temporal import cohort_retention
+
+    ev = load(spark, sf_dir, "events")
+    out = cohort_retention(ev)
+    return out.select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset", "n_users",
+    ).orderBy("cohort_week", "week_offset")
+
+
+ORACLE_Q76 = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cw
+  FROM events GROUP BY user_id
+)
+SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', f.cw, date_trunc('week', e.ts)) / 7 AS INT)
+         AS week_offset,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN firsts f USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def q74_bpe_tokenizer(spark, sf_dir):
     """BPE tokenizer training over the documents corpus
     (operators/bpe.train_bpe): one map-side-combined word-histogram
@@ -2810,6 +2879,8 @@ QUERIES = {
     "q70_pmi_collocations": q70_pmi_collocations,
     "q71_heavy_hitter_users": q71_heavy_hitter_users,
     "q73_paragraph_dedup": q73_paragraph_dedup,
+    "q75_funnel_conversion": q75_funnel_conversion,
+    "q76_cohort_retention": q76_cohort_retention,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -2892,4 +2963,6 @@ ORACLES = {
     "q70_pmi_collocations": ORACLE_Q70,
     "q71_heavy_hitter_users": ORACLE_Q71,
     "q73_paragraph_dedup": ORACLE_Q73,
+    "q75_funnel_conversion": ORACLE_Q75,
+    "q76_cohort_retention": ORACLE_Q76,
 }

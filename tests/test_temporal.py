@@ -166,3 +166,120 @@ class TestRangeJoin:
         )._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestFunnelCounts:
+    def _ev(self, spark, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        return spark.createDataFrame(pdf)
+
+    def test_sequential_min_strictly_after(self, spark):
+        from outrank_spark.operators.temporal import funnel_counts
+
+        rows = [
+            # u1 completes in order
+            (1, "2024-01-01 10:00", "view"),
+            (1, "2024-01-01 10:05", "click"),
+            (1, "2024-01-01 10:10", "purchase"),
+            # u2: click BEFORE the first view — must not count
+            (2, "2024-01-01 09:00", "click"),
+            (2, "2024-01-01 10:00", "view"),
+            (2, "2024-01-01 11:00", "purchase"),
+            # u3: click at the SAME instant as view — strict >, no
+            (3, "2024-01-01 10:00", "view"),
+            (3, "2024-01-01 10:00", "click"),
+            # u4: never viewed
+            (4, "2024-01-01 10:00", "purchase"),
+        ]
+        out = {r["step"]: r["n_users"] for r in funnel_counts(
+            self._ev(spark, rows), ["view", "click", "purchase"],
+        ).collect()}
+        assert out == {1: 3, 2: 1, 3: 1}
+
+    def test_later_step_events_can_still_progress(self, spark):
+        from outrank_spark.operators.temporal import funnel_counts
+
+        # early purchase is ignored; the later one (after click) counts
+        rows = [(1, "2024-01-01 10:00", "view"),
+                (1, "2024-01-01 10:01", "purchase"),
+                (1, "2024-01-01 10:02", "click"),
+                (1, "2024-01-01 10:03", "purchase")]
+        out = {r["step"]: r["n_users"] for r in funnel_counts(
+            self._ev(spark, rows), ["view", "click", "purchase"],
+        ).collect()}
+        assert out == {1: 1, 2: 1, 3: 1}
+
+    def test_horizon_caps_from_first_step(self, spark):
+        from outrank_spark.operators.temporal import funnel_counts
+
+        rows = [(1, "2024-01-01 10:00", "view"),
+                (1, "2024-01-01 10:30", "click"),     # inside 1h
+                (1, "2024-01-01 12:00", "purchase"),  # outside 1h
+                (2, "2024-01-01 10:00", "view"),
+                (2, "2024-01-01 10:10", "click"),
+                (2, "2024-01-01 10:20", "purchase")]
+        out = {r["step"]: r["n_users"] for r in funnel_counts(
+            self._ev(spark, rows), ["view", "click", "purchase"],
+            horizon_seconds=3600,
+        ).collect()}
+        assert out == {1: 2, 2: 2, 3: 1}
+
+    def test_empty_and_zero_rows_still_emit_all_steps(self, spark):
+        from outrank_spark.operators.temporal import funnel_counts
+
+        rows = [(1, "2024-01-01 10:00", "error")]
+        out = funnel_counts(self._ev(spark, rows),
+                            ["view", "click"]).collect()
+        assert [(r["step"], r["n_users"]) for r in out] == [(1, 0), (2, 0)]
+
+    def test_duplicate_steps_rejected(self, spark):
+        from outrank_spark.operators.temporal import funnel_counts
+
+        with pytest.raises(ValueError):
+            funnel_counts(self._ev(spark, [(1, "2024-01-01", "view")]),
+                          ["view", "view"])
+
+    def test_partition_invariant(self, spark):
+        from outrank_spark.operators.temporal import funnel_counts
+
+        rng = np.random.default_rng(7)
+        rows = [(int(rng.integers(0, 40)),
+                 pd.Timestamp("2024-01-01") + pd.Timedelta(
+                     seconds=int(rng.integers(0, 3_000_000))),
+                 ["view", "click", "purchase", "error"][
+                     int(rng.integers(0, 4))])
+                for _ in range(800)]
+        df = self._ev(spark, rows)
+        a = funnel_counts(df.repartition(1),
+                          ["view", "click", "purchase"]).collect()
+        b = funnel_counts(df.repartition(13),
+                          ["view", "click", "purchase"]).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestCohortRetention:
+    def test_hand_matrix(self, spark):
+        from outrank_spark.operators.temporal import cohort_retention
+
+        # 2024-01-01 and 2024-01-08 are Mondays (week starts)
+        rows = [(1, "2024-01-02"), (1, "2024-01-09"),   # w0 cohort, +0 +1
+                (2, "2024-01-03"),                      # w0 cohort, +0
+                (3, "2024-01-10"), (3, "2024-01-21")]   # w1 cohort, +0 +1
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        out = {(str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+               for r in cohort_retention(
+                   spark.createDataFrame(pdf)).collect()}
+        assert out == {("2024-01-01", 0): 2, ("2024-01-01", 1): 1,
+                       ("2024-01-08", 0): 1, ("2024-01-08", 1): 1}
+
+    def test_max_offset_trims(self, spark):
+        from outrank_spark.operators.temporal import cohort_retention
+
+        rows = [(1, "2024-01-02"), (1, "2024-03-01")]
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        out = cohort_retention(spark.createDataFrame(pdf),
+                               max_offset=1).collect()
+        assert [(r["week_offset"], r["n_users"]) for r in out] == [(0, 1)]
