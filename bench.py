@@ -14,7 +14,7 @@ Scaling evidence mode (north rule: efficiency >= 0.8 from N to 4N):
 subprocesses at local[N] and local[4N] on identical input (default
 N=2 — the pair where a pure-CPU calibration shows the VM can sustain
 a true 4x; see BENCH.md) and reports efficiency = (T_N / T_4N) / 4.
-``--scaling-ops`` does the same for six operator probes; ``--skew``
+``--scaling-ops`` does the same for nine operator probes; ``--skew``
 measures the salted hot-key merge.
 """
 from __future__ import annotations
@@ -542,6 +542,68 @@ def semdedup_probe(spark, n_rows: int = 600_000) -> float:
     return dt
 
 
+def bpe_probe(spark, n_docs: int = 400_000) -> float:
+    """BPE tokenizer scale probe: train_bpe (one word-histogram
+    shuffle + capped collect + driver merge learning) then bpe_encode
+    (broadcast ranks, per-distinct-word memoized Arrow pass) over
+    n_docs x 40-word synthetic Zipf-ish text generated JVM-side
+    (bounded ~100k-type vocab, like real web text).  The measured
+    work is the histogram aggregate and the encode scan; driver
+    learning is O(vocab), corpus-size-independent.  Returns wall
+    seconds."""
+    from pyspark.sql import functions as F
+
+    from outrank_spark.operators.bpe import bpe_encode, train_bpe
+
+    df = spark.range(n_docs).select(
+        "id",
+        F.expr(
+            "concat_ws(' ', transform(sequence(1, 40), i -> "
+            "conv(cast((id * 2654435761 + i * 40503) % 99991 "
+            "as string), 10, 36)))",
+        ).alias("text"),
+    )
+    t0 = time.time()
+    merges = train_bpe(df, num_merges=100, vocab_cap=100_000)
+    total = bpe_encode(df, merges).agg(
+        F.sum("n_bpe_tokens")).first()[0]
+    dt = time.time() - t0
+    assert total > n_docs * 40  # subwords >= words
+    return dt
+
+
+def funnel_probe(spark, n_events: int = 20_000_000) -> float:
+    """Funnel scale probe: funnel_counts over n_events synthetic
+    events (500k users, 4 event types, scrambled timestamps) built
+    JVM-side — measures the scan-side isin filter, the one user-keyed
+    shuffle, and the per-user JVM fold.  Returns wall seconds."""
+    from pyspark.sql import functions as F
+
+    from outrank_spark.operators.temporal import funnel_counts
+
+    df = spark.range(n_events).select(
+        (F.col("id") % 500_000).alias("user_id"),
+        F.timestamp_micros(
+            (F.col("id") * 2654435761 % 2_592_000_000_000).cast("long"),
+        ).alias("ts"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"),
+                    F.lit("purchase"), F.lit("error")),
+            # xxhash64 mix: a plain (id * k) % 4 shares its period
+            # with user_id = id % 500_000, giving every user ONE type
+            (F.pmod(F.xxhash64("id"), F.lit(4)) + 1).cast("int"),
+        ).alias("event_type"),
+    )
+    t0 = time.time()
+    rows = funnel_counts(df, ["view", "click", "purchase"]).collect()
+    dt = time.time() - t0
+    # ~40 events/user: P(no view) = (3/4)^40 ~ 1e-5, so step 1 must
+    # cover nearly every user and the funnel must be monotone
+    assert rows[0]["n_users"] > 490_000
+    assert rows[0]["n_users"] >= rows[1]["n_users"] >= rows[2]["n_users"] > 0
+    return dt
+
+
 def run_suite(cpus: int, sf_dir: str) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from outrank_spark.plans.queries import QUERIES
@@ -690,15 +752,17 @@ def main() -> None:
             out[n] = [float(v)
                       for v in r.stdout.strip().splitlines()[-1].split()]
         names = ("asof", "components", "minhash", "quality", "semdedup",
-                 "warc", "discretize")
+                 "warc", "discretize", "bpe", "funnel")
         res = {
             "metric": (f"asof/components/minhash/quality/semdedup/warc"
-                       f"/discretize scaling local[{lo}]->local[{hi}]"),
+                       f"/discretize/bpe/funnel scaling "
+                       f"local[{lo}]->local[{hi}]"),
             "unit": "efficiency",
             "asof_rows": 16_000_000, "components_edges": 4_000_000,
             "minhash_docs": 200_000, "quality_docs": 150_000,
             "semdedup_rows": 600_000, "warc_records": 64 * 3000,
-            "discretize_rows": 60_000_000,
+            "discretize_rows": 60_000_000, "bpe_docs": 400_000,
+            "funnel_events": 20_000_000,
         }
         for i, name in enumerate(names):
             res[f"{name}_t{lo}_sec"] = round(out[lo][i], 2)
@@ -712,7 +776,7 @@ def main() -> None:
         n = int(sys.argv[sys.argv.index("--scaling-ops-child") + 1])
         probes = (asof_probe, components_probe, minhash_probe,
                   quality_model_probe, semdedup_probe, warc_probe,
-                  discretize_probe)
+                  discretize_probe, bpe_probe, funnel_probe)
         spark = make_spark(n)
         try:
             # warm at FULL size: a small-shape warmup leaves the large
