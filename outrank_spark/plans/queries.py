@@ -2788,6 +2788,52 @@ ORDER BY 1, 2
 """
 
 
+def q77_target_encoding(spark, sf_dir):
+    """Smoothed target-encoding mapping tables
+    (operators/encoders.target_encoding_table, Micci-Barreca 2001)
+    for two lineitem categoricals against l_extendedprice: per
+    category, te = (sum + s*mu)/(n + s) with s=20.  One map-side-
+    combinable groupBy per column over exact (count, sum) aggregates;
+    the encode-rows join-back path is broadcast-join pytest-covered
+    (tests/test_encoders.py).  round(6) absorbs the engines'
+    double-summation order difference."""
+    from outrank_spark.operators.encoders import target_encoding_table
+
+    li = load(spark, sf_dir, "lineitem")
+    t = target_encoding_table(
+        li, ["l_returnflag", "l_linestatus"], "l_extendedprice",
+        smoothing=20.0,
+    )
+    return (
+        t.select("feature", "category", "n",
+                 F.round("encoded", 6).alias("encoded"))
+        .orderBy("feature", "category")
+    )
+
+
+ORACLE_Q77 = """
+WITH mu AS (
+  SELECT sum(CAST(l_extendedprice AS DOUBLE))
+         / count(l_extendedprice) AS mu
+  FROM lineitem
+), maps AS (
+  SELECT 'l_returnflag' AS feature,
+         CAST(l_returnflag AS VARCHAR) AS category,
+         count(l_extendedprice) AS n,
+         sum(CAST(l_extendedprice AS DOUBLE)) AS s
+  FROM lineitem GROUP BY 2
+  UNION ALL
+  SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR),
+         count(l_extendedprice), sum(CAST(l_extendedprice AS DOUBLE))
+  FROM lineitem GROUP BY 2
+)
+SELECT feature, category, n,
+       round((s + 20 * mu.mu) / (n + 20), 6) AS encoded
+FROM maps, mu
+ORDER BY feature, category
+"""
+
+
 def q74_bpe_tokenizer(spark, sf_dir):
     """BPE tokenizer training over the documents corpus
     (operators/bpe.train_bpe): one map-side-combined word-histogram
@@ -2814,6 +2860,36 @@ def q74_bpe_tokenizer(spark, sf_dir):
                 "total_bpe_tokens", "total_chars")
         .orderBy("rank")
     )
+
+
+def q78_mrmr_selection(spark, sf_dir):
+    """mRMR greedy feature selection (plans/feature_selection.py,
+    Peng et al. 2005) over the flagship ranking's pairwise MI table:
+    the distributed work is the ranking job itself (one sketch scan +
+    one scoring fan-out, q23's plan); selection is a deterministic
+    driver loop over the features^2 aggregated triplets.  Rows-only:
+    MI scores have no SQL equivalent; the selector is pinned on
+    hand-computed matrices in tests/test_feature_selection.py."""
+    from outrank_spark.plans.feature_selection import mrmr_select
+    from outrank_spark.plans.ranking_job import RankingConfig, run_ranking
+
+    docs = load(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.col("source"),
+        F.col("n_chars").cast("string").alias("n_chars"),
+        F.size(F.split(F.col("text"), " ")).cast("string").alias("n_token"),
+        F.substring(F.col("text"), 1, 1).alias("first_char"),
+        F.col("lang").alias("label"),
+    )
+    cfg = RankingConfig(subsampling=1, minibatch_size=2 ** 14,
+                        target_ranking_only=False)
+    res = run_ranking(spark, feats, cfg)
+    # triplets_raw: the aggregated (FeatureA, FeatureB, Score) table
+    # with UNdecorated names (no "-(card; cov)" suffixes)
+    sel = mrmr_select(res.triplets_raw, label="label", k=3)
+    for c in ("relevance", "redundancy", "mrmr_score"):
+        sel[c] = sel[c].round(6)
+    return spark.createDataFrame(sel)
 
 
 # Registry order matters: the driver's correctness gate only reaches
@@ -2881,6 +2957,7 @@ QUERIES = {
     "q73_paragraph_dedup": q73_paragraph_dedup,
     "q75_funnel_conversion": q75_funnel_conversion,
     "q76_cohort_retention": q76_cohort_retention,
+    "q77_target_encoding": q77_target_encoding,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -2905,6 +2982,7 @@ QUERIES = {
     "q67_full_training_pipeline": q67_full_training_pipeline,
     "q72_theta_event_overlap": q72_theta_event_overlap,
     "q74_bpe_tokenizer": q74_bpe_tokenizer,
+    "q78_mrmr_selection": q78_mrmr_selection,
 }
 
 ORACLES = {
@@ -2965,4 +3043,5 @@ ORACLES = {
     "q73_paragraph_dedup": ORACLE_Q73,
     "q75_funnel_conversion": ORACLE_Q75,
     "q76_cohort_retention": ORACLE_Q76,
+    "q77_target_encoding": ORACLE_Q77,
 }
