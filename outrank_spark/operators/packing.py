@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from outrank_spark.operators.sampling import _md5_key
 
-__all__ = ["pack_sequences"]
+__all__ = ["pack_sequences", "chunk_documents"]
 
 
 def pack_sequences(df: DataFrame, text_col: str = "text",
@@ -71,4 +71,64 @@ def pack_sequences(df: DataFrame, text_col: str = "text",
             F.floor(F.col("start_offset") / F.lit(seq_len)),
         )
         .drop("__k")
+    )
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_tokens: int = 512,
+                    overlap: int = 0,
+                    chunk_text_col: str = "chunk_text") -> DataFrame:
+    """RAG-style overlapping chunker: split each document's
+    whitespace token stream into windows of ``chunk_tokens`` with
+    ``overlap`` tokens shared between consecutive windows
+    (stride = chunk_tokens - overlap).
+
+    Chunk-count rule (integer-exact, so the q79 DuckDB oracle is
+    bitwise): a doc of n tokens yields 1 chunk if ``n <=
+    chunk_tokens``, else ``floor((n - chunk_tokens + stride - 1) /
+    stride) + 1`` — the last chunk always reaches the end of the
+    document and may be shorter; no chunk past the end, no duplicate
+    tail.  Docs with 0 tokens (null/empty/whitespace text) yield NO
+    rows — filter upstream if empty docs must be kept.
+
+    All-JVM: one split + one ``posexplode(sequence(...))`` map — no
+    shuffle at all; chunk rows inherit the input's partitioning, so
+    a downstream embed/index stage parallelizes over chunks for
+    free.  Output: ``(id, chunk_id, start_token, n_chunk_tokens,
+    chunk_text)``.
+    """
+    if overlap < 0 or overlap >= chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), r"\s+"),
+                    lambda w: w != "")
+    base = df.select(
+        F.col(id_col), toks.alias("_toks"),
+    ).withColumn("_n", F.size("_toks")).where(F.col("_n") > 0)
+    n_chunks = F.when(
+        F.col("_n") <= chunk_tokens, F.lit(1),
+    ).otherwise(
+        F.floor((F.col("_n") - chunk_tokens + stride - 1) / stride) + 1,
+    )
+    return (
+        base.withColumn("_k", n_chunks)
+        .select(
+            id_col, "_toks", "_n",
+            F.posexplode(F.sequence(F.lit(0), F.col("_k") - 1))
+            .alias("chunk_id", "_i"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            (F.col("_i") * stride).alias("start_token"),
+            F.least(F.lit(chunk_tokens),
+                    F.col("_n") - F.col("_i") * stride)
+            .cast("int").alias("n_chunk_tokens"),
+            F.concat_ws(
+                " ",
+                F.slice(F.col("_toks"),
+                        F.col("_i") * stride + 1,
+                        F.lit(chunk_tokens)),
+            ).alias(chunk_text_col),
+        )
     )

@@ -21,7 +21,7 @@ __all__ = ["fit_langid", "with_language_id", "with_quality_features",
            "redact_pii", "PII_PATTERNS",
            "with_token_counts", "with_fingerprints", "tfidf_top_terms",
            "ngram_logprob_scores", "normalize_text",
-           "pmi_collocations"]
+           "pmi_collocations", "inverted_index"]
 
 
 def fit_langid(df: DataFrame, text_col: str = "text",
@@ -417,4 +417,55 @@ def pmi_collocations(df: DataFrame, text_col: str = "text",
         )
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(top_k)
+    )
+
+
+def inverted_index(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", posting_cap: int = 20,
+                   min_df: int = 1, lowercase: bool = True) -> DataFrame:
+    """Capped inverted index: per token, document frequency,
+    collection frequency, and a posting list of the ``posting_cap``
+    LOWEST doc ids (comma-joined text, ascending) — the retrieval-
+    side artifact of a corpus pipeline (BM25/keyword search), built
+    the bounded-state way.
+
+    Scale shape: term stats (df, cf) come from ONE map-side-combined
+    groupBy over the exploded (token, doc) pairs.  The posting list
+    is the scale hazard — a stopword's full posting list is
+    corpus-sized — so it is capped BEFORE aggregation: distinct
+    (token, doc) pairs -> one window ``row_number`` over the token
+    shuffle -> keep ``rn <= posting_cap`` -> collect_list of at most
+    ``posting_cap`` ids per token.  No task ever materializes an
+    uncapped posting list; a real deployment shards the tail by
+    (token, doc-range) the same way.
+
+    Returns ``(token, df, cf, posting)`` with ``df >= min_df``.
+    """
+    from pyspark.sql import Window
+
+    txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    occ = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(
+            F.filter(F.split(txt, r"\s+"), lambda w: w != ""),
+        ).alias("token"),
+    )
+    stats = occ.groupBy("token").agg(
+        F.count_distinct("_doc").alias("df"),
+        F.count(F.lit(1)).alias("cf"),
+    )
+    w = Window.partitionBy("token").orderBy("_doc")
+    posting = (
+        occ.distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= posting_cap)
+        .groupBy("token")
+        .agg(F.concat_ws(
+            ",", F.array_sort(F.collect_list(F.col("_doc"))),
+        ).alias("posting"))
+    )
+    return (
+        stats.where(F.col("df") >= min_df)
+        .join(posting, "token")
+        .select("token", "df", "cf", "posting")
     )

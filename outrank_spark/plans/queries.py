@@ -2862,6 +2862,83 @@ def q74_bpe_tokenizer(spark, sf_dir):
     )
 
 
+def q79_document_chunking(spark, sf_dir):
+    """RAG chunking (operators/packing.chunk_documents): 32-token
+    windows with 8-token overlap over documents.  Zero-shuffle
+    (split + posexplode map); the chunk-count rule is integer-exact
+    so the DuckDB oracle reproduces it bitwise."""
+    from outrank_spark.operators.packing import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+ORACLE_Q79 = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'),
+                     w -> w <> '') AS a
+  FROM documents
+), sized AS (
+  SELECT doc_id, a, len(a) AS n,
+         CASE WHEN len(a) <= 32 THEN 1
+              ELSE (len(a) - 32 + 23) // 24 + 1 END AS k
+  FROM toks WHERE len(a) > 0
+)
+SELECT doc_id,
+       i - 1 AS chunk_id,
+       (i - 1) * 24 AS start_token,
+       CAST(least(32, n - (i - 1) * 24) AS INT) AS n_chunk_tokens,
+       array_to_string(a[((i - 1) * 24 + 1):((i - 1) * 24 + 32)], ' ')
+         AS chunk_text
+FROM sized, LATERAL UNNEST(generate_series(1, k)) AS u(i)
+ORDER BY doc_id, chunk_id
+"""
+
+
+def q80_inverted_index(spark, sf_dir):
+    """Capped inverted index (operators/text.inverted_index): per
+    token df/cf plus the 10 lowest doc ids as a comma-joined posting
+    — capped BEFORE aggregation (window row_number over the token
+    shuffle), so no task ever holds a stopword's full corpus-sized
+    posting list.  min_df=5 trims the hapax tail."""
+    from outrank_spark.operators.text import inverted_index
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        inverted_index(docs, posting_cap=10, min_df=5)
+        .orderBy("token")
+    )
+
+
+ORACLE_Q80 = """
+WITH occ AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '\\s+'), w -> w <> ''))
+         AS token
+  FROM documents
+), stats AS (
+  SELECT token, count(DISTINCT doc_id) AS df, count(*) AS cf
+  FROM occ GROUP BY token
+), ranked AS (
+  SELECT DISTINCT token, doc_id FROM occ
+), capped AS (
+  SELECT token, doc_id,
+         row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+  FROM ranked
+), posting AS (
+  SELECT token,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+           AS posting
+  FROM capped WHERE rn <= 10 GROUP BY token
+)
+SELECT s.token, s.df, s.cf, p.posting
+FROM stats s JOIN posting p USING (token)
+WHERE s.df >= 5
+ORDER BY s.token
+"""
+
+
 def q78_mrmr_selection(spark, sf_dir):
     """mRMR greedy feature selection (plans/feature_selection.py,
     Peng et al. 2005) over the flagship ranking's pairwise MI table:
@@ -2958,6 +3035,8 @@ QUERIES = {
     "q75_funnel_conversion": q75_funnel_conversion,
     "q76_cohort_retention": q76_cohort_retention,
     "q77_target_encoding": q77_target_encoding,
+    "q79_document_chunking": q79_document_chunking,
+    "q80_inverted_index": q80_inverted_index,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -3044,4 +3123,6 @@ ORACLES = {
     "q75_funnel_conversion": ORACLE_Q75,
     "q76_cohort_retention": ORACLE_Q76,
     "q77_target_encoding": ORACLE_Q77,
+    "q79_document_chunking": ORACLE_Q79,
+    "q80_inverted_index": ORACLE_Q80,
 }

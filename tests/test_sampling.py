@@ -400,3 +400,87 @@ class TestCorpusPipeline:
         assert stats["after_dedup"] == 100
         assert 0 < stats["after_rebalance"] <= 100
         assert out["manifest"].count() == stats["after_rebalance"]
+
+
+class TestChunkDocuments:
+    def _chunks(self, spark, text, **kw):
+        from outrank_spark.operators.packing import chunk_documents
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return chunk_documents(df, **kw).orderBy("chunk_id").collect()
+
+    def test_overlap_windows_hand_example(self, spark):
+        text = " ".join(str(i) for i in range(10))   # 10 tokens
+        out = self._chunks(spark, text, chunk_tokens=4, overlap=2)
+        # stride 2: starts 0,2,4,6 -> last chunk [6..9] reaches end
+        assert [(r["start_token"], r["n_chunk_tokens"]) for r in out] \
+            == [(0, 4), (2, 4), (4, 4), (6, 4)]
+        assert out[0]["chunk_text"] == "0 1 2 3"
+        assert out[-1]["chunk_text"] == "6 7 8 9"
+
+    def test_short_doc_single_chunk(self, spark):
+        out = self._chunks(spark, "a b", chunk_tokens=8, overlap=3)
+        assert len(out) == 1
+        assert out[0]["n_chunk_tokens"] == 2 and out[0]["chunk_text"] == "a b"
+
+    def test_exact_multiple_no_phantom_tail(self, spark):
+        text = " ".join("x" * 1 for _ in range(8))
+        out = self._chunks(spark, text, chunk_tokens=4, overlap=0)
+        assert [(r["start_token"], r["n_chunk_tokens"]) for r in out] \
+            == [(0, 4), (4, 4)]
+
+    def test_empty_and_null_docs_yield_no_rows(self, spark):
+        from outrank_spark.operators.packing import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "   "), (4, "tok")],
+            "doc_id long, text string")
+        out = chunk_documents(df, chunk_tokens=4).collect()
+        assert [r["doc_id"] for r in out] == [4]
+
+    def test_bad_overlap_rejected(self, spark):
+        from outrank_spark.operators.packing import chunk_documents
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            chunk_documents(df, chunk_tokens=4, overlap=4)
+
+    def test_zero_shuffle_plan(self, spark):
+        from outrank_spark.operators.packing import chunk_documents
+
+        df = spark.createDataFrame([(1, "a b c")],
+                                   "doc_id long, text string")
+        plan = chunk_documents(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestInvertedIndex:
+    def test_hand_corpus(self, spark):
+        from outrank_spark.operators.text import inverted_index
+
+        df = spark.createDataFrame(
+            [(1, "the cat"), (2, "the dog"), (3, "the the cat")],
+            "doc_id long, text string")
+        out = {r["token"]: r for r in inverted_index(df).collect()}
+        assert out["the"]["df"] == 3 and out["the"]["cf"] == 4
+        assert out["the"]["posting"] == "1,2,3"
+        assert out["cat"]["df"] == 2 and out["cat"]["posting"] == "1,3"
+
+    def test_posting_cap_keeps_lowest_ids(self, spark):
+        from outrank_spark.operators.text import inverted_index
+
+        df = spark.createDataFrame([(i, "hot") for i in range(50)],
+                                   "doc_id long, text string")
+        out = inverted_index(df, posting_cap=3).first()
+        assert out["df"] == 50 and out["posting"] == "0,1,2"
+
+    def test_min_df_trims_and_lowercase(self, spark):
+        from outrank_spark.operators.text import inverted_index
+
+        df = spark.createDataFrame(
+            [(1, "Rare THE"), (2, "the")], "doc_id long, text string")
+        toks = {r["token"] for r in
+                inverted_index(df, min_df=2).collect()}
+        assert toks == {"the"}
