@@ -21,7 +21,7 @@ __all__ = ["fit_langid", "with_language_id", "with_quality_features",
            "redact_pii", "PII_PATTERNS",
            "with_token_counts", "with_fingerprints", "tfidf_top_terms",
            "ngram_logprob_scores", "normalize_text",
-           "pmi_collocations", "inverted_index"]
+           "pmi_collocations", "inverted_index", "bm25_topk"]
 
 
 def fit_langid(df: DataFrame, text_col: str = "text",
@@ -469,3 +469,69 @@ def inverted_index(df: DataFrame, text_col: str = "text",
         .join(posting, "token")
         .select("token", "df", "cf", "posting")
     )
+
+
+def bm25_topk(df: DataFrame, query_terms: list, k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id",
+              lowercase: bool = True) -> DataFrame:
+    """BM25 keyword retrieval (Robertson-Walker Okapi weighting with
+    the Lucene-style non-negative idf): top-``k`` documents for a bag
+    of query terms.
+
+        idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+        s(d)    = sum_t idf(t) * tf * (k1+1) /
+                         (tf + k1 * (1 - b + b * dl / avgdl))
+
+    Scale shape, all JVM: one scan computes per-doc length; the
+    exploded token stream is filtered to the query terms IMMEDIATELY
+    (a handful of terms — the filter collapses the corpus to the
+    matching postings before any shuffle), one groupBy(doc, term)
+    count, per-term df as a tiny broadcast, and a TakeOrdered top-k —
+    never a global sort.  Scores are rounded to 6 decimals BEFORE
+    ranking (doc-id tiebreak after), so the cut is deterministic and
+    cross-engine reproducible (q81's DuckDB oracle is exact).
+
+    Returns ``(doc_id, score, n_matched)`` ordered by
+    ``score DESC, doc_id``.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms] if lowercase else list(query_terms)
+    txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.filter(F.split(txt, r"\s+"), lambda w: w != "").alias("_t"),
+    ).withColumn("_dl", F.size("_t"))
+    corpus = toks.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+    )
+    hits = (
+        toks.select("_doc", "_dl", F.explode("_t").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("_doc", "_dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = hits.groupBy("term").agg(
+        F.count_distinct("_doc").alias("_df"))
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "_idf",
+            F.log(F.lit(1.0) + (F.col("_n") - F.col("_df") + 0.5)
+                  / (F.col("_df") + 0.5)),
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf") * F.col("tf") * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b
+                                   + b * F.col("_dl") / F.col("_avgdl"))),
+        )
+        .groupBy(F.col("_doc").alias(id_col))
+        .agg(F.round(F.sum("_s"), 6).alias("score"),
+             F.count(F.lit(1)).alias("n_matched"))
+    )
+    return scored.orderBy(F.desc("score"), id_col).limit(k)

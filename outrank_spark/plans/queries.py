@@ -2939,6 +2939,57 @@ ORDER BY s.token
 """
 
 
+def q81_bm25_retrieval(spark, sf_dir):
+    """BM25 top-15 for the query {hash, join, merge}
+    (operators/text.bm25_topk, Okapi weighting with Lucene idf).
+    All-JVM: postings collapse to the 3 query terms before any
+    shuffle; df is a tiny broadcast; TakeOrdered top-k.  Scores round
+    to 6 decimals BEFORE ranking with a doc-id tiebreak, so the cut
+    is deterministic and the DuckDB oracle exact."""
+    from outrank_spark.operators.text import bm25_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["hash", "join", "merge"], k=15)
+
+
+ORACLE_Q81 = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     w -> w <> '') AS a
+  FROM documents
+), dl AS (
+  SELECT doc_id, len(a) AS dl FROM toks
+), corpus AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+), hits AS (
+  SELECT t.doc_id, u.term, count(*) AS tf
+  FROM toks t, LATERAL UNNEST(t.a) AS u(term)
+  WHERE u.term IN ('hash', 'join', 'merge')
+  GROUP BY t.doc_id, u.term
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY term
+), scored AS (
+  SELECT h.doc_id,
+         round(sum(
+           ln(1 + (c.n - f.df + 0.5) / (f.df + 0.5))
+           * h.tf * (1.2 + 1.0)
+           / (h.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / c.avgdl))
+         ), 6) AS score,
+         count(*) AS n_matched
+  FROM hits h
+  JOIN dfreq f USING (term)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN corpus c
+  GROUP BY h.doc_id
+)
+SELECT doc_id, score, n_matched
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT 15
+"""
+
+
 def q78_mrmr_selection(spark, sf_dir):
     """mRMR greedy feature selection (plans/feature_selection.py,
     Peng et al. 2005) over the flagship ranking's pairwise MI table:
@@ -3037,6 +3088,7 @@ QUERIES = {
     "q77_target_encoding": q77_target_encoding,
     "q79_document_chunking": q79_document_chunking,
     "q80_inverted_index": q80_inverted_index,
+    "q81_bm25_retrieval": q81_bm25_retrieval,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -3125,4 +3177,5 @@ ORACLES = {
     "q77_target_encoding": ORACLE_Q77,
     "q79_document_chunking": ORACLE_Q79,
     "q80_inverted_index": ORACLE_Q80,
+    "q81_bm25_retrieval": ORACLE_Q81,
 }

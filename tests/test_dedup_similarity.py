@@ -1050,3 +1050,43 @@ class TestParagraphDedup:
         got = self._run(spark, rows)
         assert got[2]["text"] == "dup y"
         assert got[10]["text"] == "x"
+
+
+class TestBm25:
+    def test_hand_computed_scores(self, spark):
+        import math
+
+        from outrank_spark.operators.text import bm25_topk
+
+        # corpus: d1 = "cat cat dog", d2 = "dog", d3 = "bird"
+        # N=3, avgdl=(3+1+1)/3; query {cat}: df=1
+        df = spark.createDataFrame(
+            [(1, "cat cat dog"), (2, "dog"), (3, "bird")],
+            "doc_id long, text string")
+        out = bm25_topk(df, ["cat"], k=5).collect()
+        assert [r["doc_id"] for r in out] == [1]
+        idf = math.log(1 + (3 - 1 + 0.5) / (1 + 0.5))
+        tf, dl, avgdl = 2, 3, 5 / 3
+        want = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        assert out[0]["score"] == pytest.approx(round(want, 6))
+        assert out[0]["n_matched"] == 1
+
+    def test_ranking_and_tiebreak(self, spark):
+        from outrank_spark.operators.text import bm25_topk
+
+        df = spark.createDataFrame(
+            [(5, "x y"), (2, "x y"), (9, "x z z z z z z")],
+            "doc_id long, text string")
+        out = bm25_topk(df, ["x", "y"], k=3).collect()
+        # 5 and 2 tie exactly -> doc_id ascending; 9 matches x only,
+        # longer doc -> lower score
+        assert [r["doc_id"] for r in out] == [2, 5, 9]
+        assert out[0]["n_matched"] == 2 and out[2]["n_matched"] == 1
+
+    def test_case_folding_and_empty_query(self, spark):
+        from outrank_spark.operators.text import bm25_topk
+
+        df = spark.createDataFrame([(1, "Cat")], "doc_id long, text string")
+        assert bm25_topk(df, ["cAt"]).count() == 1
+        with pytest.raises(ValueError):
+            bm25_topk(df, [])
