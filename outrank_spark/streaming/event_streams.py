@@ -39,7 +39,8 @@ from pyspark.sql.types import (
 )
 
 __all__ = ["windowed_event_counts", "sessionize_stream",
-           "SESSION_SCHEMA", "streaming_exact_dedup"]
+           "SESSION_SCHEMA", "streaming_exact_dedup",
+           "funnel_stream", "FUNNEL_STEP_SCHEMA"]
 
 
 def windowed_event_counts(stream: DataFrame, window: str = "1 hour",
@@ -178,4 +179,104 @@ def streaming_exact_dedup(stream: DataFrame, text_col: str = "text",
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["_h", "_h2"])
         .drop("_h", "_h2")
+    )
+
+
+FUNNEL_STEP_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("step", LongType()),
+    StructField("step_ts", TimestampType()),
+])
+
+_FUNNEL_STATE_SCHEMA = StructType([
+    StructField("stage", LongType()),
+    StructField("t1_us", LongType()),
+    StructField("last_us", LongType()),
+])
+
+
+def _funnel_fold(steps: list):
+    k = len(steps)
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        (user_id,) = key
+        if state.exists:
+            stage, t1_us, last_us = state.get
+        else:
+            stage, t1_us, last_us = 0, -1, -1
+
+        advanced: list[tuple[int, int]] = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("ts", kind="stable")
+            ts_us = (
+                pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+            ).to_numpy()
+            types = pdf["event_type"].to_numpy()
+            # k-pass vectorized advance: rows are ts-sorted, so the
+            # first row matching (type == next step, ts strictly
+            # after the last accepted time) IS the sequential-min
+            # pick of the batch funnel.
+            while stage < k:
+                floor_us = last_us if stage > 0 else -(1 << 62)
+                idx = np.flatnonzero(
+                    (types == steps[stage]) & (ts_us > floor_us))
+                if idx.size == 0:
+                    break
+                t = int(ts_us[idx[0]])
+                stage += 1
+                if stage == 1:
+                    t1_us = t
+                last_us = t
+                advanced.append((stage, t))
+        state.update((int(stage), int(t1_us), int(last_us)))
+        if advanced:
+            out = pd.DataFrame(advanced, columns=["step", "us"])
+            yield pd.DataFrame({
+                "user_id": user_id,
+                "step": out["step"],
+                "step_ts": pd.to_datetime(out["us"], unit="us"),
+            })
+
+    return fn
+
+
+def funnel_stream(stream: DataFrame, steps: list,
+                  user_col: str = "user_id", type_col: str = "event_type",
+                  ts_col: str = "ts") -> DataFrame:
+    """Streaming ordered funnel: emits ``(user_id, step, step_ts)``
+    the moment a user ADVANCES to a funnel step — the live
+    counterpart of :func:`outrank_spark.operators.temporal.
+    funnel_counts` (same sequential-min, strictly-after semantics).
+
+    State is one tiny (stage, t1, last) row per user — bounded by the
+    user population, never by event volume; the shuffle is the
+    groupBy(user) hash partitioning and the fold is a k-pass
+    vectorized scan per Arrow batch.
+
+    Ordering caveat (documented, deliberate): parity with the batch
+    operator is exact when each user's events arrive in event-time
+    order across micro-batches (within a batch they are sorted
+    here).  An out-of-order event OLDER than the fold's last accepted
+    timestamp cannot retroactively advance the funnel — streaming
+    funnels trade that reordering window for bounded state; replay
+    through the batch operator when exactness over late data matters.
+    """
+    if len(set(steps)) != len(steps) or not steps:
+        raise ValueError("funnel steps must be non-empty and distinct")
+    src = stream.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("event_type"),
+    ).where(F.col("event_type").isin(list(steps)))
+    return src.groupBy("user_id").applyInPandasWithState(
+        _funnel_fold(list(steps)),
+        outputStructType=FUNNEL_STEP_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -239,3 +239,70 @@ class TestStreamingExactDedup:
         kept_texts = sorted(got["text"])
         assert kept_texts == ["alpha beta", "epsilon", "gamma delta",
                               "zeta"]
+
+
+class TestFunnelStream:
+    STEPS = ["view", "click", "purchase"]
+
+    def _run_stream(self, spark, tmp_path, frames, name):
+        from outrank_spark.streaming.event_streams import funnel_stream
+
+        data_dir = str(tmp_path / f"{name}_data")
+        for i, pdf in enumerate(frames):
+            spark.createDataFrame(pdf).coalesce(1).write.mode(
+                "append").parquet(data_dir)
+        stream = (
+            spark.readStream.schema(EV_SCHEMA)
+            .option("maxFilesPerTrigger", 1).parquet(data_dir)
+        )
+        q = (
+            funnel_stream(stream, self.STEPS)
+            .writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return spark.sql(f"select * from {name}").toPandas()
+
+    def test_matches_batch_funnel(self, spark, tmp_path):
+        import numpy as np
+
+        from outrank_spark.operators.temporal import funnel_counts
+
+        rng = np.random.default_rng(11)
+        rows = [(int(rng.integers(0, 25)),
+                 pd.Timestamp("2024-01-01")
+                 + pd.Timedelta(seconds=int(rng.integers(0, 900_000))),
+                 ["view", "click", "purchase", "error"][
+                     int(rng.integers(0, 4))])
+                for _ in range(600)]
+        pdf = _events(rows).sort_values("ts")   # event-time order
+        # two micro-batches, split at the time median
+        half = len(pdf) // 2
+        out = self._run_stream(
+            spark, tmp_path, [pdf.iloc[:half], pdf.iloc[half:]],
+            "funnel_parity")
+
+        batch = {r["step"]: r["n_users"] for r in funnel_counts(
+            spark.createDataFrame(pdf), self.STEPS).collect()}
+        streamed = {
+            s: out[out["step"] >= s]["user_id"].nunique()
+            for s in (1, 2, 3)
+        }
+        assert streamed == batch
+
+    def test_state_advances_across_micro_batches(self, spark, tmp_path):
+        f1 = _events([(1, "2024-01-01 10:00", "view")])
+        f2 = _events([(1, "2024-01-01 10:05", "click"),
+                      (1, "2024-01-01 10:06", "purchase")])
+        out = self._run_stream(spark, tmp_path, [f1, f2], "funnel_span")
+        got = sorted(map(tuple, out[["step"]].values.tolist()))
+        assert got == [(1,), (2,), (3,)]
+
+    def test_strictly_after_and_late_event_ignored(self, spark, tmp_path):
+        # click BEFORE the view arrives in a later batch: the stream
+        # cannot retroactively advance (documented caveat)
+        f1 = _events([(1, "2024-01-01 10:00", "view")])
+        f2 = _events([(1, "2024-01-01 09:59", "click")])
+        out = self._run_stream(spark, tmp_path, [f1, f2], "funnel_late")
+        assert out["step"].tolist() == [1]
