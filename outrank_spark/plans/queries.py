@@ -2990,6 +2990,54 @@ LIMIT 15
 """
 
 
+def q82_event_anomalies(spark, sf_dir):
+    """Volume-anomaly detection: daily event counts per type,
+    z-scored against that type's own daily distribution; |z| >= 2
+    flags the spike/dip days.  One count agg + one partition-window
+    for (mean, stddev) — grouped z-scoring never leaves the JVM and
+    shuffles once on the type key.  round(6) absorbs the engines'
+    stddev accumulation-order difference."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+            .alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type")
+    return (
+        daily.withColumn(
+            "z",
+            F.round((F.col("n") - F.avg("n").over(w))
+                    / F.stddev_samp("n").over(w), 6),
+        )
+        .withColumn("is_anomaly", (F.abs(F.col("z")) >= 2).cast("int"))
+        .orderBy("event_type", "day")
+    )
+
+
+ORACLE_Q82 = """
+WITH daily AS (
+  SELECT event_type,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n,
+       round((n - avg(n) OVER (PARTITION BY event_type))
+             / stddev_samp(n) OVER (PARTITION BY event_type), 6) AS z,
+       CAST(abs((n - avg(n) OVER (PARTITION BY event_type))
+                / stddev_samp(n) OVER (PARTITION BY event_type)) >= 2
+            AS INT) AS is_anomaly
+FROM daily
+ORDER BY event_type, day
+"""
+
+
 def q78_mrmr_selection(spark, sf_dir):
     """mRMR greedy feature selection (plans/feature_selection.py,
     Peng et al. 2005) over the flagship ranking's pairwise MI table:
@@ -3089,6 +3137,7 @@ QUERIES = {
     "q79_document_chunking": q79_document_chunking,
     "q80_inverted_index": q80_inverted_index,
     "q81_bm25_retrieval": q81_bm25_retrieval,
+    "q82_event_anomalies": q82_event_anomalies,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -3178,4 +3227,5 @@ ORACLES = {
     "q79_document_chunking": ORACLE_Q79,
     "q80_inverted_index": ORACLE_Q80,
     "q81_bm25_retrieval": ORACLE_Q81,
+    "q82_event_anomalies": ORACLE_Q82,
 }
