@@ -484,3 +484,39 @@ class TestInvertedIndex:
         toks = {r["token"] for r in
                 inverted_index(df, min_df=2).collect()}
         assert toks == {"the"}
+
+class TestChunkDocumentsProperty:
+    def test_randomized_vs_python_reference(self, spark):
+        """Property check: for random texts and (chunk, overlap)
+        configs, the Spark chunker equals an independently written
+        pure-Python chunker (same count rule, same windows)."""
+        import numpy as np
+
+        from outrank_spark.operators.packing import chunk_documents
+
+        def py_chunks(tokens, c, o):
+            s = c - o
+            n = len(tokens)
+            if n == 0:
+                return []
+            k = 1 if n <= c else (n - c + s - 1) // s + 1
+            return [(i, i * s, min(c, n - i * s),
+                     " ".join(tokens[i * s:i * s + c]))
+                    for i in range(k)]
+
+        rng = np.random.default_rng(3)
+        for c, o in ((5, 0), (5, 2), (7, 6), (3, 1), (16, 4)):
+            docs = []
+            for d in range(12):
+                n = int(rng.integers(0, 40))
+                docs.append((d, " ".join(
+                    f"w{int(rng.integers(0, 9))}" for _ in range(n))))
+            df = spark.createDataFrame(docs, "doc_id long, text string")
+            got = {(r["doc_id"], r["chunk_id"], r["start_token"],
+                    r["n_chunk_tokens"], r["chunk_text"])
+                   for r in chunk_documents(
+                       df, chunk_tokens=c, overlap=o).collect()}
+            want = {(d, i, st, ln, txt)
+                    for d, text in docs
+                    for i, st, ln, txt in py_chunks(text.split(), c, o)}
+            assert got == want, (c, o)
