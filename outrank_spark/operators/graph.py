@@ -1,0 +1,135 @@
+"""Weighted PageRank over DataFrame edge lists (link-graph ranking).
+
+The companion to connected components (operators/components.py):
+components answer "which pages are the same document"; PageRank
+answers "which pages matter" — the canonical web-graph signal a
+Common-Crawl training pipeline uses for quality weighting and crawl
+prioritization (Page, Brin, Motwani, Winograd — "The PageRank
+Citation Ranking", Stanford InfoLab 1999; damping + dangling-mass
+redistribution per the standard power-iteration formulation).
+
+The graph itself can come from anywhere that yields (src, dst[, w])
+rows; ``transition_edges`` derives one from an event log (per-user
+consecutive-visit transitions — a browsing graph), the same shape a
+crawler's outlink table or a host-level link graph would have.
+
+Scale notes (the 100 TB story):
+- ranks are O(|V|) and edges O(|E|); every iteration is ONE join of
+  the static contribution table with the current rank vector plus one
+  ``groupBy(dst)`` re-aggregation — the minimal shuffle shape for
+  distributed power iteration.  The contribution table (edge weight /
+  source out-weight) is computed once, repartitioned by ``src`` and
+  persisted, so the per-iteration join reuses a stable partitioning
+  instead of re-shuffling the edge set every round.
+- dangling mass (rank parked on nodes with no out-edges) is collected
+  with a 1-row lazy aggregate cross-joined back in — no driver action,
+  no ``collect`` — and redistributed uniformly, so rank mass is
+  conserved exactly (sums to 1 every iteration; pinned in pytest).
+- each iteration ends in ``localCheckpoint(eager=True)``: iterative
+  lineage is truncated, the classic Spark iterative-plan blowup
+  (also used by connected_components and kmeans_fit).
+- fixed iteration count (no convergence action in the loop) keeps the
+  job's stage graph static — predictable on a shared cluster and
+  resumable mid-scan by re-running from the checkpointed rank vector.
+
+There is no reference-repo counterpart (the reference has no graph
+operators); this is a north-rule web-corpus operator.  Exact-oracle
+proof: q84 replays the same fixed-iteration recurrence as generated
+DuckDB SQL (plans/queries.py ORACLE_Q84).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["transition_edges", "pagerank"]
+
+
+def transition_edges(events: DataFrame, user_col: str, order_cols: list,
+                     node_col: str, drop_self_loops: bool = True,
+                     ) -> DataFrame:
+    """Per-user consecutive transitions -> weighted edge list
+    ``(src, dst, weight)``.
+
+    One user-keyed shuffle; the lag window sorts only each user's own
+    events (bounded by per-user activity, the q18 sessionization
+    shape).  Self-loops (consecutive identical nodes) are dropped by
+    default — they only feed rank back to themselves.
+    """
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    t = (
+        events.select(
+            F.col(node_col).alias("dst"),
+            F.lag(node_col).over(w).alias("src"),
+        )
+        .where(F.col("src").isNotNull())
+    )
+    if drop_self_loops:
+        t = t.where(F.col("src") != F.col("dst"))
+    return t.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("double").alias("weight"),
+    )
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             weight: str | None = None, damping: float = 0.85,
+             iterations: int = 10) -> DataFrame:
+    """Weighted PageRank by fixed-count power iteration.
+
+    ``r_{t+1}(v) = (1-d)/N + d * (Σ_{u→v} w(u,v)/outw(u) · r_t(u)
+    + dangling_t/N)`` where ``dangling_t`` is the rank mass on nodes
+    with no out-edges and ``N = |V|``.  Unweighted graphs
+    (``weight=None``) use w ≡ 1.  Returns ``(node, rank)`` with
+    Σ rank = 1 (mass conservation is exact, not approximate).
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"),
+        (F.col(weight).cast("double") if weight else F.lit(1.0))
+        .alias("w"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()  # one tiny action; |V|, not |E|
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    # static contribution fractions, co-partitioned by src once so the
+    # per-iteration rank join never re-shuffles the edge set
+    contrib = (
+        e.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("ow")).alias("frac"))
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    srcs = contrib.select("src").distinct()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        # rank mass parked on dangling nodes (no out-edges), 1 lazy row
+        dangling = (
+            ranks.join(srcs, ranks["node"] == srcs["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        flowed = (
+            contrib.join(ranks, contrib["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("frac") * F.col("rank")).alias("c"))
+        )
+        ranks = (
+            nodes.join(flowed, nodes["node"] == flowed["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + damping * (F.coalesce(F.col("c"), F.lit(0.0))
+                                 + F.col("dm") / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["stratified_sample", "weighted_sample",
-           "temperature_rebalance"]
+           "temperature_rebalance", "dsir_logratio"]
 
 _KEY_SPACE = 1 << 32  # md5-prefix keys are uniform in [0, 2^32)
 
@@ -127,6 +127,95 @@ def weighted_sample(df: DataFrame, weight_col: str, frac: float,
         df.crossJoin(F.broadcast(stats))
         .where(u < keep_p)
         .drop("__mean_w")
+    )
+
+
+def dsir_logratio(docs: DataFrame, target_col,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  num_buckets: int | None = None,
+                  alpha: float = 1.0) -> DataFrame:
+    """DSIR importance weights: per-document log-likelihood ratio of a
+    bag-of-bigrams model fit on a TARGET subset vs the RAW corpus
+    (Xie, Santurkar, Ma, Liang — "Data Selection for Language Models
+    via Importance Resampling", NeurIPS 2023).  The returned
+    ``logratio`` column is exactly the weight :func:`weighted_sample`
+    consumes, so ``weighted_sample(dsir_logratio(docs, pred), ...)``
+    is the full DSIR select-then-resample pipeline.
+
+    ``target_col`` is a boolean Column marking in-domain rows (e.g.
+    ``F.col("lang") == "en"`` or a quality-classifier verdict).  Per
+    doc: ``Σ_b  ln p̂_target(b) − ln p̂_raw(b)`` over its bigram
+    OCCURRENCES (repeats count), each p̂ Laplace-smoothed with
+    ``alpha`` over the raw corpus' bigram vocabulary — smoothing is
+    what keeps target-unseen bigrams finite, where the paper's
+    hashed-MLE relies on bucket collisions to the same effect.
+
+    Scale shape: bigrams are built JVM-side (``transform`` over the
+    token array — no Python), exploded once, counted once with a
+    single grouped agg producing BOTH distributions (raw count +
+    conditional target count — the corpus is never scanned twice),
+    then joined back and re-aggregated per doc.  ``num_buckets``
+    hashes bigrams into a bounded feature space (the paper's
+    construction): the per-feature table becomes ≤ ``num_buckets``
+    rows, the join-back broadcastable, and the explode shuffle narrow
+    (int keys, not strings).  ``num_buckets=None`` keeps exact bigram
+    identity — the engine-portable mode the q83 DuckDB oracle replays.
+    Docs with < 2 tokens get ``n_features = 0, logratio = 0.0``.
+    """
+    _reject_internal_collisions(
+        docs, ("__feat", "__is_t", "__raw_n", "__tgt_n", "__lr",
+               "__R", "__T", "__V", "n_features", "logratio"),
+        "dsir_logratio")
+    # slice-then-zip, NOT sequence(1, n-1): Spark's sequence(1, 0)
+    # (a 1-token doc) is the DESCENDING [1, 0], and ANSI element_at
+    # then faults on index 2 — slice(a, 1, 0) is the empty array
+    bigrams = F.expr(
+        f"transform(slice(split({text_col}, ' '), 1, "
+        f"greatest(size(split({text_col}, ' ')) - 1, 0)), "
+        f"(x, j) -> concat(x, ' ', "
+        f"element_at(split({text_col}, ' '), j + 2)))",
+    )
+    feat = (F.pmod(F.xxhash64(F.col("__feat")), F.lit(num_buckets))
+            if num_buckets else F.col("__feat"))
+    ex = (
+        docs.select(
+            F.col(id_col), target_col.alias("__is_t"),
+            F.explode(bigrams).alias("__feat"),
+        )
+        .withColumn("__feat", feat)
+    )
+    counts = ex.groupBy("__feat").agg(
+        F.count(F.lit(1)).alias("__raw_n"),
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("__tgt_n"),
+    )
+    tot = counts.agg(
+        F.sum("__raw_n").alias("__R"), F.sum("__tgt_n").alias("__T"),
+        F.count(F.lit(1)).alias("__V"),
+    )
+    lr = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "__feat",
+            (
+                F.log((F.col("__tgt_n") + alpha)
+                      / (F.col("__T") + alpha * F.col("__V")))
+                - F.log((F.col("__raw_n") + alpha)
+                        / (F.col("__R") + alpha * F.col("__V")))
+            ).alias("__lr"),
+        )
+    )
+    if num_buckets is not None and num_buckets <= (1 << 21):
+        lr = F.broadcast(lr)
+    scored = (
+        ex.join(lr, "__feat")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_features"),
+             F.sum("__lr").alias("logratio"))
+    )
+    return (
+        docs.join(scored, id_col, "left")
+        .withColumn("n_features", F.coalesce("n_features", F.lit(0)))
+        .withColumn("logratio", F.coalesce("logratio", F.lit(0.0)))
     )
 
 

@@ -3076,6 +3076,142 @@ def q78_mrmr_selection(spark, sf_dir):
 # is exact-verified by tools/check_oracles.py (output committed per
 # round) and the flagship is smoke-run every round by
 # __spark_entry__.entry().  Do NOT re-sort numerically.
+def q83_dsir_selection(spark, sf_dir):
+    """DSIR data selection (operators/sampling.dsir_logratio): per-doc
+    log-likelihood ratio of target-fit vs corpus-fit bigram models,
+    target = English docs.  Exact-bigram mode (num_buckets=None) so
+    the DuckDB oracle replays the identical smoothed counts; the
+    hashed-bucket scale path is pytest-verified (planted-domain
+    recovery + bucket-bound) in tests/test_graph_dsir.py.  Rounded to
+    4 dp before the sort so the (logratio desc, doc_id) total order is
+    engine-stable over hundreds-of-term float sums."""
+    from outrank_spark.operators.sampling import dsir_logratio
+
+    docs = load(spark, sf_dir, "documents")
+    scored = dsir_logratio(docs, F.col("lang") == "en")
+    return (
+        scored.select(
+            "doc_id", "n_features",
+            F.round("logratio", 4).alias("logratio"),
+        )
+        .orderBy(F.desc("logratio"), "doc_id")
+        .limit(100)
+    )
+
+
+ORACLE_Q83 = """
+WITH ex AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+         a[i] || ' ' || a[i+1] AS feat
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS a
+        FROM documents),
+       LATERAL UNNEST(generate_series(1, greatest(len(a) - 1, 0)))
+       AS u(i)
+), counts AS (
+  SELECT feat, count(*) AS raw_n,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tgt_n
+  FROM ex GROUP BY 1
+), tot AS (
+  SELECT sum(raw_n) AS r, sum(tgt_n) AS t, count(*) AS v FROM counts
+), lr AS (
+  SELECT feat,
+         ln((tgt_n + 1.0) / (t + 1.0 * v))
+         - ln((raw_n + 1.0) / (r + 1.0 * v)) AS lr
+  FROM counts CROSS JOIN tot
+), scored AS (
+  SELECT ex.doc_id, count(*) AS n_features, sum(lr.lr) AS logratio
+  FROM ex JOIN lr USING (feat) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_features, 0) AS BIGINT) AS n_features,
+       round(coalesce(s.logratio, 0.0), 4) AS logratio
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY logratio DESC, doc_id
+LIMIT 100
+"""
+
+
+def q84_pagerank_navigation(spark, sf_dir):
+    """Weighted PageRank over the user browsing graph (operators/
+    graph.pagerank): nodes are the JSON ``props.k`` page ids, edges
+    the per-user consecutive-event transitions (transition_edges —
+    the q18 sessionization shuffle shape), 10 damped power iterations
+    with dangling-mass redistribution.  The DuckDB oracle replays the
+    IDENTICAL fixed-iteration recurrence as ten generated CTE stages —
+    an iterative algorithm under the exact gate, not rows-only."""
+    from outrank_spark.operators.graph import pagerank, transition_edges
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "page", F.get_json_object("props", "$.k").cast("int"),
+    )
+    edges = transition_edges(ev, "user_id", ["ts", "event_id"], "page")
+    pr = pagerank(edges, weight="weight", damping=0.85, iterations=10)
+    return (
+        pr.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "node")
+    )
+
+
+def _pagerank_oracle_sql(damping: float = 0.85,
+                         iterations: int = 10) -> str:
+    """Generate the fixed-iteration PageRank recurrence as DuckDB CTE
+    stages — the exact oracle for q84 (one CTE pair per iteration:
+    dangling mass, then the damped redistribution).  Every stage is
+    ``AS MATERIALIZED``: DuckDB inlines plain CTEs, and a chain where
+    each r_t references r_{t-1} three ways re-expands the whole prefix
+    per reference — exponential in the iteration count (measured: 3
+    iterations 3.6 s, 5 iterations 17.7 s inlined; materialized, 10
+    iterations run in well under a second)."""
+    d = damping
+    parts = [f"""
+WITH ev AS MATERIALIZED (
+  SELECT user_id, ts, event_id,
+         CAST(json_extract(props, '$.k') AS INT) AS page
+  FROM events
+), trans AS MATERIALIZED (
+  SELECT lag(page) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS src,
+         page AS dst
+  FROM ev
+), edges AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+  FROM trans WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+), nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outw AS MATERIALIZED (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+r0 AS MATERIALIZED (SELECT node, 1.0 / n AS r FROM nodes CROSS JOIN nn)"""]
+    for t in range(1, iterations + 1):
+        p = t - 1
+        parts.append(f""",
+d{t} AS MATERIALIZED (
+  SELECT coalesce(sum(r.r), 0.0) AS dm
+  FROM r{p} r LEFT JOIN outw o ON r.node = o.src
+  WHERE o.src IS NULL
+), c{t} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(e.w / o.ow * r.r) AS c
+  FROM edges e JOIN outw o ON e.src = o.src
+  JOIN r{p} r ON r.node = e.src
+  GROUP BY 1
+), r{t} AS MATERIALIZED (
+  SELECT nd.node,
+         (1.0 - {d}) / nn.n
+         + {d} * (coalesce(c.c, 0.0) + d{t}.dm / nn.n) AS r
+  FROM nodes nd CROSS JOIN nn CROSS JOIN d{t}
+  LEFT JOIN c{t} c ON nd.node = c.node
+)""")
+    parts.append(f"""
+SELECT node, round(r, 6) AS rank
+FROM r{iterations}
+ORDER BY rank DESC, node
+""")
+    return "".join(parts)
+
+
+ORACLE_Q84 = _pagerank_oracle_sql()
+
+
 QUERIES = {
     # --- exact DuckDB oracles (51; q70 sits past the gate window) ---
     "q01_pricing_summary": q01_pricing_summary,
@@ -3138,6 +3274,8 @@ QUERIES = {
     "q80_inverted_index": q80_inverted_index,
     "q81_bm25_retrieval": q81_bm25_retrieval,
     "q82_event_anomalies": q82_event_anomalies,
+    "q83_dsir_selection": q83_dsir_selection,
+    "q84_pagerank_navigation": q84_pagerank_navigation,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -3228,4 +3366,6 @@ ORACLES = {
     "q80_inverted_index": ORACLE_Q80,
     "q81_bm25_retrieval": ORACLE_Q81,
     "q82_event_anomalies": ORACLE_Q82,
+    "q83_dsir_selection": ORACLE_Q83,
+    "q84_pagerank_navigation": ORACLE_Q84,
 }
