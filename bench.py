@@ -14,7 +14,8 @@ Scaling evidence mode (north rule: efficiency >= 0.8 from N to 4N):
 subprocesses at local[N] and local[4N] on identical input (default
 N=2 — the pair where a pure-CPU calibration shows the VM can sustain
 a true 4x; see BENCH.md) and reports efficiency = (T_N / T_4N) / 4.
-``--scaling-ops`` does the same for nine operator probes; ``--skew``
+``--scaling-ops [names_csv]`` does the same for eleven operator
+probes (optionally a named subset); ``--skew``
 measures the salted hot-key merge.
 """
 from __future__ import annotations
@@ -614,6 +615,88 @@ def funnel_probe(spark, n_events: int = 40_000_000,
     return dt
 
 
+def pagerank_probe(spark, n_edges: int = 8_000_000,
+                   n_nodes: int = 200_000) -> float:
+    """PageRank scale probe: 5 damped power iterations over n_edges
+    synthetic edges (hub-skewed dst — a Zipf-ish web graph) built
+    JVM-side.  Measures the per-iteration contribution join +
+    groupBy(dst) re-aggregation; like components, the per-iteration
+    localCheckpoint barrier is a fixed serial share, so single-box
+    efficiency reads below the per-pass compute scaling (documented
+    ceiling, same class as the components probe).  Returns wall
+    seconds."""
+    from pyspark.sql import functions as F
+
+    from outrank_spark.operators.graph import pagerank
+
+    edges = spark.range(n_edges).select(
+        F.pmod(F.xxhash64("id"), F.lit(n_nodes)).alias("src"),
+        # dst ~ power-law: squash a uniform into the low ids
+        F.pow(
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1_000_000))
+            / F.lit(1_000_000.0), F.lit(3.0),
+        ).cast("double").alias("u"),
+    ).select(
+        "src", (F.col("u") * n_nodes).cast("long").alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    t0 = time.time()
+    ranks = pagerank(edges, iterations=5)
+    total, nn = ranks.agg(F.sum("rank"), F.count(F.lit(1))).first()
+    dt = time.time() - t0
+    assert abs(total - 1.0) < 1e-6 and nn > 0.9 * n_nodes
+    return dt
+
+
+def dsir_probe(spark, n_docs: int = 1_500_000) -> float:
+    """DSIR scale probe: hashed-bucket importance weights over n_docs
+    x 30-token synthetic docs (bounded vocab, deterministic half
+    marked target).  Measures the bigram explode, the single grouped
+    two-distribution agg, the broadcast join-back, and the per-doc
+    re-aggregation.  Returns wall seconds."""
+    from pyspark.sql import functions as F
+
+    from outrank_spark.operators.sampling import dsir_logratio
+
+    df = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2 == 0).alias("is_t"),
+        F.expr(
+            "concat_ws(' ', transform(sequence(1, 30), i -> "
+            "conv(cast((id * 2654435761 + i * 97 + "
+            "case when id % 2 = 0 then 0 else 40000 end) % 80000 "
+            "as string), 10, 36)))",
+        ).alias("text"),
+    )
+    t0 = time.time()
+    scored = dsir_logratio(df, F.col("is_t"), id_col="doc_id",
+                           num_buckets=1 << 18)
+    t_mean, o_mean = scored.agg(
+        F.avg(F.when(F.col("is_t"), F.col("logratio"))),
+        F.avg(F.when(~F.col("is_t"), F.col("logratio"))),
+    ).first()
+    dt = time.time() - t0
+    assert t_mean > o_mean  # target docs must score higher
+    return dt
+
+
+# name -> (probe fn, human-readable work size) for --scaling-ops;
+# every probe generates its input JVM-side, so the two parallelism
+# levels see byte-identical work
+SCALING_OP_PROBES = {
+    "asof": (asof_probe, "16M rows"),
+    "components": (components_probe, "4M edges"),
+    "minhash": (minhash_probe, "200k docs"),
+    "quality": (quality_model_probe, "150k docs"),
+    "semdedup": (semdedup_probe, "600k rows"),
+    "warc": (warc_probe, "192k records"),
+    "discretize": (discretize_probe, "60M rows"),
+    "bpe": (bpe_probe, "1.2M docs"),
+    "funnel": (funnel_probe, "40M events"),
+    "pagerank": (pagerank_probe, "8M edges x 5 iters"),
+    "dsir": (dsir_probe, "1.5M docs"),
+}
+
+
 def run_suite(cpus: int, sf_dir: str) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from outrank_spark.plans.queries import QUERIES
@@ -751,30 +834,37 @@ def main() -> None:
 
     if "--scaling-ops" in sys.argv:
         # item 9: measured (not argued) scale evidence for the
-        # temporal + graph operators at two parallelism levels
+        # temporal + graph operators at two parallelism levels.
+        # Optional csv after the flag restricts to named probes
+        # (e.g. `--scaling-ops pagerank,dsir`) so a new operator's
+        # numbers don't cost an eleven-probe re-run.
+        i = sys.argv.index("--scaling-ops")
+        sel = (sys.argv[i + 1].split(",")
+               if len(sys.argv) > i + 1
+               and not sys.argv[i + 1].startswith("--")
+               else list(SCALING_OP_PROBES))
+        bad = [s for s in sel if s not in SCALING_OP_PROBES]
+        if bad:
+            raise SystemExit(f"unknown probe(s) {bad}; "
+                             f"known: {list(SCALING_OP_PROBES)}")
         lo, hi = SCALING_N, 4 * SCALING_N
         out = {}
         for n in (lo, hi):
             r = subprocess.run(
-                [sys.executable, __file__, "--scaling-ops-child", str(n)],
+                [sys.executable, __file__, "--scaling-ops-child",
+                 str(n), ",".join(sel)],
                 capture_output=True, text=True, check=True,
             )
             out[n] = [float(v)
                       for v in r.stdout.strip().splitlines()[-1].split()]
-        names = ("asof", "components", "minhash", "quality", "semdedup",
-                 "warc", "discretize", "bpe", "funnel")
         res = {
-            "metric": (f"asof/components/minhash/quality/semdedup/warc"
-                       f"/discretize/bpe/funnel scaling "
+            "metric": (f"{'/'.join(sel)} scaling "
                        f"local[{lo}]->local[{hi}]"),
             "unit": "efficiency",
-            "asof_rows": 16_000_000, "components_edges": 4_000_000,
-            "minhash_docs": 200_000, "quality_docs": 150_000,
-            "semdedup_rows": 600_000, "warc_records": 64 * 3000,
-            "discretize_rows": 60_000_000, "bpe_docs": 1_200_000,
-            "funnel_events": 40_000_000,
         }
-        for i, name in enumerate(names):
+        for name in sel:
+            res[f"{name}_size"] = SCALING_OP_PROBES[name][1]
+        for i, name in enumerate(sel):
             res[f"{name}_t{lo}_sec"] = round(out[lo][i], 2)
             res[f"{name}_t{hi}_sec"] = round(out[hi][i], 2)
             res[f"{name}_efficiency"] = round(
@@ -783,10 +873,11 @@ def main() -> None:
         return
 
     if "--scaling-ops-child" in sys.argv:
-        n = int(sys.argv[sys.argv.index("--scaling-ops-child") + 1])
-        probes = (asof_probe, components_probe, minhash_probe,
-                  quality_model_probe, semdedup_probe, warc_probe,
-                  discretize_probe, bpe_probe, funnel_probe)
+        i = sys.argv.index("--scaling-ops-child")
+        n = int(sys.argv[i + 1])
+        sel = (sys.argv[i + 2].split(",") if len(sys.argv) > i + 2
+               else list(SCALING_OP_PROBES))
+        probes = tuple(SCALING_OP_PROBES[s][0] for s in sel)
         spark = make_spark(n)
         try:
             # warm at FULL size: a small-shape warmup leaves the large

@@ -31,7 +31,7 @@ from typing import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from outrank_spark.hashing import derive_seeds, hash_with_seed
 
@@ -42,6 +42,7 @@ __all__ = [
     "simhash_signatures", "simhash_candidates",
     "embedding_neardup_candidates", "near_dedup_corpus",
     "winnowed_span_pairs", "dedup_paragraphs",
+    "duplicated_spans_exact",
 ]
 
 
@@ -544,6 +545,97 @@ def winnowed_span_pairs(df: DataFrame, text_col: str = "text",
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )
+
+
+def duplicated_spans_exact(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           min_length: int = 8) -> DataFrame:
+    """ExactSubstr-style duplicated-span statistics (Lee, Ippolito et
+    al. — "Deduplicating Training Data Makes Language Models Better",
+    ACL 2022): every token ``min_length``-gram that occurs >= 2 times
+    ANYWHERE in the corpus marks its coverage as duplicated; per doc,
+    overlapping duplicated coverage merges into maximal spans.  Any
+    duplicated substring of >= ``min_length`` tokens is contained in a
+    reported span (no false negatives); a span is the union of
+    overlapping duplicated grams, so its parts may duplicate against
+    different partners.  Where :func:`winnowed_span_pairs` SAMPLES
+    fingerprints to find partner pairs, this is the exact
+    coverage-accounting view — the corpus-curation "what fraction of
+    my tokens is boilerplate" number.
+
+    Scale shape: the gram stream is the q14 shingle shuffle (built by
+    one JVM array expression at the scan, no Python); duplicated keys
+    come from one map-side-combinable count, and only occurrences of
+    those keys survive the semi-join — singleton grams (the vast
+    majority on real text) never reach the window.  Span merging is a
+    per-doc window over DUPLICATED positions only, bounded by document
+    length — never a corpus-wide sort.  No self-join exists anywhere,
+    so a Zipf-head boilerplate gram costs a big count cell, not a
+    quadratic pair blowup.  Grams are keyed by the 128-bit
+    :func:`_content_key` pair (collision-safe at corpus scale); the
+    q85 DuckDB oracle groups on gram CONTENT — identical modulo hash
+    collisions, the q73 argument.
+
+    Returns ``(id, n_tokens, n_spans, dup_tokens, dup_frac)``.
+    """
+    L = int(min_length)
+    if L < 2:
+        raise ValueError(f"min_length must be >= 2, got {min_length}")
+    toks = f"split({text_col}, ' ')"
+    gram = f"concat_ws(' ', slice({toks}, i, {L}))"
+    grams_expr = (
+        f"CASE WHEN size({toks}) >= {L} THEN "
+        f"transform(sequence(1, size({toks}) - {L - 1}), "
+        f"i -> struct(i AS pos, xxhash64({gram}) AS g1, "
+        f"xxhash64('outrank-lane2', {gram}) AS g2)) "
+        f"ELSE CAST(array() AS array<struct<pos:int,g1:bigint,"
+        f"g2:bigint>>) END"
+    )
+    occ = (
+        df.select(F.col(id_col), F.explode(F.expr(grams_expr)).alias("g"))
+        .select(id_col, "g.pos", "g.g1", "g.g2")
+    )
+    dup_keys = (
+        occ.groupBy("g1", "g2")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= 2)
+        .select("g1", "g2")
+    )
+    dup = occ.join(dup_keys, ["g1", "g2"], "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        dup.withColumn(
+            "_new",
+            F.when(
+                F.lag("pos").over(w).isNull()
+                | (F.col("pos") > F.lag("pos").over(w) + (L - 1)),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("_island", F.sum("_new").over(w))
+    )
+    spans = islands.groupBy(id_col, "_island").agg(
+        F.min("pos").alias("_s"),
+        (F.max("pos") + (L - 1)).alias("_e"),
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("_e") - F.col("_s") + 1).alias("dup_tokens"),
+    )
+    return (
+        df.select(F.col(id_col),
+                  F.size(F.expr(toks)).alias("n_tokens"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col, "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.col("n_tokens"), 6,
+            ).alias("dup_frac"),
+        )
     )
 
 

@@ -3212,6 +3212,56 @@ ORDER BY rank DESC, node
 ORACLE_Q84 = _pagerank_oracle_sql()
 
 
+def q85_duplicated_spans(spark, sf_dir):
+    """ExactSubstr duplicated-coverage accounting (operators/dedup.
+    duplicated_spans_exact): corpus-wide duplicated 8-gram coverage
+    merged into maximal per-doc spans — the "what fraction of my
+    tokens is boilerplate" curation number.  Spark keys grams by the
+    128-bit content-hash pair; the oracle groups on gram content
+    (identical modulo hash collisions, the q73 argument)."""
+    from outrank_spark.operators.dedup import duplicated_spans_exact
+
+    docs = load(spark, sf_dir, "documents")
+    return duplicated_spans_exact(docs, min_length=8).orderBy("doc_id")
+
+
+ORACLE_Q85 = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+), occ AS (
+  SELECT doc_id, i AS pos, array_to_string(a[i:(i+7)], ' ') AS gram
+  FROM toks, LATERAL UNNEST(generate_series(1, len(a) - 7)) AS u(i)
+  WHERE len(a) >= 8
+), dupg AS (
+  SELECT gram FROM occ GROUP BY 1 HAVING count(*) >= 2
+), dup AS (
+  SELECT doc_id, pos FROM occ JOIN dupg USING (gram)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos > lag(pos) OVER w + 7
+              THEN 1 ELSE 0 END AS f
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), isl AS (
+  SELECT doc_id, pos,
+         sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM flagged
+), spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+  FROM isl GROUP BY 1, 2
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS dup_tokens
+  FROM spans GROUP BY 1
+)
+SELECT t.doc_id, CAST(len(t.a) AS INT) AS n_tokens,
+       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(coalesce(p.dup_tokens, 0) * 1.0 / len(t.a), 6) AS dup_frac
+FROM toks t LEFT JOIN per_doc p USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 QUERIES = {
     # --- exact DuckDB oracles (51; q70 sits past the gate window) ---
     "q01_pricing_summary": q01_pricing_summary,
@@ -3276,6 +3326,7 @@ QUERIES = {
     "q82_event_anomalies": q82_event_anomalies,
     "q83_dsir_selection": q83_dsir_selection,
     "q84_pagerank_navigation": q84_pagerank_navigation,
+    "q85_duplicated_spans": q85_duplicated_spans,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -3368,4 +3419,5 @@ ORACLES = {
     "q82_event_anomalies": ORACLE_Q82,
     "q83_dsir_selection": ORACLE_Q83,
     "q84_pagerank_navigation": ORACLE_Q84,
+    "q85_duplicated_spans": ORACLE_Q85,
 }
