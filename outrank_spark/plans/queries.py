@@ -3262,6 +3262,35 @@ ORDER BY t.doc_id
 """
 
 
+def q86_name_editdist_join(spark, sf_dir):
+    """Edit-distance similarity self-join (operators/similarity.
+    edit_distance_join): all customer-name pairs within Levenshtein
+    distance 1, by q-gram candidate generation + thresholded JVM
+    verification — the record-linkage/fuzzy-key operator.  The DuckDB
+    oracle brute-forces the length-filtered pair space (fine at
+    oracle SF; the operator's gram join is the scale path)."""
+    from outrank_spark.operators.similarity import edit_distance_join
+
+    cust = load(spark, sf_dir, "customer")
+    return (
+        edit_distance_join(cust, "c_name", id_col="c_custkey",
+                           max_distance=1, q=2)
+        .orderBy("id_a", "id_b")
+    )
+
+
+ORACLE_Q86 = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       levenshtein(a.c_name, b.c_name) AS distance
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND abs(length(a.c_name) - length(b.c_name)) <= 1
+WHERE length(a.c_name) >= 4 AND length(b.c_name) >= 4
+  AND levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     # --- exact DuckDB oracles (51; q70 sits past the gate window) ---
     "q01_pricing_summary": q01_pricing_summary,
@@ -3327,6 +3356,7 @@ QUERIES = {
     "q83_dsir_selection": q83_dsir_selection,
     "q84_pagerank_navigation": q84_pagerank_navigation,
     "q85_duplicated_spans": q85_duplicated_spans,
+    "q86_name_editdist_join": q86_name_editdist_join,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -3420,4 +3450,5 @@ ORACLES = {
     "q83_dsir_selection": ORACLE_Q83,
     "q84_pagerank_navigation": ORACLE_Q84,
     "q85_duplicated_spans": ORACLE_Q85,
+    "q86_name_editdist_join": ORACLE_Q86,
 }
