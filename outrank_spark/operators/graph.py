@@ -130,6 +130,13 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                                  + F.col("dm") / n)
                 ).alias("rank"),
             )
+            # eager checkpoint EVERY iteration, measured choice: the
+            # next round consumes `ranks` three ways (dangling, flow
+            # join, node join) — un-materialized it is recomputed per
+            # consumer, which probed WORSE (0.58 efficiency) than
+            # paying the per-round barrier (0.77, bench --scaling-ops
+            # pagerank); the barrier is also what truncates iterative
+            # lineage
             .localCheckpoint(eager=True)
         )
     return ranks
