@@ -40,7 +40,8 @@ from outrank_spark.sketches import SKETCH_REGISTRY, sketch_from_bytes
 from outrank_spark.hashing import qcol
 
 __all__ = ["SketchPlan", "SketchCollection", "build_sketches",
-           "build_grouped_sketches", "grouped_quantiles", "probe_bloom",
+           "build_grouped_sketches", "rollup_grouped_sketches",
+           "finalize_cardinalities", "grouped_quantiles", "probe_bloom",
            "exact_heavy_hitters", "theta_group_overlap"]
 
 _NUMERIC_ONLY = {"kll", "tdigest"}
@@ -346,6 +347,59 @@ def _fold_blobs(kind: str, blobs: Iterable[bytes]) -> bytes:
         sk = sketch_from_bytes(kind, bytes(b))
         acc = sk if acc is None else acc.merge(sk)
     return acc.to_bytes()
+
+
+def rollup_grouped_sketches(blobs, key_map, kind: str = "hll"):
+    """Merge per-fine-key sketch blobs UP a hierarchy — per-host HLLs
+    become per-TLD and global cardinalities with NO rescan of the base
+    data (the OLAP-cube / hypertable rollup that makes sketches worth
+    storing: a 10^12-row scan happens once, every coarser report is a
+    merge over tiny blob rows).
+
+    ``blobs`` is the ``(key, blob)`` output of
+    :func:`build_grouped_sketches`; ``key_map`` is a Column expression
+    mapping the fine ``key`` to its coarse group (e.g.
+    ``F.substring_index("key", ".", -1)`` for host -> TLD, or
+    ``F.lit("*")`` for the grand total).  Returns coarse ``(key,
+    blob)`` — composable: roll the result up again for deeper
+    hierarchies.
+
+    Exactness of the algebra: sketch merge is associative AND (for the
+    register/bitmap families) commutative-idempotent, so a rollup of
+    per-host blobs is BITWISE identical to building the coarse sketch
+    directly from the base data — pinned in
+    tests/test_sketch_rollup.py, which is the mergeability proof the
+    north rule asks for at the blob level.
+    """
+    from pyspark.sql import functions as F
+
+    coarse = blobs.select(key_map.cast("string").alias("key"), "blob")
+    return coarse.groupBy("key").applyInPandas(
+        lambda pdf: pd.DataFrame(
+            {
+                "key": [pdf["key"].iloc[0]],
+                "blob": [_fold_blobs(kind, pdf["blob"])],
+            },
+        ),
+        schema="key string, blob binary",
+    )
+
+
+def finalize_cardinalities(blobs, kind: str = "hll"):
+    """``(key, blob)`` -> ``(key, estimate)`` executor-side: one Arrow
+    pass over the blob rows; the driver never deserializes a sketch."""
+
+    def fin(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "key": pdf["key"],
+                "estimate": [
+                    int(sketch_from_bytes(kind, bytes(b)).estimate())
+                    for b in pdf["blob"]
+                ],
+            })
+
+    return blobs.mapInPandas(fin, "key string, estimate long")
 
 
 def grouped_quantiles(df, key_col: str, value_col: str,

@@ -3291,6 +3291,29 @@ ORDER BY id_a, id_b
 """
 
 
+def q87_sketch_rollup(spark, sf_dir):
+    """Hierarchical sketch rollup (operators/sketch_build.
+    rollup_grouped_sketches): per-lang HLL of distinct document texts,
+    rolled up to a grand total by MERGING BLOBS — the base table is
+    scanned once; the coarse level is an algebra over tiny sketch
+    rows.  Rows-only (estimates); the rollup==direct-build bitwise
+    proof and the published-bound check live in
+    tests/test_sketch_rollup.py."""
+    from outrank_spark.operators.sketch_build import (
+        build_grouped_sketches, finalize_cardinalities,
+        rollup_grouped_sketches,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    per_lang = build_grouped_sketches(docs, "lang", "text",
+                                      kind="hll", params={"p": 12})
+    total = rollup_grouped_sketches(per_lang, F.lit("*"))
+    return (
+        finalize_cardinalities(per_lang.unionByName(total))
+        .orderBy("key")
+    )
+
+
 QUERIES = {
     # --- exact DuckDB oracles (51; q70 sits past the gate window) ---
     "q01_pricing_summary": q01_pricing_summary,
@@ -3382,6 +3405,7 @@ QUERIES = {
     "q72_theta_event_overlap": q72_theta_event_overlap,
     "q74_bpe_tokenizer": q74_bpe_tokenizer,
     "q78_mrmr_selection": q78_mrmr_selection,
+    "q87_sketch_rollup": q87_sketch_rollup,
 }
 
 ORACLES = {
