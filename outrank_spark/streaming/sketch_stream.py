@@ -24,7 +24,7 @@ from outrank_spark.operators.sketch_build import (
 )
 from outrank_spark.sketches import sketch_from_bytes
 
-__all__ = ["StreamingSketchAccumulator"]
+__all__ = ["StreamingSketchAccumulator", "keyed_sketch_stream"]
 
 
 class StreamingSketchAccumulator:
@@ -105,3 +105,69 @@ class StreamingSketchAccumulator:
 
     def estimates(self):
         return self.state.summary()
+
+
+def keyed_sketch_stream(stream, key_col: str, value_col: str,
+                        kind: str = "hll", params: dict | None = None):
+    """Per-KEY mergeable sketch state over a stream (the keyed
+    companion to :class:`StreamingSketchAccumulator`'s global fold):
+    ``groupBy(key).applyInPandasWithState`` holds one serialized
+    sketch blob per key in the state store, updates it with each
+    micro-batch's values, and emits ``(key, n_seen, estimate, blob)``
+    in update mode — per-host streaming cardinalities whose blobs
+    stay rollup-able (operators/sketch_build.rollup_grouped_sketches)
+    and restart-safe (the state store checkpoints with the query).
+
+    Because register/KMV folds are commutative-idempotent, the final
+    per-key blob is BITWISE identical to a batch
+    ``build_grouped_sketches`` over the same rows, for ANY micro-batch
+    slicing — pinned in tests/test_sketch_rollup.py.  ``n_seen`` is
+    the cumulative non-null row count, so "latest emission per key" =
+    max n_seen (memory-sink rows carry no order guarantee).
+
+    ``kind`` must expose ``estimate()`` (hll / theta / counter-style
+    cardinality sketches); quantile sketches stream through the same
+    state shape but need a different finalize — use the batch
+    ``grouped_quantiles`` path or extend here.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from outrank_spark.sketches import SKETCH_REGISTRY
+
+    params = params or {}
+    if not hasattr(SKETCH_REGISTRY[kind](**params), "estimate"):
+        raise ValueError(f"kind {kind!r} has no estimate(); "
+                         "keyed_sketch_stream is for cardinality sketches")
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            blob, n_seen = state.get
+            sk = sketch_from_bytes(kind, bytes(blob))
+        else:
+            sk, n_seen = SKETCH_REGISTRY[kind](**params), 0
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna()
+            n_seen += len(vals)
+            if len(vals):
+                sk.update(vals.to_numpy())
+        blob = sk.to_bytes()
+        state.update((blob, int(n_seen)))
+        yield pd.DataFrame({
+            "key": [key[0]], "n_seen": [int(n_seen)],
+            "estimate": [int(sk.estimate())], "blob": [blob],
+        })
+
+    src = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).alias(value_col),
+    )
+    return src.groupBy("key").applyInPandasWithState(
+        fn,
+        outputStructType="key string, n_seen long, estimate long, "
+                         "blob binary",
+        stateStructType="blob binary, n_seen long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

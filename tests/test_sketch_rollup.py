@@ -105,3 +105,84 @@ def test_theta_rollup_estimates_match_direct(spark, pages_like):
     r = sketch_from_bytes("theta", _blob_map(rolled)["*"]).estimate()
     d = sketch_from_bytes("theta", _blob_map(direct)["*"]).estimate()
     assert r == pytest.approx(d, rel=1e-12)
+
+
+class TestKeyedSketchStream:
+    SCHEMA = "host string, url string"
+
+    def _run(self, spark, tmp_path, frames, name):
+        from outrank_spark.streaming.sketch_stream import keyed_sketch_stream
+
+        data_dir = str(tmp_path / f"{name}_data")
+        for pdf in frames:
+            spark.createDataFrame(pdf, self.SCHEMA).coalesce(1).write.mode(
+                "append").parquet(data_dir)
+        stream = (
+            spark.readStream.schema(self.SCHEMA)
+            .option("maxFilesPerTrigger", 1).parquet(data_dir)
+        )
+        q = (
+            keyed_sketch_stream(stream, "host", "url",
+                                kind="hll", params={"p": 10})
+            .writeStream.format("memory").queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        out = spark.sql(f"select * from {name}").toPandas()
+        # latest emission per key = max cumulative n_seen
+        latest = out.loc[out.groupby("key")["n_seen"].idxmax()]
+        return {r["key"]: (int(r["n_seen"]), int(r["estimate"]),
+                           bytes(r["blob"]))
+                for _, r in latest.iterrows()}
+
+    def test_stream_blobs_bitwise_equal_batch_build(self, spark, tmp_path):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(7)
+        rows = pd.DataFrame({
+            "host": [f"h{int(rng.integers(0, 6))}" for _ in range(900)],
+            "url": [f"u{int(rng.integers(0, 400))}" for _ in range(900)],
+        })
+        got = self._run(
+            spark, tmp_path,
+            [rows.iloc[:300], rows.iloc[300:520], rows.iloc[520:]],
+            "keyed_hll",
+        )
+        batch = _blob_map(build_grouped_sketches(
+            spark.createDataFrame(rows, self.SCHEMA), "host", "url",
+            kind="hll", params={"p": 10},
+        ))
+        assert got.keys() == batch.keys()
+        for k, (n, est, blob) in got.items():
+            assert blob == batch[k]          # byte-for-byte vs batch
+        total = sum(n for n, _, _ in got.values())
+        assert total == len(rows)
+
+    def test_streamed_blobs_feed_the_rollup(self, spark, tmp_path):
+        import pandas as pd
+
+        rows = pd.DataFrame({
+            "host": ["a.com"] * 50 + ["b.com"] * 50 + ["c.de"] * 50,
+            "url": [f"u{i}" for i in range(150)],
+        })
+        got = self._run(spark, tmp_path, [rows.iloc[:75], rows.iloc[75:]],
+                        "keyed_roll")
+        blobs = spark.createDataFrame(
+            [(k, blob) for k, (_, _, blob) in got.items()],
+            "key string, blob binary",
+        )
+        total = _blob_map(rollup_grouped_sketches(blobs, F.lit("*")))
+        est = sketch_from_bytes("hll", total["*"]).estimate()
+        assert abs(est - 150) / 150 < 0.15
+
+    def test_rejects_non_cardinality_kind(self, spark):
+        import pytest as _pytest
+
+        from outrank_spark.streaming.sketch_stream import keyed_sketch_stream
+
+        with _pytest.raises(ValueError, match="estimate"):
+            keyed_sketch_stream(None, "k", "v", kind="kll",
+                                params={"k": 200})
