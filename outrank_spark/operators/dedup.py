@@ -582,18 +582,23 @@ def duplicated_spans_exact(df: DataFrame, text_col: str = "text",
     L = int(min_length)
     if L < 2:
         raise ValueError(f"min_length must be >= 2, got {min_length}")
-    toks = f"split({text_col}, ' ')"
-    gram = f"concat_ws(' ', slice({toks}, i, {L}))"
+    # token array projected ONCE before the lambda (the
+    # winnowed_span_pairs two-projection pattern): transform is
+    # CodegenFallback, so an inlined split would re-split the whole
+    # document per gram position — O(tokens^2) on the scan path
+    gram = f"concat_ws(' ', slice(_toks, i, {L}))"
     grams_expr = (
-        f"CASE WHEN size({toks}) >= {L} THEN "
-        f"transform(sequence(1, size({toks}) - {L - 1}), "
+        f"CASE WHEN size(_toks) >= {L} THEN "
+        f"transform(sequence(1, size(_toks) - {L - 1}), "
         f"i -> struct(i AS pos, xxhash64({gram}) AS g1, "
         f"xxhash64('outrank-lane2', {gram}) AS g2)) "
         f"ELSE CAST(array() AS array<struct<pos:int,g1:bigint,"
         f"g2:bigint>>) END"
     )
     occ = (
-        df.select(F.col(id_col), F.explode(F.expr(grams_expr)).alias("g"))
+        df.select(F.col(id_col),
+                  F.split(F.col(text_col), " ").alias("_toks"))
+        .select(F.col(id_col), F.explode(F.expr(grams_expr)).alias("g"))
         .select(id_col, "g.pos", "g.g1", "g.g2")
     )
     dup_keys = (
@@ -625,7 +630,7 @@ def duplicated_spans_exact(df: DataFrame, text_col: str = "text",
     )
     return (
         df.select(F.col(id_col),
-                  F.size(F.expr(toks)).alias("n_tokens"))
+                  F.size(F.split(F.col(text_col), " ")).alias("n_tokens"))
         .join(per_doc, id_col, "left")
         .select(
             id_col, "n_tokens",

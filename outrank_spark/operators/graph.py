@@ -86,6 +86,13 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         (F.col(weight).cast("double") if weight else F.lit(1.0))
         .alias("w"),
     )
+    if weight:
+        # a null or non-positive weight carries no rank mass; keeping
+        # it would either drop mass silently (null skipped by sum
+        # while the source still counts as non-dangling) or divide
+        # 0/0 into NaN ranks — drop the edge instead; a source whose
+        # edges all drop is correctly re-classified as dangling
+        e = e.where(F.col("w") > 0)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

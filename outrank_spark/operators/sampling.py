@@ -163,25 +163,30 @@ def dsir_logratio(docs: DataFrame, target_col,
     Docs with < 2 tokens get ``n_features = 0, logratio = 0.0``.
     """
     _reject_internal_collisions(
-        docs, ("__feat", "__is_t", "__raw_n", "__tgt_n", "__lr",
-               "__R", "__T", "__V", "n_features", "logratio"),
+        docs, ("__feat", "__is_t", "__toks", "__raw_n", "__tgt_n",
+               "__lr", "__R", "__T", "__V", "n_features", "logratio"),
         "dsir_logratio")
+    if num_buckets is not None and num_buckets <= 0:
+        raise ValueError(f"num_buckets must be positive or None, "
+                         f"got {num_buckets}")
     # slice-then-zip, NOT sequence(1, n-1): Spark's sequence(1, 0)
     # (a 1-token doc) is the DESCENDING [1, 0], and ANSI element_at
-    # then faults on index 2 — slice(a, 1, 0) is the empty array
+    # then faults on index 2 — slice(a, 1, 0) is the empty array.
+    # The token array is projected ONCE before the lambda: transform
+    # is CodegenFallback (interpreted per element), so an inlined
+    # split would re-split the whole document per bigram — O(n^2)
     bigrams = F.expr(
-        f"transform(slice(split({text_col}, ' '), 1, "
-        f"greatest(size(split({text_col}, ' ')) - 1, 0)), "
-        f"(x, j) -> concat(x, ' ', "
-        f"element_at(split({text_col}, ' '), j + 2)))",
+        "transform(slice(__toks, 1, greatest(size(__toks) - 1, 0)), "
+        "(x, j) -> concat(x, ' ', element_at(__toks, j + 2)))",
     )
     feat = (F.pmod(F.xxhash64(F.col("__feat")), F.lit(num_buckets))
-            if num_buckets else F.col("__feat"))
+            if num_buckets is not None else F.col("__feat"))
     ex = (
         docs.select(
             F.col(id_col), target_col.alias("__is_t"),
-            F.explode(bigrams).alias("__feat"),
+            F.split(F.col(text_col), " ").alias("__toks"),
         )
+        .select(id_col, "__is_t", F.explode(bigrams).alias("__feat"))
         .withColumn("__feat", feat)
     )
     counts = ex.groupBy("__feat").agg(

@@ -371,8 +371,6 @@ def rollup_grouped_sketches(blobs, key_map, kind: str = "hll"):
     tests/test_sketch_rollup.py, which is the mergeability proof the
     north rule asks for at the blob level.
     """
-    from pyspark.sql import functions as F
-
     coarse = blobs.select(key_map.cast("string").alias("key"), "blob")
     return coarse.groupBy("key").applyInPandas(
         lambda pdf: pd.DataFrame(

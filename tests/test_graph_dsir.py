@@ -75,6 +75,20 @@ def test_pagerank_unweighted_uniform_cycle(spark):
         assert row["rank"] == pytest.approx(0.2, abs=1e-12)
 
 
+def test_pagerank_drops_null_and_nonpositive_weights(spark):
+    # a zero weight would make frac = 0/0 = NaN and poison every
+    # rank; a null weight would silently drop mass while its source
+    # still counted as non-dangling — both edges must be ignored
+    dirty = EDGES + [(0, 3, 0.0), (2, 4, None), (1, 0, -2.0)]
+    edges = spark.createDataFrame(dirty, "src int, dst int, w double")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(edges, weight="w").collect()}
+    want = _numpy_pagerank(EDGES)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
 def test_transition_edges_counts_and_self_loops(spark):
     ev = spark.createDataFrame(
         [
@@ -184,6 +198,12 @@ def test_dsir_bucket_bound_and_partitioning_invariance(spark):
     pb = {r["doc_id"]: r["logratio"] for r in b.collect()}
     for did in pa:
         assert pa[did] == pytest.approx(pb[did], abs=1e-12)
+
+
+def test_dsir_rejects_nonpositive_buckets(spark):
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="num_buckets"):
+        dsir_logratio(docs, F.lit(True), num_buckets=0)
 
 
 def test_dsir_rejects_colliding_columns(spark):
