@@ -328,3 +328,42 @@ class TestSamplingAndLmPlans:
         plan = plan_of(ngram_logprob_scores(docs))
         # partial_count before the exchange for both groupBys
         assert plan.count("partial_count") >= 2
+
+
+class TestRound4LateAdditions:
+    def test_dsir_hashed_mode_broadcasts_weight_table(self, spark):
+        """dsir_logratio with bounded buckets must join the per-feature
+        log-ratio table back via broadcast — the corpus-side explode is
+        never re-shuffled by feature for the join."""
+        from outrank_spark.operators.sampling import dsir_logratio
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = plan_of(dsir_logratio(docs, F.col("lang") == "en",
+                                     num_buckets=1 << 12))
+        assert "BroadcastHashJoin" in plan
+
+    def test_editdist_join_has_no_cartesian(self, spark):
+        """edit_distance_join candidates come from the gram equi-join;
+        nothing quadratic (CartesianProduct / inner BNL) may appear."""
+        from outrank_spark.operators.similarity import edit_distance_join
+
+        cust = spark.read.parquet(f"{SF}/customer.parquet")
+        plan = plan_of(edit_distance_join(cust, "c_name",
+                                          id_col="c_custkey"))
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+            or "BroadcastHashJoin" in plan
+
+    def test_duplicated_spans_no_cartesian_single_split(self, spark):
+        """q85's gram stage must carry exactly one split() per doc (the
+        two-projection fix — an inlined split inside the transform
+        lambda re-splits per gram position) and no quadratic join."""
+        from outrank_spark.operators.dedup import duplicated_spans_exact
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = plan_of(duplicated_spans_exact(docs, min_length=8))
+        assert "CartesianProduct" not in plan
+        gram_stage = [ln for ln in plan.splitlines()
+                      if "transform" in ln and "xxhash64" in ln]
+        assert gram_stage, "gram construction stage missing from plan"
+        assert all(ln.count("split(") <= 1 for ln in gram_stage)
