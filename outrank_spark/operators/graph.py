@@ -72,7 +72,8 @@ def transition_edges(events: DataFrame, user_col: str, order_cols: list,
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              weight: str | None = None, damping: float = 0.85,
-             iterations: int = 10) -> DataFrame:
+             iterations: int = 10,
+             start_ranks: DataFrame | None = None) -> DataFrame:
     """Weighted PageRank by fixed-count power iteration.
 
     ``r_{t+1}(v) = (1-d)/N + d * (Σ_{u→v} w(u,v)/outw(u) · r_t(u)
@@ -80,6 +81,17 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     with no out-edges and ``N = |V|``.  Unweighted graphs
     (``weight=None``) use w ≡ 1.  Returns ``(node, rank)`` with
     Σ rank = 1 (mass conservation is exact, not approximate).
+
+    ``start_ranks`` is the resume path (the north rule's mid-job
+    checkpoint shape): pass a previously returned/persisted
+    ``(node, rank)`` table and the recurrence continues from it —
+    ``pagerank(e, iterations=10)`` equals
+    ``pagerank(e, iterations=5, start_ranks=pagerank(e,
+    iterations=5))``, pinned in tests.  The iteration count is a
+    function of the RECURRENCE, not of who ran the earlier rounds, so
+    a long job can persist ranks every k rounds and restart from the
+    last table.  Nodes missing from ``start_ranks`` contribute zero
+    mass (they are still re-seeded by the (1-d)/N floor).
     """
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"),
@@ -114,7 +126,15 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     )
     srcs = contrib.select("src").distinct()
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    if start_ranks is not None:
+        ranks = (
+            nodes.join(start_ranks.select("node", "rank"), "node", "left")
+            .select("node",
+                    F.coalesce("rank", F.lit(0.0)).alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
         # rank mass parked on dangling nodes (no out-edges), 1 lazy row
         dangling = (

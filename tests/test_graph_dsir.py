@@ -112,6 +112,22 @@ def test_transition_edges_counts_and_self_loops(spark):
     assert with_loops[("b", "b")] == 1.0
 
 
+def test_pagerank_resumes_from_checkpointed_ranks(spark):
+    # 10 straight iterations == 5 iterations resumed from a persisted
+    # 5-iteration rank table (the mid-job checkpoint/resume shape)
+    edges = spark.createDataFrame(EDGES, "src int, dst int, w double")
+    straight = {r["node"]: r["rank"]
+                for r in pagerank(edges, weight="w",
+                                  iterations=10).collect()}
+    half = pagerank(edges, weight="w", iterations=5)
+    resumed = {r["node"]: r["rank"]
+               for r in pagerank(edges, weight="w", iterations=5,
+                                 start_ranks=half).collect()}
+    assert set(straight) == set(resumed)
+    for v in straight:
+        assert resumed[v] == pytest.approx(straight[v], abs=1e-12)
+
+
 # ------------------------------------------------------------------
 # DSIR
 # ------------------------------------------------------------------
@@ -198,6 +214,35 @@ def test_dsir_bucket_bound_and_partitioning_invariance(spark):
     pb = {r["doc_id"]: r["logratio"] for r in b.collect()}
     for did in pa:
         assert pa[did] == pytest.approx(pb[did], abs=1e-12)
+
+
+def test_dsir_composes_with_weighted_sample(spark):
+    # the full DSIR pipeline: importance weights -> resample by them.
+    # weighted_sample needs positive weights, so shift by the min
+    # (rank-preserving); in-domain docs must dominate the kept set.
+    from pyspark.sql import functions as SF
+
+    from outrank_spark.operators.sampling import weighted_sample
+
+    rows = []
+    for i in range(200):
+        dom = "A" if i % 2 == 0 else "B"
+        toks = [f"{dom}{(i * 7 + j) % 9}" for j in range(12)]
+        rows.append((i, dom, i % 4 == 0, " ".join(toks)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, dom string, is_t boolean, text string",
+    )
+    scored = dsir_logratio(docs, F.col("is_t"), num_buckets=256)
+    stats = scored.agg(SF.min("logratio").alias("__lo"))
+    shifted = (
+        scored.crossJoin(SF.broadcast(stats))
+        .withColumn("w", SF.col("logratio") - SF.col("__lo") + 1e-9)
+        .drop("__lo")
+    )
+    kept = weighted_sample(shifted, "w", frac=0.3).toPandas()
+    assert 0 < len(kept) < 200
+    share_a = (kept["dom"] == "A").mean()
+    assert share_a > 0.8  # domain-A docs dominate the resample
 
 
 def test_dsir_rejects_nonpositive_buckets(spark):
