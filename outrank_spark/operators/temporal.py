@@ -30,7 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_join", "funnel_counts", "cohort_retention"]
+__all__ = ["asof_join", "range_join", "funnel_counts",
+           "cohort_retention", "snapshot_diff"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, by: str,
@@ -268,4 +269,57 @@ def cohort_retention(df: DataFrame, user_col: str = "user_id",
         )
         .agg(F.count_distinct("_u").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
+    )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list,
+                  compare_cols: list) -> DataFrame:
+    """CDC-style diff between two snapshots of the same table (the
+    incremental-crawl shape: yesterday's pages vs today's re-crawl):
+    one row per key with ``status`` in ``added`` (key only in new),
+    ``removed`` (only in old), ``changed`` (present in both, any
+    compare column differs, null-safely), ``unchanged``.
+
+    Scale shape: ONE full-outer equi-join on the key — the minimal
+    plan for a diff; comparison is a null-safe JVM expression over
+    the joined row (`eqNullSafe` per column), so content columns are
+    never hashed driver-side and never shuffled twice.  At 10^12
+    rows both sides arrive partitioned by the same key from the
+    ingest sinks, so the join is co-partitioned; downstream, `added
+    + changed` keys are exactly the work-list an incremental
+    pipeline re-processes (the latest-capture dedup in
+    jobs/ingest_warc.py is the intra-snapshot companion).
+
+    Keys must be unique per snapshot (a snapshot is a state, not a
+    log); enforce upstream with the latest-capture window.
+    """
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_ov_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_nv_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_new"),
+    )
+    cond = None
+    for k in key_cols:
+        c = F.col(f"_ok_{k}").eqNullSafe(F.col(f"_nk_{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = o.join(n, cond, "full_outer")
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"_ov_{c}").eqNullSafe(F.col(f"_nv_{c}"))
+        same = eq if same is None else (same & eq)
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        *[F.coalesce(F.col(f"_nk_{k}"), F.col(f"_ok_{k}")).alias(k)
+          for k in key_cols],
+        status.alias("status"),
     )

@@ -3314,6 +3314,51 @@ def q87_sketch_rollup(spark, sf_dir):
     )
 
 
+def q88_snapshot_diff(spark, sf_dir):
+    """Incremental-crawl diff (operators/temporal.snapshot_diff): two
+    deterministic snapshots derived from documents (old drops
+    doc_id%7==0, new drops %13==0 and rewrites text for %11==0),
+    diffed into added/removed/changed/unchanged by ONE full-outer
+    key join with null-safe JVM comparison — the CDC work-list an
+    incremental pipeline re-processes."""
+    from outrank_spark.operators.temporal import snapshot_diff
+
+    docs = load(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    new = (
+        docs.where(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text")).alias("text"),
+        )
+    )
+    return (
+        snapshot_diff(old, new, ["doc_id"], ["text"])
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_Q88 = """
+WITH old AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+), new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END
+         AS text
+  FROM documents WHERE doc_id % 13 <> 0
+)
+SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     # --- exact DuckDB oracles (51; q70 sits past the gate window) ---
     "q01_pricing_summary": q01_pricing_summary,
@@ -3380,6 +3425,7 @@ QUERIES = {
     "q84_pagerank_navigation": q84_pagerank_navigation,
     "q85_duplicated_spans": q85_duplicated_spans,
     "q86_name_editdist_join": q86_name_editdist_join,
+    "q88_snapshot_diff": q88_snapshot_diff,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -3475,4 +3521,5 @@ ORACLES = {
     "q84_pagerank_navigation": ORACLE_Q84,
     "q85_duplicated_spans": ORACLE_Q85,
     "q86_name_editdist_join": ORACLE_Q86,
+    "q88_snapshot_diff": ORACLE_Q88,
 }

@@ -283,3 +283,47 @@ class TestCohortRetention:
         out = cohort_retention(spark.createDataFrame(pdf),
                                max_offset=1).collect()
         assert [(r["week_offset"], r["n_users"]) for r in out] == [(0, 1)]
+
+
+class TestSnapshotDiff:
+    def test_all_four_statuses(self, spark):
+        from outrank_spark.operators.temporal import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None), (4, "d")],
+            "id long, v string",
+        )
+        new = spark.createDataFrame(
+            [(1, "a"), (2, "B"), (3, None), (5, "e")],
+            "id long, v string",
+        )
+        got = {r["id"]: r["status"]
+               for r in snapshot_diff(old, new, ["id"], ["v"]).collect()}
+        # null == null must read unchanged (eqNullSafe), 4 removed,
+        # 5 added, 2 changed
+        assert got == {1: "unchanged", 2: "changed", 3: "unchanged",
+                       4: "removed", 5: "added"}
+
+    def test_composite_keys_and_null_to_value_change(self, spark):
+        from outrank_spark.operators.temporal import snapshot_diff
+
+        old = spark.createDataFrame(
+            [("a", 1, None), ("a", 2, "x")], "k1 string, k2 long, v string",
+        )
+        new = spark.createDataFrame(
+            [("a", 1, "now-set"), ("a", 2, "x")],
+            "k1 string, k2 long, v string",
+        )
+        got = {(r["k1"], r["k2"]): r["status"]
+               for r in snapshot_diff(old, new, ["k1", "k2"],
+                                      ["v"]).collect()}
+        assert got == {("a", 1): "changed", ("a", 2): "unchanged"}
+
+    def test_single_join_plan(self, spark):
+        from outrank_spark.operators.temporal import snapshot_diff
+
+        old = spark.createDataFrame([(1, "a")], "id long, v string")
+        new = spark.createDataFrame([(1, "a")], "id long, v string")
+        plan = snapshot_diff(old, new, ["id"], ["v"]) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Join") == 1  # one full-outer, nothing else
