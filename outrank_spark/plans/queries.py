@@ -3359,6 +3359,68 @@ ORDER BY doc_id
 """
 
 
+def q89_psi_drift(spark, sf_dir):
+    """Distribution-drift monitoring (operators/drift.psi_drift): PSI
+    of the event `value` distribution, first half of January as the
+    reference vs the second half as current — per-bin shares and PSI
+    terms over the reference's exact deciles.  Both engines bin with
+    strict v > b against 6-dp-rounded boundary values; psi terms are
+    computed from UNROUNDED shares and rounded only for output (the
+    ln() parity convention)."""
+    from outrank_spark.operators.drift import psi_drift
+
+    ev = load(spark, sf_dir, "events")
+    split = "2024-01-16"
+    ref = ev.where(F.col("ts") < split)
+    cur = ev.where(F.col("ts") >= split)
+    out = psi_drift(ref, cur, "value", bins=10)
+    return out.select(
+        "bin",
+        F.round("ref_share", 6).alias("ref_share"),
+        F.round("cur_share", 6).alias("cur_share"),
+        F.round("psi_term", 6).alias("psi_term"),
+    ).orderBy("bin")
+
+
+ORACLE_Q89 = """
+WITH ref AS (
+  SELECT value AS v FROM events
+  WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL
+), cur AS (
+  SELECT value AS v FROM events
+  WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL
+), bq AS (
+  SELECT list_transform(
+    quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+    b -> round(b, 6)) AS qs
+  FROM ref
+), rb AS (
+  SELECT 1 + len(list_filter(qs, b -> v > b)) AS bin, count(*) AS n
+  FROM ref CROSS JOIN bq GROUP BY 1
+), cb AS (
+  SELECT 1 + len(list_filter(qs, b -> v > b)) AS bin, count(*) AS n
+  FROM cur CROSS JOIN bq GROUP BY 1
+), rt AS (SELECT sum(n) AS t FROM rb),
+ct AS (SELECT sum(n) AS t FROM cb),
+shares AS (
+  SELECT g.i AS bin,
+         coalesce(rb.n, 0) * 1.0 / rt.t AS rs,
+         coalesce(cb.n, 0) * 1.0 / ct.t AS cs
+  FROM generate_series(1, 10) AS g(i)
+  LEFT JOIN rb ON rb.bin = g.i
+  LEFT JOIN cb ON cb.bin = g.i
+  CROSS JOIN rt CROSS JOIN ct
+)
+SELECT CAST(bin AS INT) AS bin,
+       round(rs, 6) AS ref_share,
+       round(cs, 6) AS cur_share,
+       round((cs - rs) * ln(greatest(cs, 1e-6)
+                            / greatest(rs, 1e-6)), 6) AS psi_term
+FROM shares
+ORDER BY bin
+"""
+
+
 QUERIES = {
     # --- exact DuckDB oracles (51; q70 sits past the gate window) ---
     "q01_pricing_summary": q01_pricing_summary,
@@ -3426,6 +3488,7 @@ QUERIES = {
     "q85_duplicated_spans": q85_duplicated_spans,
     "q86_name_editdist_join": q86_name_editdist_join,
     "q88_snapshot_diff": q88_snapshot_diff,
+    "q89_psi_drift": q89_psi_drift,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -3522,4 +3585,5 @@ ORACLES = {
     "q85_duplicated_spans": ORACLE_Q85,
     "q86_name_editdist_join": ORACLE_Q86,
     "q88_snapshot_diff": ORACLE_Q88,
+    "q89_psi_drift": ORACLE_Q89,
 }

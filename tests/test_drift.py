@@ -1,0 +1,70 @@
+"""psi_drift (operators/drift.py) vs a numpy PSI model using the same
+right-closed decile binning, plus behavioral anchors (self-PSI ~ 0,
+planted shift detected)."""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from outrank_spark.operators.drift import psi_drift
+
+
+def _numpy_psi(ref, cur, bins=10, eps=1e-6, scale=6):
+    edges = [round(float(np.quantile(ref, i / bins, method="linear")),
+                   scale) for i in range(1, bins)]
+
+    def share(vals):
+        b = np.array([1 + sum(v > e for e in edges) for v in vals])
+        return np.array([(b == i).mean() for i in range(1, bins + 1)])
+
+    rs, cs = share(ref), share(cur)
+    terms = (cs - rs) * np.log(np.maximum(cs, eps) / np.maximum(rs, eps))
+    return rs, cs, terms
+
+
+def _collect(spark, ref_vals, cur_vals, **kw):
+    ref = spark.createDataFrame([(float(v),) for v in ref_vals], "value double")
+    cur = spark.createDataFrame([(float(v),) for v in cur_vals], "value double")
+    rows = psi_drift(ref, cur, "value", **kw).orderBy("bin").collect()
+    return (np.array([r["ref_share"] for r in rows]),
+            np.array([r["cur_share"] for r in rows]),
+            np.array([r["psi_term"] for r in rows]))
+
+
+def test_matches_numpy_model(spark):
+    rng = np.random.default_rng(3)
+    ref = rng.normal(50, 10, 400).round(2)
+    cur = rng.normal(58, 14, 300).round(2)   # planted shift
+    rs, cs, terms = _collect(spark, ref, cur)
+    nrs, ncs, nterms = _numpy_psi(ref, cur)
+    assert np.allclose(rs, nrs, atol=1e-12)
+    assert np.allclose(cs, ncs, atol=1e-12)
+    assert np.allclose(terms, nterms, atol=1e-12)
+    assert terms.sum() > 0.25            # the shift is flagged
+
+
+def test_self_psi_is_zero(spark):
+    vals = np.linspace(0, 100, 500).round(2)
+    rs, cs, terms = _collect(spark, vals, vals)
+    assert np.allclose(rs, cs, atol=1e-12)
+    assert abs(terms.sum()) < 1e-12
+    assert math.isclose(rs.sum(), 1.0, abs_tol=1e-12)
+
+
+def test_empty_current_bins_are_clamped_not_inf(spark):
+    ref = np.arange(100, dtype=float)
+    cur = np.full(50, 1.0)               # everything lands in bin 1
+    rs, cs, terms = _collect(spark, ref, cur)
+    assert cs[0] == pytest.approx(1.0)
+    assert np.isfinite(terms).all()
+
+
+def test_validation(spark):
+    ref = spark.createDataFrame([(1.0,)], "value double")
+    with pytest.raises(ValueError, match="bins"):
+        psi_drift(ref, ref, "value", bins=1)
+    empty = spark.createDataFrame([(None,)], "value double")
+    with pytest.raises(ValueError, match="no non-null"):
+        psi_drift(empty, ref, "value")
