@@ -3421,6 +3421,43 @@ ORDER BY bin
 """
 
 
+def q90_ks_drift(spark, sf_dir):
+    """Exact two-sample KS statistic (operators/drift.ks_drift)
+    between the two January halves of the event `value` distribution
+    — the distribution-equality companion to q89's PSI.  The operator
+    is the range-partitioned two-pass ECDF (no global sort task); the
+    oracle is the classical one-window SQL form (fine at oracle SF)."""
+    from outrank_spark.operators.drift import ks_drift
+
+    ev = load(spark, sf_dir, "events")
+    split = "2024-01-16"
+    out = ks_drift(ev.where(F.col("ts") < split),
+                   ev.where(F.col("ts") >= split), "value")
+    return out.select(F.round("ks_stat", 6).alias("ks_stat"),
+                      "n_ref", "n_cur")
+
+
+ORACLE_Q90 = """
+WITH pts AS (
+  SELECT value AS v,
+         sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+           AS r,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+           AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), tot AS (
+  SELECT sum(r) AS nr, sum(c) AS nc FROM pts
+), cum AS (
+  SELECT sum(r) OVER (ORDER BY v) AS cr,
+         sum(c) OVER (ORDER BY v) AS cc
+  FROM pts
+)
+SELECT round(max(abs(cr * 1.0 / nr - cc * 1.0 / nc)), 6) AS ks_stat,
+       CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur
+FROM cum CROSS JOIN tot GROUP BY nr, nc
+"""
+
+
 QUERIES = {
     # --- exact DuckDB oracles (51; q70 sits past the gate window) ---
     "q01_pricing_summary": q01_pricing_summary,
@@ -3489,6 +3526,7 @@ QUERIES = {
     "q86_name_editdist_join": q86_name_editdist_join,
     "q88_snapshot_diff": q88_snapshot_diff,
     "q89_psi_drift": q89_psi_drift,
+    "q90_ks_drift": q90_ks_drift,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -3586,4 +3624,5 @@ ORACLES = {
     "q86_name_editdist_join": ORACLE_Q86,
     "q88_snapshot_diff": ORACLE_Q88,
     "q89_psi_drift": ORACLE_Q89,
+    "q90_ks_drift": ORACLE_Q90,
 }

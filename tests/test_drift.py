@@ -68,3 +68,61 @@ def test_validation(spark):
     empty = spark.createDataFrame([(None,)], "value double")
     with pytest.raises(ValueError, match="no non-null"):
         psi_drift(empty, ref, "value")
+
+
+# ------------------------------------------------------------------
+# KS
+# ------------------------------------------------------------------
+
+def _numpy_ks(ref, cur):
+    pts = np.unique(np.concatenate([ref, cur]))
+    fr = np.searchsorted(np.sort(ref), pts, side="right") / len(ref)
+    fc = np.searchsorted(np.sort(cur), pts, side="right") / len(cur)
+    return float(np.abs(fr - fc).max())
+
+
+def _ks(spark, ref_vals, cur_vals, **kw):
+    from outrank_spark.operators.drift import ks_drift
+
+    ref = spark.createDataFrame([(float(v),) for v in ref_vals],
+                                "value double")
+    cur = spark.createDataFrame([(float(v),) for v in cur_vals],
+                                "value double")
+    row = ks_drift(ref, cur, "value", **kw).first()
+    return row["ks_stat"], row["n_ref"], row["n_cur"]
+
+
+def test_ks_matches_numpy_ecdf(spark):
+    rng = np.random.default_rng(5)
+    ref = rng.normal(0, 1, 500).round(2)
+    cur = rng.normal(0.4, 1.3, 350).round(2)
+    d, nr, nc = _ks(spark, ref, cur)
+    assert (nr, nc) == (500, 350)
+    assert d == pytest.approx(_numpy_ks(ref, cur), abs=1e-12)
+
+
+def test_ks_tie_heavy_and_partition_count_invariance(spark):
+    rng = np.random.default_rng(9)
+    ref = rng.integers(0, 5, 300).astype(float)   # massive ties
+    cur = rng.integers(1, 6, 200).astype(float)
+    want = _numpy_ks(ref, cur)
+    for nparts in (1, 7):
+        d, _, _ = _ks(spark, ref, cur, num_partitions=nparts)
+        assert d == pytest.approx(want, abs=1e-12)
+
+
+def test_ks_identical_samples_is_zero_and_disjoint_is_one(spark):
+    vals = np.arange(50, dtype=float)
+    d0, _, _ = _ks(spark, vals, vals)
+    assert d0 == pytest.approx(0.0, abs=1e-12)
+    d1, _, _ = _ks(spark, vals, vals + 1000)
+    assert d1 == pytest.approx(1.0, abs=1e-12)
+
+
+def test_ks_validation_empty_side(spark):
+    from outrank_spark.operators.drift import ks_drift
+
+    ref = spark.createDataFrame([(1.0,)], "value double")
+    empty = spark.createDataFrame([(None,)], "value double")
+    with pytest.raises(ValueError, match="n_cur=0"):
+        ks_drift(ref, empty, "value")
