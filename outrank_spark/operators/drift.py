@@ -44,6 +44,7 @@ def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
     """
     if bins < 2:
         raise ValueError(f"bins must be >= 2, got {bins}")
+    from outrank_spark.operators.discretize import _round_half_up
     from outrank_spark.operators.quantiles import exact_grouped_quantiles
 
     probs = [i / bins for i in range(1, bins)]
@@ -54,7 +55,16 @@ def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
     )
     if bnd.empty:
         raise ValueError("reference snapshot has no non-null values")
-    edges = [round(float(v), boundary_scale)
+    if cur.select(value_col).where(F.col(value_col).isNotNull()).isEmpty():
+        raise ValueError("current snapshot has no non-null values — "
+                         "an all-empty cur would read as maximal "
+                         "drift instead of a data bug")
+    # HALF_UP (discretize._round_half_up), NOT Python's banker's
+    # round: DuckDB rounds half AWAY from zero, and a builtin-round
+    # edge on a 6-dp half-tie (e.g. 5.65e-05) would differ by 1e-6
+    # cross-engine, re-binning every value in the gap (the q69
+    # parity convention)
+    edges = [_round_half_up(float(v), boundary_scale)
              for v in bnd.iloc[0, 1:].tolist()]
     arr = F.array(*[F.lit(e) for e in edges])
     spark = ref.sparkSession
@@ -132,8 +142,11 @@ def ks_drift(ref: DataFrame, cur: DataFrame, value_col: str,
             cur.select(F.col(value_col).cast("double").alias("__v"),
                        F.lit(0).alias("__r"), F.lit(1).alias("__c")))
         .where(F.col("__v").isNotNull())
+        # range partitioning only — no sortWithinPartitions: pass 1
+        # ignores row order and pass 2's pandas groupby(sort=True)
+        # orders the distinct values itself (unlike quantiles, where
+        # the partition sort is load-bearing for offset-based picks)
         .repartitionByRange(n_part, "__v")
-        .sortWithinPartitions("__v")
         .persist()
     )
     try:

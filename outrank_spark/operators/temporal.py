@@ -291,8 +291,13 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list,
     jobs/ingest_warc.py is the intra-snapshot companion).
 
     Keys must be unique per snapshot (a snapshot is a state, not a
-    log); enforce upstream with the latest-capture window.
+    log); enforce upstream with the latest-capture window.  An empty
+    ``compare_cols`` is the presence-only diff (matched keys always
+    read ``unchanged``); empty ``key_cols`` is an error — an
+    unconditioned full-outer join is never what a diff means.
     """
+    if not key_cols:
+        raise ValueError("snapshot_diff needs at least one key column")
     o = old.select(
         *[F.col(k).alias(f"_ok_{k}") for k in key_cols],
         *[F.col(c).alias(f"_ov_{c}") for c in compare_cols],
@@ -308,10 +313,9 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list,
         c = F.col(f"_ok_{k}").eqNullSafe(F.col(f"_nk_{k}"))
         cond = c if cond is None else (cond & c)
     joined = o.join(n, cond, "full_outer")
-    same = None
+    same = F.lit(True)  # presence-only diff when compare_cols == []
     for c in compare_cols:
-        eq = F.col(f"_ov_{c}").eqNullSafe(F.col(f"_nv_{c}"))
-        same = eq if same is None else (same & eq)
+        same = same & F.col(f"_ov_{c}").eqNullSafe(F.col(f"_nv_{c}"))
     status = (
         F.when(F.col("_in_old").isNull(), F.lit("added"))
         .when(F.col("_in_new").isNull(), F.lit("removed"))

@@ -3459,7 +3459,9 @@ FROM cum CROSS JOIN tot GROUP BY nr, nc
 
 
 QUERIES = {
-    # --- exact DuckDB oracles (51; q70 sits past the gate window) ---
+    # --- exact DuckDB oracles (67; the driver's gate window covers
+    # the first 50 — everything after is exact-checked per round by
+    # tools/check_oracles.py, artifact in bench_artifacts/) ---
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
     "q03_events_hourly": q03_events_hourly,

@@ -126,3 +126,20 @@ def test_ks_validation_empty_side(spark):
     empty = spark.createDataFrame([(None,)], "value double")
     with pytest.raises(ValueError, match="n_cur=0"):
         ks_drift(ref, empty, "value")
+
+
+def test_psi_empty_current_raises(spark):
+    ref = spark.createDataFrame([(float(i),) for i in range(20)],
+                                "value double")
+    empty = spark.createDataFrame([(None,)], "value double")
+    with pytest.raises(ValueError, match="current snapshot"):
+        psi_drift(ref, empty, "value")
+
+
+def test_psi_boundary_rounding_is_half_up(spark):
+    # 5.65e-05 is a 6-dp half-tie: banker's round gives 5.6e-05,
+    # HALF_UP (and DuckDB) give 5.7e-05 — the q89 parity class
+    from outrank_spark.operators.discretize import _round_half_up
+
+    assert _round_half_up(5.65e-05, 6) == 5.7e-05
+    assert round(5.65e-05, 6) == 5.6e-05  # why builtin round is banned

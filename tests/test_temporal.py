@@ -327,3 +327,16 @@ class TestSnapshotDiff:
         plan = snapshot_diff(old, new, ["id"], ["v"]) \
             ._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Join") == 1  # one full-outer, nothing else
+
+    def test_presence_only_and_key_validation(self, spark):
+        from outrank_spark.operators.temporal import snapshot_diff
+
+        old = spark.createDataFrame([(1, "a")], "id long, v string")
+        new = spark.createDataFrame([(1, "ZZZ"), (2, "b")],
+                                    "id long, v string")
+        got = {r["id"]: r["status"]
+               for r in snapshot_diff(old, new, ["id"], []).collect()}
+        assert got == {1: "unchanged", 2: "added"}  # presence-only
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="key column"):
+            snapshot_diff(old, new, [], ["v"])
