@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["psi_drift", "ks_drift"]
+__all__ = ["psi_drift", "ks_drift", "jsd_categorical"]
 
 
 def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
@@ -117,8 +117,9 @@ def ks_drift(ref: DataFrame, cur: DataFrame, value_col: str,
     statistic evaluated at every observed point).
 
     Distributed exactly, never one global sort task: both sides are
-    tagged, unioned, range-partitioned by value and sorted WITHIN
-    partitions (the operators/quantiles two-pass shape); pass 1 is a
+    tagged, unioned, and range-partitioned by value (the
+    operators/quantiles two-pass shape minus its partition sort —
+    order matters only inside pass 2's pandas groupby); pass 1 is a
     metadata scan of per-partition side counts, whose cumulative
     offsets make each partition's local ECDF globally positioned, so
     pass 2 computes every partition's candidate supremum
@@ -192,3 +193,61 @@ def ks_drift(ref: DataFrame, cur: DataFrame, value_col: str,
         tagged.unpersist()
     return spark.createDataFrame(
         [(float(d), R, C)], "ks_stat double, n_ref long, n_cur long")
+
+
+def jsd_categorical(ref: DataFrame, cur: DataFrame,
+                    key_col: str) -> DataFrame:
+    """Jensen–Shannon divergence (base-2, so 0 ≤ JSD ≤ 1) between two
+    snapshots' CATEGORICAL distributions — vocabulary/topic/source
+    drift, where :func:`psi_drift`/:func:`ks_drift` cover numeric
+    columns.  ``JSD = 0.5·KL(p‖m) + 0.5·KL(q‖m)`` with
+    ``m = (p+q)/2``; symmetric, finite for disjoint supports (unlike
+    KL), the standard corpus-comparison divergence.
+
+    One tagged union + ONE groupBy(key) computes both count vectors
+    (the dsir single-scan trick); shares and the per-key terms are
+    JVM expressions; a final tiny aggregate ships one row
+    ``(jsd, n_keys, n_ref, n_cur)``.  Keys absent on one side
+    contribute their exact limit terms (p·log2(p/m) with q = 0 —
+    coalesced counts, no eps clamping needed because m > 0 whenever
+    a key exists).  Nulls are dropped on both sides.
+    """
+    tagged = (
+        ref.select(F.col(key_col).alias("__k"),
+                   F.lit(1).alias("__r"), F.lit(0).alias("__c"))
+        .unionByName(
+            cur.select(F.col(key_col).alias("__k"),
+                       F.lit(0).alias("__r"), F.lit(1).alias("__c")))
+        .where(F.col("__k").isNotNull())
+    )
+    counts = tagged.groupBy("__k").agg(
+        F.sum("__r").alias("__nr"), F.sum("__c").alias("__nc"),
+    )
+    tot = counts.agg(F.sum("__nr").alias("__R"),
+                     F.sum("__nc").alias("__C"))
+    ln2 = 0.6931471805599453
+    shares = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("__nr") / F.col("__R")).alias("p"),
+            (F.col("__nc") / F.col("__C")).alias("q"),
+            "__nr", "__nc", "__R", "__C",
+        )
+        .withColumn("m", (F.col("p") + F.col("q")) / 2)
+        .select(
+            (F.when(F.col("p") > 0,
+                    F.col("p") * F.log(F.col("p") / F.col("m")))
+             .otherwise(0.0) / ln2 / 2
+             + F.when(F.col("q") > 0,
+                      F.col("q") * F.log(F.col("q") / F.col("m")))
+             .otherwise(0.0) / ln2 / 2).alias("term"),
+            "__R", "__C",
+        )
+    )
+    return shares.groupBy("__R", "__C").agg(
+        F.sum("term").alias("jsd"),
+        F.count(F.lit(1)).alias("n_keys"),
+    ).select(
+        "jsd", "n_keys",
+        F.col("__R").alias("n_ref"), F.col("__C").alias("n_cur"),
+    )

@@ -3458,6 +3458,54 @@ FROM cum CROSS JOIN tot GROUP BY nr, nc
 """
 
 
+def q91_vocab_jsd(spark, sf_dir):
+    """Vocabulary drift (operators/drift.jsd_categorical): base-2
+    Jensen–Shannon divergence between the unigram distributions of
+    the even- and odd-id document halves — the categorical companion
+    to q89/q90.  Exact: shares are integer-count ratios, terms are
+    ln-based (one final /ln2), rounded to 6 dp for the cross-engine
+    total order."""
+    from outrank_spark.operators.drift import jsd_categorical
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    out = jsd_categorical(toks.where(F.col("doc_id") % 2 == 0),
+                          toks.where(F.col("doc_id") % 2 == 1), "tok")
+    return out.select(F.round("jsd", 6).alias("jsd"),
+                      "n_keys", "n_ref", "n_cur")
+
+
+ORACLE_Q91 = """
+WITH toks AS (
+  SELECT doc_id, t.tok FROM documents,
+         LATERAL UNNEST(string_split(text, ' ')) AS t(tok)
+  WHERE tok <> ''
+), counts AS (
+  SELECT tok,
+         sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS nr,
+         sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS nc
+  FROM toks GROUP BY 1
+), tot AS (
+  SELECT sum(nr) AS R, sum(nc) AS C FROM counts
+), terms AS (
+  SELECT (CASE WHEN nr > 0 THEN (nr * 1.0 / R)
+               * ln((nr * 1.0 / R) / ((nr * 1.0 / R + nc * 1.0 / C) / 2))
+               ELSE 0 END
+          + CASE WHEN nc > 0 THEN (nc * 1.0 / C)
+               * ln((nc * 1.0 / C) / ((nr * 1.0 / R + nc * 1.0 / C) / 2))
+               ELSE 0 END) / ln(2) / 2 AS term,
+         R, C
+  FROM counts CROSS JOIN tot
+)
+SELECT round(sum(term), 6) AS jsd,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(R AS BIGINT) AS n_ref, CAST(C AS BIGINT) AS n_cur
+FROM terms GROUP BY R, C
+"""
+
+
 QUERIES = {
     # --- exact DuckDB oracles (67; the driver's gate window covers
     # the first 50 — everything after is exact-checked per round by
@@ -3529,6 +3577,7 @@ QUERIES = {
     "q88_snapshot_diff": q88_snapshot_diff,
     "q89_psi_drift": q89_psi_drift,
     "q90_ks_drift": q90_ks_drift,
+    "q91_vocab_jsd": q91_vocab_jsd,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -3627,4 +3676,5 @@ ORACLES = {
     "q88_snapshot_diff": ORACLE_Q88,
     "q89_psi_drift": ORACLE_Q89,
     "q90_ks_drift": ORACLE_Q90,
+    "q91_vocab_jsd": ORACLE_Q91,
 }

@@ -143,3 +143,43 @@ def test_psi_boundary_rounding_is_half_up(spark):
 
     assert _round_half_up(5.65e-05, 6) == 5.7e-05
     assert round(5.65e-05, 6) == 5.6e-05  # why builtin round is banned
+
+
+# ------------------------------------------------------------------
+# JSD
+# ------------------------------------------------------------------
+
+def _numpy_jsd(ref_keys, cur_keys):
+    keys = sorted(set(ref_keys) | set(cur_keys))
+    p = np.array([ref_keys.count(k) for k in keys], float)
+    q = np.array([cur_keys.count(k) for k in keys], float)
+    p, q = p / p.sum(), q / q.sum()
+    m = (p + q) / 2
+    kl = lambda a: np.where(a > 0, a * np.log2(
+        np.where(a > 0, a, 1) / m), 0.0).sum()
+    return 0.5 * kl(p) + 0.5 * kl(q)
+
+
+def _jsd(spark, ref_keys, cur_keys):
+    from outrank_spark.operators.drift import jsd_categorical
+
+    ref = spark.createDataFrame([(k,) for k in ref_keys], "k string")
+    cur = spark.createDataFrame([(k,) for k in cur_keys], "k string")
+    return jsd_categorical(ref, cur, "k").first()
+
+
+def test_jsd_matches_numpy_model(spark):
+    rng = np.random.default_rng(13)
+    ref = [f"w{int(v)}" for v in rng.integers(0, 20, 300)]
+    cur = [f"w{int(v)}" for v in rng.integers(5, 30, 250)]
+    row = _jsd(spark, ref, cur)
+    assert row["jsd"] == pytest.approx(_numpy_jsd(ref, cur), abs=1e-12)
+    assert (row["n_ref"], row["n_cur"]) == (300, 250)
+    assert row["n_keys"] == len(set(ref) | set(cur))
+
+
+def test_jsd_bounds_identical_zero_disjoint_one(spark):
+    same = ["a", "b", "b", "c"]
+    assert _jsd(spark, same, list(same))["jsd"] == pytest.approx(0.0)
+    d = _jsd(spark, ["a", "b"], ["c", "d"])["jsd"]
+    assert d == pytest.approx(1.0, abs=1e-12)  # base-2 upper bound
