@@ -38,7 +38,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from outrank_spark.hashing import qcol
 
-__all__ = ["mi_contingency", "mi_table_scores", "ami_table_scores"]
+__all__ = ["mi_contingency", "mi_table_scores", "ami_table_scores",
+           "chi2_association"]
 
 # sentinel so genuine data NULLs stay a distinct category (the
 # reference's value domain is strings where '' is an ordinary value)
@@ -237,3 +238,57 @@ def mi_table_scores(df: DataFrame, pairs: Sequence[tuple[str, str]],
         )
         out = part if out is None else out.union(part)
     return out
+
+
+def chi2_association(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Pearson chi-square + Cramér's V between two categorical
+    columns — the classical contingency-test companion to the MI
+    family (same distributed shape as :func:`mi_contingency`: one
+    grouped count builds the table, margins come from re-aggregation,
+    nothing collects).  Zero observed cells of the full level grid
+    contribute their expected mass (the (0−e)²/e = e terms), so the
+    statistic is the textbook one, not a sparse approximation.
+
+    Returns one row ``(chi2, dof, cramers_v, n)``; rows with a null
+    in either column are dropped (a null level is better modeled
+    explicitly with coalesce upstream).  Scale: the shuffles are the
+    observed-cell count (≤ r·c rows after map-side combine) and two
+    margin re-aggregations; the full grid is a join of the two margin
+    tables — r·c cells is the statistic's own size, never the fact
+    table squared.
+    """
+    obs = (
+        df.select(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+        .where(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    ra = obs.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+    cb = obs.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+    tot = obs.agg(F.sum("__o").alias("__n"),
+                  F.countDistinct("__a").alias("__r"),
+                  F.countDistinct("__b").alias("__c"))
+    grid = (
+        ra.crossJoin(cb)
+        .join(obs, ["__a", "__b"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            ((F.coalesce("__o", F.lit(0))
+              - F.col("__ra") * F.col("__cb") / F.col("__n")) ** 2
+             / (F.col("__ra") * F.col("__cb") / F.col("__n")))
+            .alias("__cell"),
+            "__n", "__r", "__c",
+        )
+    )
+    return grid.groupBy("__n", "__r", "__c").agg(
+        F.sum("__cell").alias("chi2"),
+    ).select(
+        "chi2",
+        ((F.col("__r") - 1) * (F.col("__c") - 1)).alias("dof"),
+        F.sqrt(
+            F.col("chi2")
+            / (F.col("__n") * F.least(F.col("__r") - 1,
+                                      F.col("__c") - 1)),
+        ).alias("cramers_v"),
+        F.col("__n").alias("n"),
+    )

@@ -3506,6 +3506,46 @@ FROM terms GROUP BY R, C
 """
 
 
+def q92_chi2_association(spark, sf_dir):
+    """Chi-square / Cramér's V between document lang and source
+    (operators/mi_distributed.chi2_association): the classical
+    contingency association test beside the MI heuristics — full
+    r x c grid including zero cells, so the statistic is textbook
+    exact; both engines compute from identical integer counts."""
+    from outrank_spark.operators.mi_distributed import chi2_association
+
+    docs = load(spark, sf_dir, "documents")
+    out = chi2_association(docs, "lang", "source")
+    return out.select(F.round("chi2", 6).alias("chi2"), "dof",
+                      F.round("cramers_v", 6).alias("cramers_v"), "n")
+
+
+ORACLE_Q92 = """
+WITH obs AS (
+  SELECT lang AS a, source AS b, count(*) AS o
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1, 2
+), ra AS (SELECT a, sum(o) AS ra FROM obs GROUP BY 1),
+cb AS (SELECT b, sum(o) AS cb FROM obs GROUP BY 1),
+tot AS (
+  SELECT sum(o) AS n, count(DISTINCT a) AS r, count(DISTINCT b) AS c
+  FROM obs
+), grid AS (
+  SELECT pow(coalesce(obs.o, 0) - ra.ra * cb.cb * 1.0 / tot.n, 2)
+         / (ra.ra * cb.cb * 1.0 / tot.n) AS cell,
+         tot.n, tot.r, tot.c
+  FROM ra CROSS JOIN cb CROSS JOIN tot
+  LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b
+)
+SELECT round(sum(cell), 6) AS chi2,
+       CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+       round(sqrt(sum(cell) / (n * least(r - 1, c - 1))), 6)
+         AS cramers_v,
+       CAST(n AS BIGINT) AS n
+FROM grid GROUP BY n, r, c
+"""
+
+
 QUERIES = {
     # --- exact DuckDB oracles (67; the driver's gate window covers
     # the first 50 — everything after is exact-checked per round by
@@ -3578,6 +3618,7 @@ QUERIES = {
     "q89_psi_drift": q89_psi_drift,
     "q90_ks_drift": q90_ks_drift,
     "q91_vocab_jsd": q91_vocab_jsd,
+    "q92_chi2_association": q92_chi2_association,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -3677,4 +3718,5 @@ ORACLES = {
     "q89_psi_drift": ORACLE_Q89,
     "q90_ks_drift": ORACLE_Q90,
     "q91_vocab_jsd": ORACLE_Q91,
+    "q92_chi2_association": ORACLE_Q92,
 }

@@ -178,3 +178,54 @@ class TestAmiTableScores:
         }))
         with pytest.raises(ValueError, match="max_cardinality"):
             ami_table_scores(df, [("hi", "lo")], max_cardinality=100)
+
+
+class TestChi2Association:
+    def _run(self, spark, rows):
+        from outrank_spark.operators.mi_distributed import chi2_association
+
+        df = spark.createDataFrame(rows, "a string, b string")
+        return chi2_association(df, "a", "b").first()
+
+    @staticmethod
+    def _numpy_chi2(rows):
+        import numpy as np
+
+        av = sorted({a for a, _ in rows})
+        bv = sorted({b for _, b in rows})
+        o = np.zeros((len(av), len(bv)))
+        for a, b in rows:
+            o[av.index(a), bv.index(b)] += 1
+        n = o.sum()
+        e = np.outer(o.sum(1), o.sum(0)) / n
+        chi2 = ((o - e) ** 2 / e).sum()
+        v = float(np.sqrt(chi2 / (n * (min(len(av), len(bv)) - 1))))
+        return chi2, (len(av) - 1) * (len(bv) - 1), v, int(n)
+
+    def test_matches_numpy_including_zero_cells(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(17)
+        rows = [(f"a{int(rng.integers(0, 4))}", f"b{int(rng.integers(0, 3))}")
+                for _ in range(300)]
+        rows += [("a9", "b0")] * 5        # a level with zero cells
+        got = self._run(spark, rows)
+        chi2, dof, v, n = self._numpy_chi2(rows)
+        assert got["chi2"] == pytest.approx(chi2, abs=1e-9)
+        assert got["dof"] == dof and got["n"] == n
+        assert got["cramers_v"] == pytest.approx(v, abs=1e-12)
+
+    def test_exact_independence_is_zero(self, spark):
+        # product-form counts: o[i,j] = ri*cj => chi2 == 0 exactly
+        rows = []
+        for i, ri in enumerate([1, 2, 3]):
+            for j, cj in enumerate([2, 4]):
+                rows += [(f"a{i}", f"b{j}")] * (ri * cj)
+        got = self._run(spark, rows)
+        assert got["chi2"] == pytest.approx(0.0, abs=1e-9)
+        assert got["cramers_v"] == pytest.approx(0.0, abs=1e-9)
+
+    def test_perfect_association_v_is_one(self, spark):
+        rows = [("x", "p")] * 10 + [("y", "q")] * 20 + [("z", "r")] * 5
+        got = self._run(spark, rows)
+        assert got["cramers_v"] == pytest.approx(1.0, abs=1e-12)
