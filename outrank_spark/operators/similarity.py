@@ -234,6 +234,15 @@ def kmeans_fit(df: DataFrame, vec_col: str = "embedding", k: int = 16,
     across partitionings and a single blob can't swallow two seeds.
     euclidean objective; normalize inputs upstream for spherical
     (cosine) clustering.
+
+    Bandwidth: the persisted/shipped vector column is cast to
+    ``array<float>`` and the per-batch distance kernel runs in
+    float32 — the iteration loop is DRAM/Arrow-bandwidth-bound (the
+    measured single-box ceiling on the SemDeDup probe), so halving
+    bytes halves the per-pass wall.  Partial sums and the driver
+    reduce stay float64, so centroid precision is unaffected by
+    accumulation; only per-row distances quantize (~1e-7 relative,
+    irrelevant to argmin assignment at any realistic separation).
     """
     sample = np.stack(
         df.select(vec_col)
@@ -259,26 +268,33 @@ def kmeans_fit(df: DataFrame, vec_col: str = "embedding", k: int = 16,
     # times instead of once
     from pyspark import StorageLevel
 
-    src = df.select(vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+    src = df.select(F.col(vec_col).cast("array<float>").alias(vec_col)) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
     for _ in range(max_iter):
-        cent = centroids  # bind for the closure
+        cent32 = centroids.astype(np.float32)  # bind for the closure
 
         def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                vecs = np.stack(pdf[vec_col].to_numpy()) \
+                    .astype(np.float32, copy=False)
                 d2 = (
                     (vecs * vecs).sum(axis=1, keepdims=True)
-                    - 2.0 * (vecs @ cent.T)
-                    + (cent * cent).sum(axis=1)[None, :]
+                    - np.float32(2.0) * (vecs @ cent32.T)
+                    + (cent32 * cent32).sum(axis=1)[None, :]
                 )
                 assign = d2.argmin(axis=1)
-                sums = np.zeros_like(cent)
+                # accumulate in float64: per-row values are float32,
+                # but the SUM must not quantize with batch size
+                sums = np.zeros(cent32.shape, dtype=np.float64)
                 np.add.at(sums, assign, vecs)
-                counts = np.bincount(assign, minlength=len(cent))
-                sse = float(d2[np.arange(len(vecs)), assign].sum())
+                counts = np.bincount(assign, minlength=len(cent32))
+                sse = float(
+                    d2[np.arange(len(vecs)), assign]
+                    .astype(np.float64).sum()
+                )
                 out = pd.DataFrame({
-                    "cell": np.arange(len(cent), dtype=np.int32),
+                    "cell": np.arange(len(cent32), dtype=np.int32),
                     "cnt": counts.astype(np.int64),
                     "sse": np.float64(0.0),
                 })
@@ -313,7 +329,8 @@ def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
                    seed: int = 20141025,
                    target_cell_rows: int = 4096,
                    pair_block_floats: int = 4_000_000,
-                   kmeans_max_iter: int = 20) -> DataFrame:
+                   kmeans_max_iter: int = 20,
+                   boundary_margin: float = 0.03) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023):
     k-means-cluster the (normalized) embeddings, then WITHIN each
     cluster drop every vector whose cosine to a lower-id cluster-mate
@@ -339,41 +356,93 @@ def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
       comparing each block only against earlier-id rows — identical
       drop set to the full matrix, bounded memory even when k-means
       hands one cell far more than the target (skewed embedding mass).
+
+    * boundary multi-probe: published SemDeDup compares within the
+      top-1 cell only, so a near-dup pair sitting exactly on a
+      Voronoi boundary can land in different cells and never be
+      compared — an inherent (and fp-precision-sensitive) recall
+      hole.  Here a vector whose top-2 centroid cosines differ by
+      less than ``boundary_margin`` is probed into BOTH cells
+      (multi-probe, as in multi-probe LSH): a pair is now missed only
+      when the twins' top-2 cell sets are disjoint.  Only boundary
+      rows duplicate (a few percent of the input at the default
+      margin), the drop set can only grow (strictly better recall,
+      same keep-min-id rule), and the blocked prune bounds the
+      slightly larger cells exactly as before.  ``boundary_margin=0``
+      restores the published top-1-only behavior.
+
+    Bandwidth: every vector hop (persist, k-means iterations, cell
+    assignment, the cell shuffle into the prune) moves float32, and
+    the cosine kernels run in float32 — the operator's per-pass cost
+    is DRAM/Arrow/shuffle bandwidth (measured: the single-box scaling
+    ceiling), so halving bytes halves it.  Effect on the drop set:
+    normalized-vector dot products quantize at ~1e-7 relative, i.e.
+    only a pair sitting within ~1e-6 of ``cos_threshold`` can flip —
+    semantically meaningless for a 0.95-threshold near-dup gate (the
+    threshold itself is a heuristic three orders of magnitude
+    coarser).
     """
     from pyspark import StorageLevel
 
     # one persist serves the autoscale count, the k-means iterations,
     # and the cell assignment — without it the upstream lineage (a
     # parquet scan + decode, or a generator pipeline) re-executes for
-    # each of those
-    pruned = df.select(F.col(id_col), F.col(vec_col)) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # each of those.  float32 from the first hop: see the bandwidth
+    # note above.
+    pruned = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<float>").alias(vec_col),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     n = pruned.count()
     k = max(int(k), -(-n // max(int(target_cell_rows), 1)))
     centroids, _ = kmeans_fit(pruned, vec_col=vec_col, k=k, seed=seed,
                               max_iter=kmeans_max_iter)
-    cent = centroids / np.maximum(
+    cent = (centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12,
-    )
+    )).astype(np.float32)
+
+    margin = np.float32(boundary_margin)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vecs = np.stack(pdf[vec_col].to_numpy()) \
+                .astype(np.float32, copy=False)
             vn = vecs / np.maximum(
-                np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12,
+                np.linalg.norm(vecs, axis=1, keepdims=True),
+                np.float32(1e-12),
             )
-            cells = (vn @ cent.T).argmax(axis=1)
-            yield pd.DataFrame({
-                "id": pdf[id_col].to_numpy(),
+            sims = vn @ cent.T
+            cells = sims.argmax(axis=1)
+            ids = pdf[id_col].to_numpy()
+            rows = list(vn)
+            out = pd.DataFrame({
+                "id": ids,
                 "cell": cells.astype(np.int32),
-                "vec": [v.tolist() for v in vn],
+                "vec": rows,
             })
+            if margin > 0 and sims.shape[1] >= 2:
+                # boundary multi-probe: emit a second row into the
+                # runner-up cell when the top-2 cosines are within
+                # the margin (see docstring)
+                top2 = np.argpartition(sims, -2, axis=1)[:, -2:]
+                s2pair = np.take_along_axis(sims, top2, axis=1)
+                second = np.where(top2[:, 1] == cells,
+                                  top2[:, 0], top2[:, 1])
+                s_lo = s2pair.min(axis=1)
+                s_hi = s2pair.max(axis=1)
+                edge = (s_hi - s_lo) < margin
+                if edge.any():
+                    out = pd.concat([out, pd.DataFrame({
+                        "id": ids[edge],
+                        "cell": second[edge].astype(np.int32),
+                        "vec": [rows[i] for i in np.flatnonzero(edge)],
+                    })], ignore_index=True)
+            yield out
 
     assigned = pruned.mapInPandas(
-        assign, schema="id long, cell int, vec array<double>",
+        assign, schema="id long, cell int, vec array<float>",
     )
 
-    thr = float(cos_threshold)
+    thr = np.float32(cos_threshold)
 
     blk_floats = int(pair_block_floats)
 

@@ -865,6 +865,43 @@ class TestSemanticDedup:
                            pair_block_floats=64).collect())
         assert kept_blocked == kept_full
 
+    def test_boundary_multiprobe_catches_straddling_pair(self, spark):
+        """A near-dup twin pair placed exactly on the Voronoi
+        boundary between two well-separated clusters is the published
+        SemDeDup recall hole (within-cell-only compare).  With the
+        default boundary_margin the pair is probed into both cells
+        and pruned; the off-boundary cluster members are untouched,
+        and no phantom rows appear (multi-probe duplicates rows into
+        a second CELL, never into the output)."""
+        from outrank_spark.operators.similarity import semantic_dedup
+
+        rng = np.random.default_rng(11)
+        dim = 16
+        a = np.zeros(dim); a[0] = 1.0
+        b = np.zeros(dim); b[1] = 1.0
+        rows = []
+        vid = 0
+        for anchor in (a, b):
+            for _ in range(20):
+                # wide noise: cluster-mate cosines land ~0.8, safely
+                # below the 0.99 prune threshold
+                v = anchor * 4.0 + rng.standard_normal(dim) * 0.5
+                rows.append((vid, v.tolist())); vid += 1
+        # twin pair at the exact midpoint direction of the two
+        # anchors: equidistant from both centroids -> top-2 centroid
+        # cosines within any positive margin
+        mid = (a + b) / np.linalg.norm(a + b)
+        rows.append((vid, (mid * 4.0).tolist())); vid += 1
+        rows.append((vid, (mid * 4.0 + rng.standard_normal(dim)
+                           * 1e-4).tolist())); vid += 1
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        kept = semantic_dedup(df, k=2, cos_threshold=0.99).toPandas()
+        kept_ids = sorted(kept["vec_id"])
+        # exactly the 40 cluster members + the lower-id twin survive,
+        # each exactly once
+        assert kept_ids == list(range(41))
+
     @pytest.mark.slow
     def test_million_rows_default_k_autoscales(self, spark):
         """VERDICT r3 item 3: at 1M rows the old fixed k=64 meant

@@ -68,9 +68,11 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             spark_df = fn(spark, sf_dir).toPandas()
@@ -103,7 +105,7 @@ def main() -> int:
             failures.append(name)
         print(f"{status} {name}: {len(a)} rows [{time.time()-t0:.1f}s]")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    print(f"\n{n_run - len(failures)}/{n_run} pass")
     return 1 if failures else 0
 
 
