@@ -41,12 +41,15 @@ def _large_star(edges: DataFrame) -> DataFrame:
     mins = sym.groupBy("src").agg(
         F.least(F.min("dst"), F.first("src")).alias("mn"),
     )
+    # no trailing distinct: the very next op is _small_star's
+    # orient+distinct, which dedupes the same rows in its own shuffle
+    # — a distinct here would shuffle the full edge set once more for
+    # nothing
     return (
         sym.join(mins, "src")
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 
@@ -64,7 +67,10 @@ def _small_star(edges: DataFrame) -> DataFrame:
     point_neighbors = joined.select(
         F.col("dst").alias("src"), F.col("mn").alias("dst"),
     )
-    point_self = joined.select("src", F.col("mn").alias("dst")).distinct()
+    # point_self left un-deduped: the union's trailing distinct
+    # dedupes it in the same shuffle, so a pre-distinct would be one
+    # extra full pass to save only the duplicate (src, mn) rows
+    point_self = joined.select("src", F.col("mn").alias("dst"))
     return (
         point_neighbors.union(point_self)
         .where(F.col("src") != F.col("dst"))

@@ -237,12 +237,14 @@ def kmeans_fit(df: DataFrame, vec_col: str = "embedding", k: int = 16,
 
     Bandwidth: the persisted/shipped vector column is cast to
     ``array<float>`` and the per-batch distance kernel runs in
-    float32 — the iteration loop is DRAM/Arrow-bandwidth-bound (the
-    measured single-box ceiling on the SemDeDup probe), so halving
-    bytes halves the per-pass wall.  Partial sums and the driver
-    reduce stay float64, so centroid precision is unaffected by
-    accumulation; only per-row distances quantize (~1e-7 relative,
-    irrelevant to argmin assignment at any realistic separation).
+    float32, halving the bytes in the cache/Arrow hops of every Lloyd
+    iteration.  Single-box wall effect is modest (the probe's local
+    ceiling is Python-side stack/normalize, not bytes); on a real
+    cluster the halved network/cache footprint is the win.  Partial
+    sums and the driver reduce stay float64, so centroid precision is
+    unaffected by accumulation; only per-row distances quantize
+    (~1e-7 relative, irrelevant to argmin assignment at any realistic
+    separation).
     """
     sample = np.stack(
         df.select(vec_col)
@@ -330,7 +332,7 @@ def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
                    target_cell_rows: int = 4096,
                    pair_block_floats: int = 4_000_000,
                    kmeans_max_iter: int = 20,
-                   boundary_margin: float = 0.03) -> DataFrame:
+                   boundary_margin: float = 0.01) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023):
     k-means-cluster the (normalized) embeddings, then WITHIN each
     cluster drop every vector whose cosine to a lower-id cluster-mate
@@ -365,22 +367,30 @@ def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
       less than ``boundary_margin`` is probed into BOTH cells
       (multi-probe, as in multi-probe LSH): a pair is now missed only
       when the twins' top-2 cell sets are disjoint.  Only boundary
-      rows duplicate (a few percent of the input at the default
-      margin), the drop set can only grow (strictly better recall,
-      same keep-min-id rule), and the blocked prune bounds the
-      slightly larger cells exactly as before.  ``boundary_margin=0``
-      restores the published top-1-only behavior.
+      rows duplicate, the drop set can only grow (strictly better
+      recall, same keep-min-id rule), and the blocked prune bounds
+      the slightly larger cells exactly as before.
+      ``boundary_margin=0`` restores the published top-1-only
+      behavior.  Cost/recall knob: a pair that argmax-flips across a
+      boundary has a top-2 gap bounded by its own cosine
+      perturbation, so a margin of 0.01 already covers every pair
+      tight enough to matter at a 0.95 threshold; measured on the
+      600k-row bench probe, margin 0.01 duplicates ~8% of rows
+      (+~40% prune wall) while 0.03 duplicates ~25% and — because
+      boundary rows concentrate in specific cell pairs — quadruples
+      the prune, which is why 0.01 is the default.
 
     Bandwidth: every vector hop (persist, k-means iterations, cell
     assignment, the cell shuffle into the prune) moves float32, and
-    the cosine kernels run in float32 — the operator's per-pass cost
-    is DRAM/Arrow/shuffle bandwidth (measured: the single-box scaling
-    ceiling), so halving bytes halves it.  Effect on the drop set:
-    normalized-vector dot products quantize at ~1e-7 relative, i.e.
-    only a pair sitting within ~1e-6 of ``cos_threshold`` can flip —
-    semantically meaningless for a 0.95-threshold near-dup gate (the
-    threshold itself is a heuristic three orders of magnitude
-    coarser).
+    the cosine kernels run in float32 — by construction half the
+    shuffle/cache bytes of the double path (the cost that dominates
+    on a real cluster's network; single-box wall is ~neutral, see the
+    bench probe).  Effect on the drop set: normalized-vector dot
+    products quantize at ~1e-7 relative, i.e. only a pair sitting
+    within ~1e-6 of ``cos_threshold`` can flip — semantically
+    meaningless for a 0.95-threshold near-dup gate (the threshold
+    itself is a heuristic three orders of magnitude coarser; the
+    multi-probe margin absorbs any assignment flips).
     """
     from pyspark import StorageLevel
 

@@ -164,6 +164,18 @@ def funnel_counts(df: DataFrame, steps: list, user_col: str = "user_id",
     furthest-step indicator sums are all-JVM (``F.aggregate`` — no
     Python in the hot path); output is k rows.
 
+    Shuffle-byte packing: each event ships as ONE long —
+    ``t << kbits | s`` (micros timestamp, step index in the low
+    bits) — instead of a ``struct(t, s)``: an 8-byte packed array
+    element vs ~16 + offsets for the struct, roughly halving the
+    bytes through the operator's only shuffle (its measured
+    single-box ceiling).  The packing is order-exact: for
+    ``0 <= s < 2^kbits`` the packed long sorts identically to
+    lexicographic ``(t, s)`` (including negative/pre-1970 t —
+    arithmetic shiftright is floor division), and the fold decodes
+    with shift/mask, so semantics are bit-identical to the struct
+    form.
+
     Returns ``(step, event_type, n_users)`` where ``n_users`` counts
     users whose furthest step reached is >= ``step`` (1-based), so
     rows are monotone non-increasing — the classic funnel chart.
@@ -175,14 +187,19 @@ def funnel_counts(df: DataFrame, steps: list, user_col: str = "user_id",
     horizon_us = (None if horizon_seconds is None
                   else int(horizon_seconds) * 1_000_000)
 
+    # packed-event encoding (see docstring): kbits low bits hold the
+    # step index, the rest the micros timestamp
+    kbits = max(1, (k - 1).bit_length())
     ev = (
         df.where(F.col(type_col).isin(list(steps)))
         .select(
             F.col(user_col).alias("_u"),
-            F.struct(
-                F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
-                (F.array_position(steps_lit, F.col(type_col)) - 1)
-                .cast("int").alias("s"),
+            (
+                F.shiftleft(
+                    F.unix_micros(F.col(ts_col).cast("timestamp")), kbits,
+                ).cast("long")
+                + (F.array_position(steps_lit, F.col(type_col)) - 1)
+                .cast("long")
             ).alias("_e"),
         )
     )
@@ -192,20 +209,22 @@ def funnel_counts(df: DataFrame, steps: list, user_col: str = "user_id",
 
     def fold(acc, e):
         # acc: (stage, t1, last) — stage = steps completed so far
-        advance = (e["s"] == acc["stage"]) & (
-            (acc["stage"] == 0) | (e["t"] > acc["last"])
+        s = e.bitwiseAND(F.lit((1 << kbits) - 1))
+        t = F.shiftright(e, kbits)
+        advance = (s == acc["stage"].cast("long")) & (
+            (acc["stage"] == 0) | (t > acc["last"])
         )
         if horizon_us is not None:
             advance = advance & (
-                (acc["stage"] == 0) | (e["t"] <= acc["t1"] + horizon_us)
+                (acc["stage"] == 0) | (t <= acc["t1"] + horizon_us)
             )
         return F.when(
             advance,
             F.struct(
                 (acc["stage"] + 1).alias("stage"),
-                F.when(acc["stage"] == 0, e["t"])
+                F.when(acc["stage"] == 0, t)
                 .otherwise(acc["t1"]).alias("t1"),
-                e["t"].alias("last"),
+                t.alias("last"),
             ),
         ).otherwise(acc)
 
