@@ -1,0 +1,113 @@
+"""Distributed-exact evaluation metrics for trained scorers.
+
+A corpus-scale quality classifier (operators/quality_model.py) or any
+heuristic scorer (operators/text.py) needs its discrimination measured
+on held-out labels at the same scale it scores — collecting scores to
+the driver for sklearn-style metrics is exactly the non-distributed
+trap the rest of the engine avoids.
+
+`roc_auc` computes the EXACT area under the ROC curve via the
+Mann–Whitney identity
+
+    AUC = P(score_pos > score_neg) + 0.5 * P(score_pos = score_neg)
+        = sum_s [ neg_below(s) * pos(s) + 0.5 * neg(s) * pos(s) ]
+          / (P * N)
+
+summed over distinct scores s — ties handled by the standard
+average-rank convention, matching the textbook definition and any SQL
+window-function oracle.
+
+Distribution shape (the operators/drift.ks_drift two-pass pattern —
+never one global sort task): range-partition by score, pass 1 collects
+per-partition (pos, neg) counts (a tiny metadata row per partition)
+whose cumulative offsets position every partition's local tally
+globally, pass 2 computes each partition's contribution independently
+and ships ONE number per partition to the driver.  A range partitioner
+maps equal scores to one partition, so tie groups never straddle
+partitions and the tie term is exact.
+
+There is no reference-repo counterpart (the reference delegates model
+quality to sklearn CV inside importance_estimator.py:42-53); this is a
+north-rule training-data-pipeline operator.
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["roc_auc"]
+
+
+def roc_auc(df: DataFrame, label_col: str, score_col: str,
+            num_partitions: int | None = None) -> DataFrame:
+    """Exact ROC AUC of ``score_col`` predicting binary ``label_col``
+    (nonzero/true = positive).  Returns one row
+    ``(auc, n_pos, n_neg)``.  Null scores and null labels are
+    excluded; raises if either class is empty (AUC undefined).
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    n_part = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
+    lab = F.col(label_col).cast("double")
+    tagged = (
+        df.select(
+            F.col(score_col).cast("double").alias("__v"),
+            F.when(lab != 0, F.lit(1)).otherwise(F.lit(0)).alias("__p"),
+            F.when(lab != 0, F.lit(0)).otherwise(F.lit(1)).alias("__n"),
+        )
+        .where(F.col("__v").isNotNull() & lab.isNotNull())
+        # range partitioning only — no partition sort: pass 1 ignores
+        # row order and pass 2's pandas groupby(sort=True) orders the
+        # distinct scores itself
+        .repartitionByRange(n_part, "__v")
+        .persist()
+    )
+    try:
+        def counts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            p = n = 0
+            for pdf in batches:
+                p += int(pdf["__p"].sum())
+                n += int(pdf["__n"].sum())
+            if p or n:
+                yield pd.DataFrame({"pid": [pid], "p": [p], "n": [n]})
+
+        meta = tagged.mapInPandas(counts, "pid int, p long, n long") \
+            .toPandas().sort_values("pid")
+        P, N = int(meta["p"].sum()), int(meta["n"].sum())
+        if P == 0 or N == 0:
+            raise ValueError(
+                f"AUC needs both classes (got n_pos={P}, n_neg={N})")
+        meta["off_n"] = meta["n"].cumsum() - meta["n"]
+        offsets = {int(r.pid): int(r.off_n)
+                   for r in meta.itertuples(index=False)}
+
+        def contrib(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            parts = [pdf for pdf in batches if len(pdf)]
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True)
+            off_n = offsets.get(pid, 0)
+            g = pdf.groupby("__v", sort=True)[["__p", "__n"]].sum()
+            # negatives strictly below each distinct score, globally
+            nb = g["__n"].cumsum() - g["__n"] + off_n
+            u = float((nb * g["__p"]).sum()
+                      + 0.5 * (g["__n"] * g["__p"]).sum())
+            yield pd.DataFrame({"u": [u]})
+
+        u = tagged.mapInPandas(contrib, "u double") \
+            .agg(F.sum("u").alias("u")).first()["u"]
+    finally:
+        tagged.unpersist()
+    return spark.createDataFrame(
+        [(float(u) / (P * N), P, N)],
+        "auc double, n_pos long, n_neg long",
+    )

@@ -3546,6 +3546,46 @@ FROM grid GROUP BY n, r, c
 """
 
 
+def q93_score_auc(spark, sf_dir):
+    """Exact distributed ROC AUC (operators/evaluation.roc_auc):
+    does an event's value predict a purchase?  label = (event_type =
+    'purchase'), score = round(value, 1) — the rounding plants heavy
+    score ties so the average-rank tie term is exercised, not just
+    the strict-inequality path.  Exact via the Mann–Whitney identity
+    over distinct scores with range-partition offset positioning (the
+    q90 KS shape — never one global sort task); both engines compute
+    from identical integer tie-group counts, rounded to 6 dp for the
+    cross-engine total order."""
+    from outrank_spark.operators.evaluation import roc_auc
+
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    scored = ev.select(
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+        F.round("value", 1).alias("score"),
+    )
+    out = roc_auc(scored, "label", "score")
+    return out.select(F.round("auc", 6).alias("auc"), "n_pos", "n_neg")
+
+
+ORACLE_Q93 = """
+WITH t AS (
+  SELECT round(value, 1) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL
+), g AS (
+  SELECT s, sum(y) AS p, sum(1 - y) AS n FROM t GROUP BY s
+), c AS (
+  SELECT p, n,
+         coalesce(sum(n) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+  FROM g
+), tot AS (SELECT sum(p) AS np, sum(n) AS nn FROM g)
+SELECT round(sum(nb * p + 0.5 * n * p) / (np * nn), 6) AS auc,
+       CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
+FROM c CROSS JOIN tot GROUP BY np, nn
+"""
+
+
 QUERIES = {
     # --- exact DuckDB oracles (67; the driver's gate window covers
     # the first 50 — everything after is exact-checked per round by
@@ -3619,6 +3659,7 @@ QUERIES = {
     "q90_ks_drift": q90_ks_drift,
     "q91_vocab_jsd": q91_vocab_jsd,
     "q92_chi2_association": q92_chi2_association,
+    "q93_score_auc": q93_score_auc,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -3719,4 +3760,5 @@ ORACLES = {
     "q90_ks_drift": ORACLE_Q90,
     "q91_vocab_jsd": ORACLE_Q91,
     "q92_chi2_association": ORACLE_Q92,
+    "q93_score_auc": ORACLE_Q93,
 }

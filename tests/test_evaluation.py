@@ -1,0 +1,97 @@
+"""roc_auc (operators/evaluation.py) vs an independent numpy
+Mann–Whitney model (average-rank U statistic), plus analytic anchors:
+a perfect scorer is 1.0, an anti-scorer 0.0, a constant scorer exactly
+0.5 via the tie term, and the result is invariant to partitioning and
+partition count (the range-offset positioning is doing its job)."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from outrank_spark.operators.evaluation import roc_auc
+
+
+def _numpy_auc(labels, scores):
+    """Tie-aware AUC via average ranks (scipy-free rankdata)."""
+    scores = np.asarray(scores, dtype=float)
+    labels = np.asarray(labels, dtype=int)
+    order = np.argsort(scores, kind="stable")
+    ranks = np.empty(len(scores), dtype=float)
+    sorted_scores = scores[order]
+    i = 0
+    while i < len(sorted_scores):
+        j = i
+        while (j + 1 < len(sorted_scores)
+               and sorted_scores[j + 1] == sorted_scores[i]):
+            j += 1
+        ranks[order[i:j + 1]] = (i + j) / 2.0 + 1.0  # average 1-based
+        i = j + 1
+    pos = labels == 1
+    n_pos, n_neg = int(pos.sum()), int((~pos).sum())
+    u = ranks[pos].sum() - n_pos * (n_pos + 1) / 2.0
+    return u / (n_pos * n_neg)
+
+
+def _spark_auc(spark, labels, scores, **kw):
+    df = spark.createDataFrame(
+        [(int(y), float(s)) for y, s in zip(labels, scores)],
+        "label int, score double",
+    )
+    row = roc_auc(df, "label", "score", **kw).first()
+    return row["auc"], row["n_pos"], row["n_neg"]
+
+
+class TestRocAuc:
+    def test_perfect_and_inverted_scorers(self, spark):
+        labels = [0] * 10 + [1] * 10
+        scores = list(range(20))
+        auc, p, n = _spark_auc(spark, labels, scores)
+        assert (auc, p, n) == (1.0, 10, 10)
+        auc_inv, _, _ = _spark_auc(spark, labels, scores[::-1])
+        assert auc_inv == 0.0
+
+    def test_constant_scorer_is_half_by_tie_term(self, spark):
+        labels = [0, 1] * 15
+        auc, _, _ = _spark_auc(spark, labels, [7.0] * 30)
+        assert auc == 0.5
+
+    def test_matches_numpy_rank_model_with_ties(self, spark):
+        rng = np.random.default_rng(42)
+        n = 3000
+        labels = (rng.random(n) < 0.3).astype(int)
+        # signal + heavy ties from 1-dp rounding
+        scores = np.round(labels * 0.8 + rng.normal(0, 1, n), 1)
+        auc, p, nn = _spark_auc(spark, labels, scores)
+        expect = _numpy_auc(labels, scores)
+        assert auc == pytest.approx(expect, abs=1e-12)
+        assert (p, nn) == (int(labels.sum()), int(n - labels.sum()))
+
+    def test_partitioning_invariant(self, spark):
+        rng = np.random.default_rng(7)
+        labels = (rng.random(500) < 0.5).astype(int)
+        scores = np.round(rng.normal(0, 1, 500), 1)
+        base = None
+        for parts in (1, 3, 17):
+            df = spark.createDataFrame(
+                [(int(y), float(s)) for y, s in zip(labels, scores)],
+                "label int, score double",
+            ).repartition(5)  # arbitrary input layout
+            auc = roc_auc(df, "label", "score",
+                          num_partitions=parts).first()["auc"]
+            if base is None:
+                base = auc
+            assert auc == base
+        assert base == pytest.approx(_numpy_auc(labels, scores),
+                                     abs=1e-12)
+
+    def test_null_rows_excluded_and_single_class_raises(self, spark):
+        df = spark.createDataFrame(
+            [(1, 2.0), (0, 1.0), (None, 9.0), (1, None)],
+            "label int, score double",
+        )
+        row = roc_auc(df, "label", "score").first()
+        assert (row["auc"], row["n_pos"], row["n_neg"]) == (1.0, 1, 1)
+        only_pos = spark.createDataFrame(
+            [(1, 2.0), (1, 1.0)], "label int, score double")
+        with pytest.raises(Exception, match="both classes"):
+            roc_auc(only_pos, "label", "score")
