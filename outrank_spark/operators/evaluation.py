@@ -36,7 +36,7 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["roc_auc"]
+__all__ = ["roc_auc", "calibration_report"]
 
 
 def roc_auc(df: DataFrame, label_col: str, score_col: str,
@@ -110,4 +110,53 @@ def roc_auc(df: DataFrame, label_col: str, score_col: str,
     return spark.createDataFrame(
         [(float(u) / (P * N), P, N)],
         "auc double, n_pos long, n_neg long",
+    )
+
+
+def calibration_report(df: DataFrame, label_col: str, prob_col: str,
+                       n_bins: int = 10) -> DataFrame:
+    """Reliability diagram data + Brier decomposition inputs: bucket
+    predicted probabilities into ``n_bins`` fixed-width bins over
+    [0, 1] and report, per bin, the count, the mean predicted
+    probability, the observed positive rate, and the bin's summed
+    squared error (its share of the corpus Brier score:
+    ``sum(sq_err) / sum(n)`` across the rows is the Brier score).
+
+    A well-calibrated scorer has ``frac_pos ~ mean_prob`` in every
+    bin — the standard post-training check before a quality
+    classifier's scores are used as sampling weights (a use where raw
+    discrimination/AUC is not enough: the WEIGHTS must mean what they
+    say).
+
+    Scale shape: one JVM expression derives the bin, one
+    map-side-combinable ``groupBy(bin)`` computes everything; no
+    Python, no sort, output is <= n_bins rows.  Probabilities outside
+    [0, 1] raise (they are a caller bug, not data noise).
+    """
+    p = F.col(prob_col).cast("double")
+    y = F.col(label_col).cast("double")
+    binned = (
+        df.where(p.isNotNull() & y.isNotNull())
+        .select(
+            F.when((p < 0) | (p > 1), F.raise_error(
+                F.concat(F.lit(f"{prob_col} outside [0, 1]: "),
+                         p.cast("string"))))
+            .otherwise(
+                F.least(F.floor(p * n_bins).cast("int"),
+                        F.lit(n_bins - 1)),
+            ).alias("bin"),
+            p.alias("__p"),
+            F.when(y != 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("__y"),
+        )
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("__p").alias("mean_prob"),
+            F.avg("__y").alias("frac_pos"),
+            F.sum((F.col("__p") - F.col("__y"))
+                  * (F.col("__p") - F.col("__y"))).alias("sq_err"),
+        )
+        .orderBy("bin")
     )

@@ -3586,6 +3586,45 @@ FROM c CROSS JOIN tot GROUP BY np, nn
 """
 
 
+def q94_calibration(spark, sf_dir):
+    """Scorer calibration (operators/evaluation.calibration_report):
+    reliability bins + Brier decomposition for a deterministic
+    pseudo-probability p = (value mod 20) / 20 predicting purchases.
+    Both engines derive p and the fixed-width bin with the identical
+    IEEE double operations (mod, divide, multiply, floor), so bin
+    assignment is bit-identical; per-bin averages/sums round to 6 dp
+    for the cross-engine total order."""
+    from outrank_spark.operators.evaluation import calibration_report
+
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    scored = ev.select(
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+        (F.pmod(F.col("value"), F.lit(20.0)) / 20.0).alias("p"),
+    )
+    out = calibration_report(scored, "label", "p", n_bins=10)
+    return out.select(
+        "bin", "n",
+        F.round("mean_prob", 6).alias("mean_prob"),
+        F.round("frac_pos", 6).alias("frac_pos"),
+        F.round("sq_err", 6).alias("sq_err"),
+    )
+
+
+ORACLE_Q94 = """
+WITH t AS (
+  SELECT least(CAST(floor((fmod(value, 20) / 20) * 10) AS INT), 9) AS bin,
+         fmod(value, 20) / 20 AS p,
+         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+  FROM events WHERE value IS NOT NULL
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       round(avg(p), 6) AS mean_prob,
+       round(avg(y), 6) AS frac_pos,
+       round(sum((p - y) * (p - y)), 6) AS sq_err
+FROM t GROUP BY bin ORDER BY bin
+"""
+
+
 QUERIES = {
     # --- exact DuckDB oracles (67; the driver's gate window covers
     # the first 50 — everything after is exact-checked per round by
@@ -3660,6 +3699,7 @@ QUERIES = {
     "q91_vocab_jsd": q91_vocab_jsd,
     "q92_chi2_association": q92_chi2_association,
     "q93_score_auc": q93_score_auc,
+    "q94_calibration": q94_calibration,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -3761,4 +3801,5 @@ ORACLES = {
     "q91_vocab_jsd": ORACLE_Q91,
     "q92_chi2_association": ORACLE_Q92,
     "q93_score_auc": ORACLE_Q93,
+    "q94_calibration": ORACLE_Q94,
 }

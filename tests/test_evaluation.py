@@ -8,7 +8,7 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from outrank_spark.operators.evaluation import roc_auc
+from outrank_spark.operators.evaluation import calibration_report, roc_auc
 
 
 def _numpy_auc(labels, scores):
@@ -95,3 +95,41 @@ class TestRocAuc:
             [(1, 2.0), (1, 1.0)], "label int, score double")
         with pytest.raises(Exception, match="both classes"):
             roc_auc(only_pos, "label", "score")
+
+
+class TestCalibrationReport:
+    def test_matches_numpy_binning_and_brier(self, spark):
+        rng = np.random.default_rng(5)
+        n = 2000
+        probs = rng.random(n)
+        labels = (rng.random(n) < probs).astype(int)  # calibrated
+        df = spark.createDataFrame(
+            [(int(y), float(p)) for y, p in zip(labels, probs)],
+            "label int, p double",
+        )
+        rows = calibration_report(df, "label", "p").collect()
+        bins = np.minimum(np.floor(probs * 10).astype(int), 9)
+        assert sum(r["n"] for r in rows) == n
+        total_sq = 0.0
+        for r in rows:
+            m = bins == r["bin"]
+            assert r["n"] == int(m.sum())
+            assert r["mean_prob"] == pytest.approx(probs[m].mean(),
+                                                   abs=1e-12)
+            assert r["frac_pos"] == pytest.approx(labels[m].mean(),
+                                                  abs=1e-12)
+            assert r["sq_err"] == pytest.approx(
+                ((probs[m] - labels[m]) ** 2).sum(), abs=1e-9)
+            total_sq += r["sq_err"]
+        # Brier of a calibrated uniform scorer -> E[p(1-p)] = 1/6
+        assert total_sq / n == pytest.approx(1 / 6, abs=0.02)
+
+    def test_exact_one_goes_to_top_bin_and_bounds_raise(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1.0), (0, 0.0), (1, 0.999)], "label int, p double")
+        rows = {r["bin"]: r for r in
+                calibration_report(df, "label", "p").collect()}
+        assert rows[9]["n"] == 2 and rows[0]["n"] == 1
+        bad = spark.createDataFrame([(1, 1.5)], "label int, p double")
+        with pytest.raises(Exception, match="outside"):
+            calibration_report(bad, "label", "p").collect()
