@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["stratified_sample", "weighted_sample",
-           "temperature_rebalance", "dsir_logratio"]
+           "temperature_rebalance", "dsir_logratio", "mixture_sample"]
 
 _KEY_SPACE = 1 << 32  # md5-prefix keys are uniform in [0, 2^32)
 
@@ -128,6 +128,64 @@ def weighted_sample(df: DataFrame, weight_col: str, frac: float,
         .where(u < keep_p)
         .drop("__mean_w")
     )
+
+
+def mixture_sample(df: DataFrame, source_col: str,
+                   target_weights: dict, total_tokens: int,
+                   token_col: str, id_col: str = "doc_id",
+                   seed: str = "mix1") -> DataFrame:
+    """Training-mix assembly by source proportions under a token
+    budget: "60% web, 30% books, 10% code, 500B tokens total".  Each
+    source ``s`` gets a token budget ``total_tokens * w_s / sum(w)``;
+    its sampling rate is ``min(1, budget_s / available_s)`` where
+    ``available_s = sum(token_col)`` over that source's rows; rows are
+    kept when the engine-portable md5-prefix uniform of ``(seed, id)``
+    falls under the rate — deterministic, order-free, replayable as a
+    SQL oracle (the :func:`weighted_sample` acceptance key).
+
+    Semantics notes: rate-threshold sampling hits each budget in
+    EXPECTATION (per-source token sums concentrate tightly at corpus
+    scale); a source whose available tokens are under budget is kept
+    whole (rate caps at 1 — its shortfall is NOT redistributed, so
+    realized proportions are transparent, never silently skewed);
+    sources absent from ``target_weights`` are dropped.
+
+    Scale shape: one map-side-combinable ``groupBy(source)`` token
+    sum whose result (one row per MIXTURE SOURCE — a config-sized
+    list, never corpus-sized) is collected to compute rates, then one
+    scan + JVM md5 filter with the rates inlined as a literal map.
+    No window, no join, no Python.
+    """
+    if not target_weights:
+        raise ValueError("target_weights must be non-empty")
+    if any(w < 0 for w in target_weights.values()):
+        raise ValueError("target weights must be >= 0")
+    wsum = float(sum(target_weights.values()))
+    if wsum <= 0 or total_tokens <= 0:
+        raise ValueError("need positive total weight and token budget")
+    avail = {
+        r["s"]: float(r["toks"])
+        for r in (
+            df.where(F.col(source_col).isin(list(target_weights)))
+            .groupBy(F.col(source_col).alias("s"))
+            .agg(F.sum(F.col(token_col).cast("double")).alias("toks"))
+            .collect()
+        )
+    }
+    rates = {
+        s: min(1.0, (float(total_tokens) * w / wsum) / avail[s])
+        for s, w in target_weights.items()
+        if avail.get(s)  # absent or zero-token sources: nothing to keep
+    }
+    if not rates:
+        return df.where(F.lit(False))
+    rate_map = F.create_map(
+        *[x for s, r in sorted(rates.items())
+          for x in (F.lit(s), F.lit(r))],
+    )
+    u = _md5_uniform(id_col, seed)
+    # null rate (source not in the mix) compares false -> dropped
+    return df.where(u < rate_map[F.col(source_col)])
 
 
 def dsir_logratio(docs: DataFrame, target_col,

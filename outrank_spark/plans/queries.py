@@ -3625,6 +3625,53 @@ FROM t GROUP BY bin ORDER BY bin
 """
 
 
+def q95_mixture_sample(spark, sf_dir):
+    """Training-mix assembly (operators/sampling.mixture_sample):
+    sample sources src0/src1/src2 at 5:1:1 target proportions under a
+    12000-token (n_chars) budget — src0's budget exceeds its
+    available tokens so it keeps whole (rate caps at 1), src1/src2
+    sample fractionally.  Row-for-row exact: both engines compute the
+    same rates from the same integer token sums and replay the same
+    md5-prefix acceptance key."""
+    from outrank_spark.operators.sampling import mixture_sample
+
+    docs = load(spark, sf_dir, "documents")
+    kept = mixture_sample(
+        docs, "source",
+        {"src0": 5.0, "src1": 1.0, "src2": 1.0},
+        total_tokens=12_000, token_col="n_chars",
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("n_tokens"))
+        .orderBy("source")
+    )
+
+
+ORACLE_Q95 = """
+WITH avail AS (
+  SELECT source, sum(n_chars) AS toks
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+  GROUP BY source
+), rates AS (
+  SELECT source,
+         least(1.0, (12000 * CASE source WHEN 'src0' THEN 5.0
+                                         ELSE 1.0 END / 7.0) / toks)
+           AS rate
+  FROM avail
+), kept AS (
+  SELECT d.source, d.n_chars
+  FROM documents d JOIN rates r ON d.source = r.source
+  WHERE (('0x' || substr(md5('mix1' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+         ::BIGINT / 4294967296.0) < r.rate
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_tokens
+FROM kept GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     # --- exact DuckDB oracles (67; the driver's gate window covers
     # the first 50 — everything after is exact-checked per round by
@@ -3700,6 +3747,7 @@ QUERIES = {
     "q92_chi2_association": q92_chi2_association,
     "q93_score_auc": q93_score_auc,
     "q94_calibration": q94_calibration,
+    "q95_mixture_sample": q95_mixture_sample,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -3802,4 +3850,5 @@ ORACLES = {
     "q92_chi2_association": ORACLE_Q92,
     "q93_score_auc": ORACLE_Q93,
     "q94_calibration": ORACLE_Q94,
+    "q95_mixture_sample": ORACLE_Q95,
 }

@@ -84,6 +84,60 @@ class TestWeightedSample:
         assert len(a) > 0
 
 
+class TestMixtureSample:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        # three sources with known token mass: a 10, b 100, c 1000
+        rows = [(i, "a", 1) for i in range(10)]
+        rows += [(100 + i, "b", 1) for i in range(100)]
+        rows += [(1000 + i, "c", 1) for i in range(1000)]
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, toks long").cache()
+
+    def test_budget_proportions_and_cap(self, corpus):
+        from outrank_spark.operators.sampling import mixture_sample
+
+        # equal weights, 60-token budget -> 20 tokens per source:
+        # a (10 available) keeps WHOLE (rate caps at 1), b samples
+        # ~20%, c ~2%
+        kept = mixture_sample(corpus, "source",
+                              {"a": 1.0, "b": 1.0, "c": 1.0},
+                              total_tokens=60, token_col="toks")
+        by_src = {r["source"]: r["n"] for r in
+                  kept.groupBy("source")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert by_src["a"] == 10          # capped source kept whole
+        assert 10 <= by_src["b"] <= 32    # ~Binomial(100, 0.2)
+        assert 8 <= by_src["c"] <= 36     # ~Binomial(1000, 0.02)
+
+    def test_unlisted_sources_dropped_and_determinism(self, corpus):
+        from outrank_spark.operators.sampling import mixture_sample
+
+        kept = mixture_sample(corpus, "source", {"b": 1.0},
+                              total_tokens=50, token_col="toks")
+        assert kept.where(F.col("source") != "b").count() == 0
+        ids = sorted(r["doc_id"] for r in kept.collect())
+        again = sorted(
+            r["doc_id"] for r in
+            mixture_sample(corpus.repartition(7), "source", {"b": 1.0},
+                           total_tokens=50, token_col="toks").collect())
+        assert ids == again and len(ids) > 0
+
+    def test_missing_source_and_validation(self, corpus):
+        from outrank_spark.operators.sampling import mixture_sample
+
+        # a weight for a source with no rows: no crash, nothing kept
+        kept = mixture_sample(corpus, "source", {"nope": 1.0},
+                              total_tokens=100, token_col="toks")
+        assert kept.count() == 0
+        with pytest.raises(ValueError, match="non-empty"):
+            mixture_sample(corpus, "source", {}, 10, "toks")
+        with pytest.raises(ValueError, match="positive"):
+            mixture_sample(corpus, "source", {"a": 0.0}, 10, "toks")
+        with pytest.raises(ValueError, match=">= 0"):
+            mixture_sample(corpus, "source", {"a": -1.0}, 10, "toks")
+
+
 class TestTemperatureRebalance:
     def test_flattens_toward_rare_groups(self, spark):
         import numpy as np
