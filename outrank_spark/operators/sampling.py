@@ -171,6 +171,8 @@ def mixture_sample(df: DataFrame, source_col: str,
             .agg(F.sum(F.col(token_col).cast("double")).alias("toks"))
             .collect()
         )
+        # all-null token column sums to null -> treat as zero tokens
+        if r["toks"] is not None
     }
     rates = {
         s: min(1.0, (float(total_tokens) * w / wsum) / avail[s])

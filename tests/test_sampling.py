@@ -130,6 +130,13 @@ class TestMixtureSample:
         kept = mixture_sample(corpus, "source", {"nope": 1.0},
                               total_tokens=100, token_col="toks")
         assert kept.count() == 0
+        # a source whose token column is all null: zero available
+        # tokens, nothing kept, no crash
+        nulls = corpus.sparkSession.createDataFrame(
+            [(1, "x", None)], "doc_id long, source string, toks long")
+        assert mixture_sample(nulls, "source", {"x": 1.0},
+                              total_tokens=10,
+                              token_col="toks").count() == 0
         with pytest.raises(ValueError, match="non-empty"):
             mixture_sample(corpus, "source", {}, 10, "toks")
         with pytest.raises(ValueError, match="positive"):
