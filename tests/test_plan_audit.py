@@ -331,6 +331,21 @@ class TestSamplingAndLmPlans:
 
 
 class TestRound4LateAdditions:
+    def test_funnel_shuffle_ships_packed_longs(self, spark):
+        """funnel_counts' only shuffle must carry events as one packed
+        bigint array element (t << kbits | s), not a struct — half the
+        shuffle bytes; the byte-thinning must stay visible in the
+        pre-shuffle schema."""
+        from outrank_spark.operators.temporal import funnel_counts
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        out = funnel_counts(ev, ["view", "click", "purchase"])
+        plan = plan_of(out)
+        # the aggregate's input event array is array<bigint>; no
+        # struct-typed event field survives anywhere in the plan
+        assert "shiftleft" in plan
+        assert "struct(t" not in plan
+
     def test_dsir_hashed_mode_broadcasts_weight_table(self, spark):
         """dsir_logratio with bounded buckets must join the per-feature
         log-ratio table back via broadcast — the corpus-side explode is
