@@ -42,7 +42,7 @@ __all__ = [
     "simhash_signatures", "simhash_candidates",
     "embedding_neardup_candidates", "near_dedup_corpus",
     "winnowed_span_pairs", "dedup_paragraphs",
-    "duplicated_spans_exact",
+    "duplicated_spans_exact", "containment_join",
 ]
 
 
@@ -711,4 +711,91 @@ def dedup_paragraphs(df: DataFrame, paras_col: str = "paras",
             "n_paras",
             F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
         )
+    )
+
+
+def containment_join(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 3,
+                     threshold: float = 0.5) -> DataFrame:
+    """Directional shingle containment C(A in B) = |S(A) ∩ S(B)| /
+    |S(A)| over distinct token ``n``-gram shingles: all ORDERED pairs
+    (a, b), a != b, with containment >= ``threshold`` — the
+    near-SUPERSET detector (Broder 1997's containment, the asymmetric
+    companion of resemblance/Jaccard).  Jaccard misses exactly the
+    pairs this catches: a short document wholly quoted inside a long
+    one scores near-zero Jaccard but containment 1.0, which is why
+    curation pipelines (RefinedWeb §3.3's "contained" duplicates)
+    test both directions.
+
+    Scale shape — the q14/q85 discipline, never corpus²:
+
+    1. shingles are one JVM expression (``shingle_df``), distinct per
+       doc, so a repeated phrase inside one doc never multiplies join
+       rows;
+    2. per-doc shingle counts ride along from one map-side
+       ``groupBy(id)``;
+    3. shingles seen by ONE doc die before the self-join (they cannot
+       intersect): per-shingle document frequency comes from ONE
+       window over the shingle-keyed shuffle — the q14 shape — so
+       both self-join sides consume the SAME windowed relation and
+       the shingle explode+shuffle materializes once
+       (ReusedExchange), not once per side;
+    4. the surviving equi-join on shingle hash counts shared shingles
+       per ordered pair; both directions come from the ONE unordered
+       join output (emit (a,b) and (b,a) from each match), so the
+       pair shuffle happens once.
+
+    Zipf caveat: a shingle shared by k docs still yields ~k²/2
+    candidate rows — identical to q14's exact-join cost, and the same
+    routing applies: cap hot shingles and send Zipf heads through
+    ``minhash_lsh_candidates``.  Exactness of the threshold cut needs
+    no float care: containment compares as ``shared * 1.0 / size``
+    with a >= on a ratio of small ints, reproduced verbatim by the
+    q96 oracle.
+
+    Returns ``(id_a, id_b, shared, size_a, containment)`` — "id_a is
+    contained in id_b to degree containment".
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = shingle_df(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    # per-shingle document frequency from one window over the shingle
+    # shuffle (sizes are computed BEFORE this filter, so containment
+    # denominators stay exact); df == 1 shingles cannot form a pair
+    shared_grams = (
+        sh.withColumn(
+            "__k",
+            F.count(F.lit(1)).over(Window.partitionBy("shingle")),
+        )
+        .where(F.col("__k") >= 2)
+        .select(id_col, "shingle")
+    )
+    a = shared_grams.select(F.col(id_col).alias("__ia"), "shingle")
+    b = shared_grams.select(F.col(id_col).alias("__ib"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .where(F.col("__ia") < F.col("__ib"))
+        .groupBy("__ia", "__ib")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    both = pairs.select(
+        F.col("__ia").alias("id_a"), F.col("__ib").alias("id_b"),
+        "shared",
+    ).unionByName(pairs.select(
+        F.col("__ib").alias("id_a"), F.col("__ia").alias("id_b"),
+        "shared",
+    ))
+    return (
+        both.join(
+            sizes.select(F.col(id_col).alias("id_a"),
+                         F.col("__sz").alias("size_a")),
+            "id_a",
+        )
+        .withColumn(
+            "containment",
+            F.col("shared") * F.lit(1.0) / F.col("size_a"),
+        )
+        .where(F.col("containment") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "shared", "size_a", "containment")
     )

@@ -16,7 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["stratified_sample", "weighted_sample",
-           "temperature_rebalance", "dsir_logratio", "mixture_sample"]
+           "temperature_rebalance", "dsir_logratio", "mixture_sample",
+           "hash_split"]
 
 _KEY_SPACE = 1 << 32  # md5-prefix keys are uniform in [0, 2^32)
 
@@ -333,4 +334,54 @@ def temperature_rebalance(df: DataFrame, group_col: str,
                 F.col(group_col).eqNullSafe(F.col("__grp")))
         .where(u < F.col("__keep_frac"))
         .drop("__keep_frac", "__grp")
+    )
+
+
+def hash_split(df: DataFrame, id_col: str,
+               fracs: dict[str, float],
+               seed: str = "split1") -> DataFrame:
+    """Deterministic train/val/test assignment: each row gets a split
+    label from its md5-uniform key against the cumulative ``fracs``
+    thresholds — the leakage-safe way to split a corpus, because
+    membership is a pure function of the row id: re-runs, re-orders,
+    repartitions, and INCREMENTAL additions never move an existing
+    row across splits (a ``randomSplit`` reshuffles everything each
+    run; a row-number split moves the boundary whenever upstream
+    order or volume changes — both silently leak val/test into
+    train over pipeline iterations).
+
+    ZERO shuffle: the label is one JVM expression (md5 prefix + a
+    CASE ladder over literal thresholds), evaluated inside the scan
+    partition.  ``fracs`` must sum to 1 (±1e-9); exact observed
+    proportions converge to ``fracs`` at corpus scale (binomial
+    noise at small n — by design: determinism over exact quotas;
+    ``stratified_sample`` is the exact-quota tool).  The key is the
+    engine-portable ``_md5_key`` shared with q51/q59/q60/q66 oracles.
+
+    Returns the input plus a ``split`` string column.
+    """
+    if not fracs:
+        raise ValueError("fracs must name at least one split")
+    if any(f < 0 for f in fracs.values()):
+        raise ValueError(f"negative split fraction in {fracs}")
+    total = sum(fracs.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    _reject_internal_collisions(df, ("split", "__u"), "hash_split")
+    u = _md5_uniform(id_col, seed)
+    expr = None
+    acc = 0.0
+    names = list(fracs)
+    for name in names[:-1]:
+        acc += fracs[name]
+        branch = (F.when(F.col("__u") < F.lit(acc), F.lit(name))
+                  if expr is None else
+                  expr.when(F.col("__u") < F.lit(acc), F.lit(name)))
+        expr = branch
+    last = F.lit(names[-1])
+    label = last if expr is None else expr.otherwise(last)
+    return (
+        df.withColumn("__u", u)
+        .withColumn("split", label)
+        .drop("__u")
     )

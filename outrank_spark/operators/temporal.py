@@ -31,7 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["asof_join", "range_join", "funnel_counts",
-           "cohort_retention", "snapshot_diff"]
+           "cohort_retention", "snapshot_diff",
+           "densify_time_series", "merge_intervals"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, by: str,
@@ -345,4 +346,152 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list,
         *[F.coalesce(F.col(f"_nk_{k}"), F.col(f"_ok_{k}")).alias(k)
           for k in key_cols],
         status.alias("status"),
+    )
+
+
+def densify_time_series(df: DataFrame, ts_col: str, group_col: str,
+                        bucket: str = "hour",
+                        agg_col: str | None = None) -> DataFrame:
+    """Gap-filled (densified) time series: per ``group_col`` value and
+    time bucket, the event count (and ``sum(agg_col)`` when given),
+    with an explicit ZERO row for every bucket in the global
+    [min(ts), max(ts)] span that has no events for that group — the
+    timescaledb ``time_bucket_gapfill`` / BI "densification" operator
+    a plain GROUP BY cannot express (absent groups simply vanish,
+    silently corrupting moving averages and anomaly baselines
+    downstream).
+
+    Plan shape (scale-safe at 100 TB):
+
+    1. facts collapse FIRST: one map-side-combinable
+       ``groupBy(group, bucket)`` — the only shuffle that sees event
+       volume;
+    2. the bucket spine is generated from a 1-row global min/max
+       aggregate via ``sequence()`` + ``explode`` — never from the
+       fact table — and cross-joined with the DISTINCT group values
+       (a second tiny aggregate), so the grid costs
+       |groups| x |buckets| rows, which is exactly the output size;
+    3. the grid left-joins the pre-aggregated counts. Both sides of
+       that join are already reduced, and the grid side is normally
+       broadcast by AQE.
+
+    The spine uses the GLOBAL span for every group (BI semantics:
+    aligned series).  ``bucket`` is any ``date_trunc`` unit.  At
+    extreme spine sizes (years of seconds x millions of groups) the
+    output itself is the cost — bucket coarser or filter groups first.
+
+    Returns ``(group_col, bucket_ts, n_events[, agg_sum])`` with
+    zero-filled ``n_events`` (and NULL ``agg_sum``) on gap rows.
+    """
+    _reject = {"_b", "_spine_ts", "_grp"}
+    clash = _reject & set(df.columns)
+    if clash:
+        raise ValueError(f"column names collide with internals: {clash}")
+    b = F.date_trunc(bucket, F.col(ts_col))
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if agg_col is not None:
+        aggs.append(F.sum(agg_col).alias("agg_sum"))
+    facts = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(F.col(group_col).alias("_grp"), b.alias("_b"))
+        .agg(*aggs)
+    )
+    span = df.where(F.col(ts_col).isNotNull()).agg(
+        F.date_trunc(bucket, F.min(ts_col)).alias("lo"),
+        F.date_trunc(bucket, F.max(ts_col)).alias("hi"),
+    )
+    spine = span.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr(f"INTERVAL 1 {bucket}")),
+        ).alias("_spine_ts"),
+    )
+    groups = (
+        df.where(F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("_g")).distinct()
+    )
+    grid = spine.crossJoin(groups)
+    out_cols = [
+        F.col("_g").alias(group_col),
+        F.col("_spine_ts").alias("bucket_ts"),
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+    ]
+    if agg_col is not None:
+        out_cols.append(F.col("agg_sum"))
+    return (
+        grid.join(
+            facts,
+            (F.col("_g") == F.col("_grp"))
+            & (F.col("_spine_ts") == F.col("_b")),
+            "left",
+        )
+        .select(*out_cols)
+    )
+
+
+def merge_intervals(df: DataFrame, start_col: str, end_col: str,
+                    by: str) -> DataFrame:
+    """Interval union per key (gaps-and-islands): merge overlapping
+    or touching ``[start, end]`` intervals into maximal episodes and
+    report, per key, the episode count and total covered duration —
+    the dedup step behind "time on site", ad-exposure reach, and
+    machine-uptime metrics, where naively summing raw durations
+    double-counts every overlap.
+
+    Plan: ONE shuffle+sort per key (a single window over
+    ``partitionBy(by).orderBy(start, end)``); an island starts where
+    ``start > running max(end) of all prior rows`` (strictly — equal
+    endpoints touch and merge), detected with ``max(end)`` over
+    ``rowsBetween(unboundedPreceding, -1)``; a running sum over the
+    boolean assigns island ids, then one map-side-combinable
+    aggregate per (key, island) and one per key.  No self-join, no
+    per-interval probing — the published sweep-line plan expressed in
+    two windows sharing one sort.  Skew = one hot key sorts in one
+    task; salt upstream if a single key dominates.
+
+    Rows with NULL start/end or ``end < start`` are rejected (raise)
+    — silent drops would understate coverage.
+
+    Returns ``(by, n_episodes, covered_secs)`` where ``covered_secs``
+    sums ``end - start`` per merged episode in seconds.
+    """
+    reserved = {"_prev_max_end", "_new", "_island", "_s", "_e"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"column names collide with internals: {clash}")
+    bad = df.where(
+        F.col(start_col).isNull() | F.col(end_col).isNull()
+        | (F.col(end_col) < F.col(start_col)),
+    ).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"merge_intervals: NULL or inverted [{start_col}, {end_col}] "
+            "interval present — clean the input first",
+        )
+    w = Window.partitionBy(by).orderBy("_s", "_e")
+    prev_max = F.max("_e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1),
+    )
+    marked = df.select(
+        by,
+        F.col(start_col).alias("_s"),
+        F.col(end_col).alias("_e"),
+    ).withColumn(
+        "_new",
+        F.when(
+            prev_max.isNull() | (F.col("_s") > prev_max), F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0),
+        ),
+    )
+    episodes = marked.groupBy(by, "_island").agg(
+        F.min("_s").alias("_es"), F.max("_e").alias("_ee"),
+    )
+    return episodes.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_episodes"),
+        F.sum(
+            F.col("_ee").cast("double") - F.col("_es").cast("double"),
+        ).alias("covered_secs"),
     )

@@ -7,7 +7,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from outrank_spark.functions.text import (
     detect_language_batch,
@@ -21,7 +21,8 @@ __all__ = ["fit_langid", "with_language_id", "with_quality_features",
            "redact_pii", "PII_PATTERNS",
            "with_token_counts", "with_fingerprints", "tfidf_top_terms",
            "ngram_logprob_scores", "normalize_text",
-           "pmi_collocations", "inverted_index", "bm25_topk"]
+           "pmi_collocations", "inverted_index", "bm25_topk",
+           "ngram_diversity", "zipf_fit"]
 
 
 def fit_langid(df: DataFrame, text_col: str = "text",
@@ -535,3 +536,110 @@ def bm25_topk(df: DataFrame, query_terms: list, k: int = 10,
              F.count(F.lit(1)).alias("n_matched"))
     )
     return scored.orderBy(F.desc("score"), id_col).limit(k)
+
+
+def ngram_diversity(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n: int = 2) -> DataFrame:
+    """Per-document n-gram diversity (distinct-n, Li et al. 2016
+    "A Diversity-Promoting Objective Function for Neural Conversation
+    Models"): ``distinct n-grams / total n-grams`` over whitespace
+    tokens — the standard repetition/diversity score used to flag
+    degenerate (copy-paste, template, model-generated) text in
+    training-data curation; 1.0 = every n-gram unique, -> 0 for
+    loopy text.
+
+    ZERO shuffle: tokens, the n-gram array, and both counts are one
+    JVM ``transform``/``array_distinct`` expression per row — each
+    document is scored inside the scan partition that read it, so the
+    operator inherits the scan's parallelism at any corpus size (the
+    q79 chunking property).  Documents with fewer than ``n`` tokens
+    get NULL diversity (no n-grams exist; 0 would fake "maximally
+    repetitive" and poison downstream filters).
+
+    Returns the input plus ``n_ngrams``, ``n_distinct``,
+    ``diversity``.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    reserved = {"__toks", "__grams"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"column names collide with internals: {clash}")
+    toks = F.split(F.col(text_col), " ")
+    grams = F.expr(
+        f"transform(sequence(1, size(__toks) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(__toks, i, {n})))",
+    )
+    out = (
+        df.withColumn("__toks", toks)
+        .withColumn(
+            "__grams",
+            F.when(F.size("__toks") >= n, grams),
+        )
+        .withColumn("n_ngrams", F.size("__grams"))
+        .withColumn("n_distinct", F.size(F.array_distinct("__grams")))
+        .withColumn(
+            "diversity",
+            F.when(
+                F.col("n_ngrams") > 0,
+                F.col("n_distinct").cast("double") / F.col("n_ngrams"),
+            ),
+        )
+    )
+    return out.drop("__toks", "__grams")
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text",
+             min_count: int = 2, top_k: int | None = None) -> DataFrame:
+    """Corpus Zipf-law fit: OLS slope/intercept/r2 of
+    ``ln(freq) ~ ln(rank)`` over the token frequency table — the
+    rank-frequency diagnostic (Zipf 1949; Piantadosi 2014 review)
+    data-quality audits use to spot corpora that are "off-profile"
+    (slope far from -1 flags boilerplate floods, deduplication
+    failures, or synthetic text).
+
+    Plan: one explode + map-side-combinable ``groupBy(token)`` count
+    (the only stage that sees token volume); the regression runs over
+    the VOCABULARY, not the corpus — ``min_count`` floors the tail
+    (rank-ordering of hapax ties is meaningless and the floor bounds
+    the sorted set), ``top_k`` optionally caps it further for
+    100 TB-vocabulary runs.  Ranks come from one ``row_number`` over
+    ``(count DESC, token)`` — the token tiebreak makes ranks (and so
+    the fit) deterministic and engine-portable; slope/intercept/r2
+    are Spark's built-in ``regr_*`` aggregates (one reduce, nothing
+    collected).
+
+    Returns one row ``(n_types, n_tokens, slope, intercept, r2)``
+    with the regression values rounded to 6 dp (cross-engine float
+    comparability).
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    counts = (
+        df.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
+        )
+        .where(F.col("__tok") != "")
+        .groupBy("__tok").agg(F.count(F.lit(1)).alias("__n"))
+    )
+    floored = counts.where(F.col("__n") >= min_count)
+    w = Window.orderBy(F.col("__n").desc(), F.col("__tok"))
+    ranked = floored.select(
+        F.col("__n"),
+        F.row_number().over(w).alias("__rank"),
+    )
+    if top_k is not None:
+        ranked = ranked.where(F.col("__rank") <= top_k)
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("__n").alias("n_tokens"),
+        F.round(
+            F.expr("regr_slope(ln(__n), ln(__rank))"), 6,
+        ).alias("slope"),
+        F.round(
+            F.expr("regr_intercept(ln(__n), ln(__rank))"), 6,
+        ).alias("intercept"),
+        F.round(
+            F.expr("regr_r2(ln(__n), ln(__rank))"), 6,
+        ).alias("r2"),
+    )

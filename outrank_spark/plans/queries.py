@@ -3672,8 +3672,248 @@ FROM kept GROUP BY source ORDER BY source
 """
 
 
+def q96_containment_pairs(spark, sf_dir):
+    """Near-superset detection (operators/dedup.containment_join):
+    ordered document pairs whose distinct 3-gram shingle containment
+    C(A in B) = |S(A) ∩ S(B)| / |S(A)| is >= 0.5 — the asymmetric
+    companion of q14's Jaccard (a short doc quoted inside a long one
+    scores ~0 Jaccard but 1.0 containment).  Exact: both engines
+    count the same distinct shingles (Spark joins on xxhash64 of the
+    shingle, the oracle on the string — identical pair counts) and
+    the threshold compares an exact small-int ratio."""
+    from outrank_spark.operators.dedup import containment_join
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = containment_join(docs, "text", "doc_id", n=3, threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", "shared", "size_a",
+        F.round("containment", 6).alias("containment"),
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE_Q96 = """
+WITH sh AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN list_distinct([
+      array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)
+  ]) ELSE [text] END) AS shingle
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS shared
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+bth AS (
+  SELECT ia AS id_a, ib AS id_b, shared FROM inter
+  UNION ALL
+  SELECT ib AS id_a, ia AS id_b, shared FROM inter
+)
+SELECT b.id_a, b.id_b, b.shared, s.sz AS size_a,
+       round(b.shared * 1.0 / s.sz, 6) AS containment
+FROM bth b JOIN sizes s ON s.doc_id = b.id_a
+WHERE b.shared * 1.0 / s.sz >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def q97_interval_coverage(spark, sf_dir):
+    """Interval-union activity coverage (operators/temporal.
+    merge_intervals): each event opens a 300 s attention window
+    [ts, ts+300s); overlapping windows per user merge into maximal
+    episodes (gaps-and-islands, one window sort per user); report
+    episodes and total covered seconds per user.  Timestamps are
+    second-truncated INSIDE the interval construction so coverage is
+    integer-exact in both engines (DuckDB epoch() is whole seconds)."""
+    from outrank_spark.operators.temporal import merge_intervals
+
+    ev = load(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.date_trunc("second", F.col("ts")).alias("s"),
+        (F.date_trunc("second", F.col("ts"))
+         + F.expr("INTERVAL 300 SECOND")).alias("e"),
+    )
+    out = merge_intervals(iv, "s", "e", by="user_id")
+    return out.select(
+        "user_id", "n_episodes",
+        F.col("covered_secs").cast("long").alias("covered_secs"),
+    ).orderBy("user_id")
+
+
+ORACLE_Q97 = """
+WITH iv AS (
+  SELECT user_id, date_trunc('second', ts) AS s,
+         date_trunc('second', ts) + INTERVAL 300 SECOND AS e FROM events
+),
+m AS (
+  SELECT user_id, s, e,
+    CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    THEN 1 ELSE 0 END AS new_ep
+  FROM iv
+),
+isl AS (
+  SELECT user_id, s, e,
+         sum(new_ep) OVER (PARTITION BY user_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM m
+),
+ep AS (SELECT user_id, island, min(s) AS es, max(e) AS ee
+       FROM isl GROUP BY 1, 2)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_episodes,
+       CAST(sum(epoch(ee) - epoch(es)) AS BIGINT) AS covered_secs
+FROM ep GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q98_ngram_diversity(spark, sf_dir):
+    """Distinct-n corpus diversity (operators/text.ngram_diversity):
+    per language, document count and mean bigram diversity (distinct
+    bigrams / total bigrams per doc) — the repetition audit that
+    flags template/degenerate text.  Sub-2-token docs carry NULL
+    diversity and drop out of the mean in both engines."""
+    from outrank_spark.operators.text import ngram_diversity
+
+    docs = load(spark, sf_dir, "documents")
+    d = ngram_diversity(docs, "text", "doc_id", n=2)
+    return (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.avg("diversity"), 6).alias("avg_diversity"))
+        .orderBy("lang")
+    )
+
+
+ORACLE_Q98 = """
+WITH g AS (
+  SELECT lang,
+         CASE WHEN len(t) >= 2 THEN len(t) - 1 END AS ng,
+         CASE WHEN len(t) >= 2 THEN len(list_distinct([
+             array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))
+         ])) END AS nd
+  FROM (SELECT lang, string_split(text, ' ') AS t FROM documents)
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(nd * 1.0 / ng), 6) AS avg_diversity
+FROM g GROUP BY lang ORDER BY lang
+"""
+
+
+def q99_zipf_fit(spark, sf_dir):
+    """Corpus Zipf-law audit (operators/text.zipf_fit): OLS
+    slope/intercept/r2 of ln(freq) ~ ln(rank) over the token
+    frequency table floored at count >= 2 — rank ties broken by
+    token so ranks (and the fit) are engine-portable; regression via
+    built-in regr_* aggregates in both engines, rounded to 6 dp."""
+    from outrank_spark.operators.text import zipf_fit
+
+    docs = load(spark, sf_dir, "documents")
+    return zipf_fit(docs, "text", min_count=2)
+
+
+ORACLE_Q99 = """
+WITH c AS (
+  SELECT tok, count(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY tok HAVING count(*) >= 2
+),
+rk AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS r FROM c)
+SELECT CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       round(regr_slope(ln(n), ln(r)), 6) AS slope,
+       round(regr_intercept(ln(n), ln(r)), 6) AS intercept,
+       round(regr_r2(ln(n), ln(r)), 6) AS r2
+FROM rk
+"""
+
+
+def q100_hash_split(spark, sf_dir):
+    """Leakage-safe corpus split (operators/sampling.hash_split):
+    80/10/10 train/val/test assignment as a pure function of doc_id
+    (md5-uniform key vs cumulative thresholds — re-runs and
+    incremental additions never move an existing row), profiled per
+    (split, lang).  Row-for-row exact: the oracle replays the same
+    md5 prefix key and CASE ladder."""
+    from outrank_spark.operators.sampling import hash_split
+
+    docs = load(spark, sf_dir, "documents")
+    out = hash_split(
+        docs, "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1}, seed="split1",
+    )
+    return (
+        out.groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+ORACLE_Q100 = """
+WITH keyed AS (
+  SELECT lang,
+         ('0x' || substr(md5('split1' || CAST(doc_id AS VARCHAR)), 1, 8))
+           ::BIGINT / 4294967296.0 AS u
+  FROM documents
+)
+SELECT CASE WHEN u < 0.8 THEN 'train'
+            WHEN u < 0.9 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM keyed GROUP BY 1, 2 ORDER BY split, lang
+"""
+
+
+def q101_densified_hourly(spark, sf_dir):
+    """Gap-filled hourly series (operators/temporal.
+    densify_time_series): per event type and hour over the global
+    event span, event count and value sum with an explicit ZERO row
+    for empty buckets — the densification a plain GROUP BY cannot
+    express (absent buckets vanish and corrupt moving averages).
+    The spine comes from a 1-row min/max aggregate, never the fact
+    table; value sums round to 6 dp for cross-engine floats."""
+    from outrank_spark.operators.temporal import densify_time_series
+
+    ev = load(spark, sf_dir, "events")
+    out = densify_time_series(ev, "ts", "event_type",
+                              bucket="hour", agg_col="value")
+    return out.select(
+        "event_type", "bucket_ts", "n_events",
+        F.round("agg_sum", 6).alias("value_sum"),
+    ).orderBy("event_type", "bucket_ts")
+
+
+ORACLE_Q101 = """
+WITH span AS (
+  SELECT date_trunc('hour', min(ts)) AS lo,
+         date_trunc('hour', max(ts)) AS hi FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+  FROM span
+),
+grid AS (
+  SELECT g.event_type, s.bucket_ts
+  FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) g
+),
+facts AS (
+  SELECT event_type, date_trunc('hour', ts) AS b,
+         count(*) AS n, sum(value) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT grid.event_type, grid.bucket_ts,
+       CAST(coalesce(f.n, 0) AS BIGINT) AS n_events,
+       round(f.v, 6) AS value_sum
+FROM grid LEFT JOIN facts f
+  ON f.event_type = grid.event_type AND f.b = grid.bucket_ts
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
-    # --- exact DuckDB oracles (67; the driver's gate window covers
+    # --- exact DuckDB oracles (73; the driver's gate window covers
     # the first 50 — everything after is exact-checked per round by
     # tools/check_oracles.py, artifact in bench_artifacts/) ---
     "q01_pricing_summary": q01_pricing_summary,
@@ -3748,6 +3988,12 @@ QUERIES = {
     "q93_score_auc": q93_score_auc,
     "q94_calibration": q94_calibration,
     "q95_mixture_sample": q95_mixture_sample,
+    "q96_containment_pairs": q96_containment_pairs,
+    "q97_interval_coverage": q97_interval_coverage,
+    "q98_ngram_diversity": q98_ngram_diversity,
+    "q99_zipf_fit": q99_zipf_fit,
+    "q100_hash_split": q100_hash_split,
+    "q101_densified_hourly": q101_densified_hourly,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -3851,4 +4097,10 @@ ORACLES = {
     "q93_score_auc": ORACLE_Q93,
     "q94_calibration": ORACLE_Q94,
     "q95_mixture_sample": ORACLE_Q95,
+    "q96_containment_pairs": ORACLE_Q96,
+    "q97_interval_coverage": ORACLE_Q97,
+    "q98_ngram_diversity": ORACLE_Q98,
+    "q99_zipf_fit": ORACLE_Q99,
+    "q100_hash_split": ORACLE_Q100,
+    "q101_densified_hourly": ORACLE_Q101,
 }
