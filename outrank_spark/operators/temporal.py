@@ -32,7 +32,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["asof_join", "range_join", "funnel_counts",
            "cohort_retention", "snapshot_diff",
-           "densify_time_series", "merge_intervals"]
+           "densify_time_series", "merge_intervals",
+           "sessionize", "rolling_stats"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, by: str,
@@ -495,3 +496,129 @@ def merge_intervals(df: DataFrame, start_col: str, end_col: str,
             F.col("_ee").cast("double") - F.col("_es").cast("double"),
         ).alias("covered_secs"),
     )
+
+
+def sessionize(df: DataFrame, ts_col: str, by: str,
+               gap_secs: int = 1800,
+               tiebreak: str | None = None) -> DataFrame:
+    """Gap-based batch sessionization: annotate every event with a
+    per-key ``session_idx`` (1-based, in time order) that increments
+    whenever the gap to the PREVIOUS event of the same key exceeds
+    ``gap_secs`` — the standard web-analytics session definition
+    (GA's 30-minute timeout) and the batch twin of the streaming
+    sessionizer in streaming/event_streams.py (same gap rule, so a
+    batch backfill and the live stream agree on session boundaries).
+
+    Exactness across engines: the gap compares INTEGER microseconds
+    (``unix_micros`` here, ``epoch_us`` in DuckDB) — no float
+    seconds, no truncation ambiguity at the boundary (a gap of
+    exactly ``gap_secs`` stays in-session; strictly greater opens a
+    new one).  Event order inside a key is made total by
+    ``tiebreak`` (an id column) so ties at the same timestamp
+    sessionize identically everywhere.
+
+    Plan: ONE shuffle+sort per key — ``lag`` and the running
+    ``sum`` share the same window sort (the merge_intervals
+    discipline).  NULL timestamps raise (a silent drop would
+    understate session counts; a NULL sorts-first would corrupt the
+    first gap).  Skew: one hot key sorts in one task — filter bots
+    upstream or salt by day if a single key dominates.
+
+    Returns the input plus ``session_idx`` (long).
+    """
+    if gap_secs <= 0:
+        raise ValueError(f"gap_secs must be positive, got {gap_secs}")
+    reserved = {"_us", "_new", "session_idx"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"column names collide with internals: {clash}")
+    bad = df.where(F.col(ts_col).isNull() | F.col(by).isNull()) \
+            .limit(1).count()
+    if bad:
+        raise ValueError(
+            f"sessionize: NULL {ts_col}/{by} present — clean the "
+            "input first (NULLs would corrupt gap ordering)",
+        )
+    order = [F.col("_us")] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(by).orderBy(*order)
+    gap_us = int(gap_secs) * 1_000_000
+    # integer microseconds, timezone-free for BOTH timestamp types:
+    # unix_micros rejects TIMESTAMP_NTZ, and casting NTZ->LTZ would
+    # bind session boundaries to the session timezone (DST hazard);
+    # timestampdiff from the NTZ epoch keeps wall-clock semantics
+    if dict(df.dtypes)[ts_col] == "timestamp_ntz":
+        us = F.expr(
+            f"timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ'1970-01-01 00:00:00', {ts_col})",
+        )
+    else:
+        us = F.unix_micros(F.col(ts_col))
+    marked = (
+        df.withColumn("_us", us)
+        .withColumn(
+            "_new",
+            F.when(
+                F.lag("_us").over(w).isNull()
+                | ((F.col("_us") - F.lag("_us").over(w)) > gap_us),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    return (
+        marked.withColumn(
+            "session_idx",
+            F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0),
+            ).cast("long"),
+        )
+        .drop("_us", "_new")
+    )
+
+
+def rolling_stats(df: DataFrame, ts_col: str, group_col: str,
+                  value_col: str, n_buckets: int = 24) -> DataFrame:
+    """Rolling baseline over a REGULAR (densified) series: per group
+    and bucket, the mean / sample-stddev of ``value_col`` over the
+    trailing ``n_buckets`` rows (current included) and the z-score of
+    the current value against the TRAILING-EXCLUSIVE baseline — the
+    moving-average anomaly detector behind traffic/queue monitoring.
+
+    This operator deliberately takes a ROWS window, not a RANGE one,
+    and that is only correct on a gap-free series — which is exactly
+    what :func:`densify_time_series` produces (compose them: densify
+    fills the zero buckets so "last 24 rows" == "last 24 hours"; on
+    a gappy series the same frame silently spans variable time and
+    the baseline lies).  Spark's RANGE frames don't take interval
+    bounds on timestamps, so densify-then-rows is also the idiomatic
+    Spark plan, not a workaround.
+
+    One shuffle+sort per group (both windows share it).  The z-score
+    uses the PRIOR ``n_buckets`` rows (frame ``[-n_buckets, -1]``):
+    judging a spike against a baseline that contains the spike
+    dilutes it.  Buckets with fewer than 2 prior rows or zero prior
+    variance yield NULL z (never +-inf / fake 0).
+
+    Returns ``(group_col, ts_col, value_col, roll_mean, roll_std,
+    z)`` with the floats un-rounded (callers round for oracles).
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    reserved = {"roll_mean", "roll_std", "z", "_pm", "_ps"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"column names collide with internals: {clash}")
+    w = Window.partitionBy(group_col).orderBy(ts_col)
+    trail = w.rowsBetween(-(n_buckets - 1), 0)
+    prior = w.rowsBetween(-n_buckets, -1)
+    v = F.col(value_col).cast("double")
+    out = (
+        df.withColumn("roll_mean", F.avg(v).over(trail))
+        .withColumn("roll_std", F.stddev_samp(v).over(trail))
+        .withColumn("_pm", F.avg(v).over(prior))
+        .withColumn("_ps", F.stddev_samp(v).over(prior))
+    )
+    z = F.when(
+        F.col("_ps").isNotNull() & (F.col("_ps") > 0),
+        (v - F.col("_pm")) / F.col("_ps"),
+    )
+    return out.withColumn("z", z).drop("_pm", "_ps")

@@ -3912,8 +3912,126 @@ ORDER BY 1, 2
 """
 
 
+def q102_sessionization(spark, sf_dir):
+    """Gap-based batch sessionization (operators/temporal.sessionize):
+    per-user sessions under the GA 30-minute timeout, reported as one
+    row per session with event count and integer-microsecond duration.
+    Exact: the gap compares integer microseconds (unix_micros vs
+    DuckDB epoch_us) with an event_id tiebreak, so session boundaries
+    — and therefore every output value — are engine-identical."""
+    from outrank_spark.operators.temporal import sessionize
+
+    ev = load(spark, sf_dir, "events")
+    s = sessionize(ev, "ts", "user_id", gap_secs=1800,
+                   tiebreak="event_id")
+    return (
+        s.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "timestampdiff(MICROSECOND, min(ts), max(ts))",
+            ).alias("duration_us"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+ORACLE_Q102 = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+),
+m AS (
+  SELECT user_id, us,
+    CASE WHEN lag(us) OVER w IS NULL
+           OR us - lag(us) OVER w > 1800 * 1000000
+    THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT user_id, us,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM m
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(us) - min(us) AS BIGINT) AS duration_us
+FROM s GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+
+def q103_rolling_anomaly(spark, sf_dir):
+    """Moving-baseline anomaly score (operators/temporal.rolling_stats
+    composed over densify_time_series): hourly event counts per type,
+    gap-filled so the 24-ROW trailing window means 24 HOURS, then
+    trailing mean/std and a z-score of each bucket against the prior
+    24 bucket baseline.  First-bucket std and zero-variance baselines
+    yield NULL (never fake 0 / inf) in both engines; floats rounded
+    to 6 dp."""
+    from outrank_spark.operators.temporal import (
+        densify_time_series,
+        rolling_stats,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    series = densify_time_series(ev, "ts", "event_type", bucket="hour")
+    out = rolling_stats(series, "bucket_ts", "event_type",
+                        "n_events", n_buckets=24)
+    return out.select(
+        "event_type", "bucket_ts", "n_events",
+        F.round("roll_mean", 6).alias("roll_mean"),
+        F.round("roll_std", 6).alias("roll_std"),
+        F.round("z", 6).alias("z"),
+    ).orderBy("event_type", "bucket_ts")
+
+
+ORACLE_Q103 = """
+WITH span AS (
+  SELECT date_trunc('hour', min(ts)) AS lo,
+         date_trunc('hour', max(ts)) AS hi FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+  FROM span
+),
+grid AS (
+  SELECT g.event_type, s.bucket_ts
+  FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) g
+),
+facts AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT grid.event_type, grid.bucket_ts,
+         coalesce(f.n, 0) AS n_events
+  FROM grid LEFT JOIN facts f
+    ON f.event_type = grid.event_type AND f.b = grid.bucket_ts
+),
+roll AS (
+  SELECT event_type, bucket_ts, n_events,
+    avg(n_events) OVER w24 AS roll_mean,
+    stddev_samp(n_events) OVER w24 AS roll_std,
+    avg(n_events) OVER wp AS pm,
+    stddev_samp(n_events) OVER wp AS ps
+  FROM series
+  WINDOW w24 AS (PARTITION BY event_type ORDER BY bucket_ts
+                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW),
+         wp AS (PARTITION BY event_type ORDER BY bucket_ts
+                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, bucket_ts, CAST(n_events AS BIGINT) AS n_events,
+       round(roll_mean, 6) AS roll_mean,
+       round(roll_std, 6) AS roll_std,
+       round(CASE WHEN ps IS NOT NULL AND ps > 0
+                  THEN (n_events - pm) / ps END, 6) AS z
+FROM roll ORDER BY event_type, bucket_ts
+"""
+
+
 QUERIES = {
-    # --- exact DuckDB oracles (73; the driver's gate window covers
+    # --- exact DuckDB oracles (75; the driver's gate window covers
     # the first 50 — everything after is exact-checked per round by
     # tools/check_oracles.py, artifact in bench_artifacts/) ---
     "q01_pricing_summary": q01_pricing_summary,
@@ -3994,6 +4112,8 @@ QUERIES = {
     "q99_zipf_fit": q99_zipf_fit,
     "q100_hash_split": q100_hash_split,
     "q101_densified_hourly": q101_densified_hourly,
+    "q102_sessionization": q102_sessionization,
+    "q103_rolling_anomaly": q103_rolling_anomaly,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -4103,4 +4223,6 @@ ORACLES = {
     "q99_zipf_fit": ORACLE_Q99,
     "q100_hash_split": ORACLE_Q100,
     "q101_densified_hourly": ORACLE_Q101,
+    "q102_sessionization": ORACLE_Q102,
+    "q103_rolling_anomaly": ORACLE_Q103,
 }

@@ -323,3 +323,133 @@ class TestHashSplit:
         with pytest.raises(ValueError, match="internal"):
             hash_split(df.withColumn("split", F.lit("x")),
                        "doc_id", {"a": 1.0})
+
+
+class TestSessionize:
+    def test_hand_sessions(self, spark):
+        from outrank_spark.operators.temporal import sessionize
+        pdf = pd.DataFrame({
+            "ts": pd.to_datetime([
+                "2024-01-01 00:00:00", "2024-01-01 00:10:00",
+                "2024-01-01 01:00:00",          # 50 min gap -> new
+                "2024-01-01 00:00:00",          # user b
+            ]),
+            "user_id": [1, 1, 1, 2],
+            "event_id": [10, 11, 12, 13],
+        })
+        out = sessionize(spark.createDataFrame(pdf), "ts", "user_id",
+                         gap_secs=1800, tiebreak="event_id")
+        got = {r["event_id"]: r["session_idx"] for r in out.collect()}
+        assert got == {10: 1, 11: 1, 12: 2, 13: 1}
+
+    def test_boundary_gap_stays_in_session(self, spark):
+        from outrank_spark.operators.temporal import sessionize
+        # gap of EXACTLY gap_secs stays in-session (strict > opens)
+        pdf = pd.DataFrame({
+            "ts": pd.to_datetime([
+                "2024-01-01 00:00:00",
+                "2024-01-01 00:30:00",
+                "2024-01-01 01:00:00.000001",   # 1 us over -> new
+            ], format="ISO8601"),
+            "user_id": [1, 1, 1],
+            "event_id": [1, 2, 3],
+        })
+        out = sessionize(spark.createDataFrame(pdf), "ts", "user_id",
+                         gap_secs=1800, tiebreak="event_id")
+        got = {r["event_id"]: r["session_idx"] for r in out.collect()}
+        assert got == {1: 1, 2: 1, 3: 2}
+
+    def test_random_vs_python_and_partitioning(self, spark):
+        from outrank_spark.operators.temporal import sessionize
+        rng = np.random.default_rng(11)
+        n = 500
+        base = pd.Timestamp("2024-01-01")
+        pdf = pd.DataFrame({
+            "user_id": rng.integers(0, 20, n),
+            "ts": base + pd.to_timedelta(
+                rng.integers(0, 86_400_000, n), unit="ms"),
+            "event_id": np.arange(n),
+        })
+        gap = 600
+        want = {}
+        for u, g in pdf.groupby("user_id"):
+            g = g.sort_values(["ts", "event_id"])
+            idx, prev = 0, None
+            for _, r in g.iterrows():
+                us = r["ts"].value // 1000
+                if prev is None or us - prev > gap * 1_000_000:
+                    idx += 1
+                prev = us
+                want[r["event_id"]] = idx
+        for parts in (1, 8):
+            out = sessionize(
+                spark.createDataFrame(pdf).repartition(parts),
+                "ts", "user_id", gap_secs=gap, tiebreak="event_id")
+            got = {r["event_id"]: r["session_idx"]
+                   for r in out.collect()}
+            assert got == want
+
+    def test_validation(self, spark):
+        from outrank_spark.operators.temporal import sessionize
+        df = spark.createDataFrame(pd.DataFrame({
+            "ts": [pd.NaT], "user_id": [1], "event_id": [1]}))
+        with pytest.raises(ValueError, match="NULL"):
+            sessionize(df, "ts", "user_id")
+        ok = spark.createDataFrame(pd.DataFrame({
+            "ts": pd.to_datetime(["2024-01-01"]), "user_id": [1],
+            "event_id": [1]}))
+        with pytest.raises(ValueError, match="positive"):
+            sessionize(ok, "ts", "user_id", gap_secs=0)
+        clash = ok.withColumn("session_idx", F.lit(1))
+        with pytest.raises(ValueError, match="collide"):
+            sessionize(clash, "ts", "user_id")
+
+
+class TestRollingStats:
+    def test_matches_pandas_rolling(self, spark):
+        from outrank_spark.operators.temporal import rolling_stats
+        rng = np.random.default_rng(3)
+        pdf = pd.DataFrame({
+            "g": np.repeat(["a", "b"], 50),
+            "t": np.tile(np.arange(50), 2),
+            "y": rng.integers(0, 100, 100).astype(float),
+        })
+        out = rolling_stats(spark.createDataFrame(pdf), "t", "g", "y",
+                            n_buckets=5).toPandas()
+        for gname, g in pdf.groupby("g"):
+            g = g.sort_values("t")
+            m = g["y"].rolling(5, min_periods=1).mean()
+            s = g["y"].rolling(5, min_periods=1).std()
+            pm = g["y"].rolling(5, min_periods=1).mean().shift(1)
+            ps = g["y"].rolling(5, min_periods=1).std().shift(1)
+            o = out[out["g"] == gname].sort_values("t")
+            np.testing.assert_allclose(o["roll_mean"], m, atol=1e-9)
+            np.testing.assert_allclose(
+                o["roll_std"].to_numpy(dtype=float),
+                s.to_numpy(dtype=float), atol=1e-9)
+            want_z = (g["y"].to_numpy() - pm.to_numpy()) / ps.to_numpy()
+            want_z[~(ps.to_numpy() > 0)] = np.nan
+            np.testing.assert_allclose(
+                o["z"].to_numpy(dtype=float), want_z, atol=1e-9)
+
+    def test_null_not_zero_on_degenerate_baseline(self, spark):
+        from outrank_spark.operators.temporal import rolling_stats
+        # constant prior -> zero variance -> NULL z, not inf
+        pdf = pd.DataFrame({
+            "g": ["a"] * 5, "t": range(5),
+            "y": [7.0, 7.0, 7.0, 7.0, 9.0],
+        })
+        out = rolling_stats(spark.createDataFrame(pdf), "t", "g", "y",
+                            n_buckets=3).orderBy("t").collect()
+        assert out[0]["roll_std"] is None          # single row frame
+        assert all(r["z"] is None for r in out)    # const baseline
+
+    def test_validation(self, spark):
+        from outrank_spark.operators.temporal import rolling_stats
+        df = spark.createDataFrame(pd.DataFrame({
+            "g": ["a"], "t": [1], "y": [1.0]}))
+        with pytest.raises(ValueError, match=">= 2"):
+            rolling_stats(df, "t", "g", "y", n_buckets=1)
+        clash = df.withColumn("z", F.lit(0.0))
+        with pytest.raises(ValueError, match="collide"):
+            rolling_stats(clash, "t", "g", "y")
