@@ -679,6 +679,72 @@ def dsir_probe(spark, n_docs: int = 1_500_000) -> float:
     return dt
 
 
+def sessionize_probe(spark, n_events: int = 20_000_000) -> float:
+    """Batch sessionization scale probe: 20M events over 200k users x
+    30 days, GA 30-min gap.  Measures the operator's single
+    shuffle+sort per key (lag + running sum share it) plus the
+    per-session re-aggregation.  Event times are a deterministic
+    hash spread so the two parallelism levels see byte-identical
+    work.  Returns wall seconds."""
+    from pyspark.sql import functions as F
+
+    from outrank_spark.operators.temporal import sessionize
+
+    df = spark.range(n_events).select(
+        F.col("id"),
+        (F.col("id") % 200_000).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000)
+            + (F.col("id") * 2654435761) % (86_400 * 30),
+        ).alias("ts"),
+    )
+    t0 = time.time()
+    s = sessionize(df, "ts", "user_id", gap_secs=1800, tiebreak="id")
+    n, mx = s.agg(
+        F.count(F.lit(1)), F.max("session_idx"),
+    ).first()
+    dt = time.time() - t0
+    assert n == n_events and mx >= 1
+    return dt
+
+
+def containment_probe(spark, n_docs: int = 400_000) -> float:
+    """Containment-join scale probe: 400k 40-token docs where doc
+    pairs (2i, 2i+1) share a 30-token prefix (shingle df == 2) and
+    the tail tokens are doc-salted (df == 1, killed by the singleton
+    prefilter).  Measures the shingle explode, the df window, the
+    hash equi-join, and the per-pair count — with the planted
+    structure bounding the join fan-out exactly as the hot-shingle
+    cap would on Zipf text.  Returns wall seconds."""
+    from pyspark.sql import functions as F
+
+    from outrank_spark.operators.dedup import containment_join
+
+    df = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(sequence(1, 30), i -> "
+                "conv(cast(cast(id / 2 as long) * 48271 + i * 131 "
+                "as string), 10, 36))",
+            ),
+            F.expr(
+                "transform(sequence(1, 10), i -> "
+                "concat('u', id, 'x', i))",
+            ),
+        ).alias("text"),
+    )
+    t0 = time.time()
+    pairs = containment_join(df, "text", "doc_id", n=3, threshold=0.5)
+    n_pairs = pairs.count()
+    dt = time.time() - t0
+    # each (2i, 2i+1) pair shares 28 of 38 shingles (0.737 >= 0.5),
+    # emitted in both directions
+    assert n_pairs == n_docs, (n_pairs, n_docs)
+    return dt
+
+
 # name -> (probe fn, human-readable work size) for --scaling-ops;
 # every probe generates its input JVM-side, so the two parallelism
 # levels see byte-identical work
@@ -694,6 +760,8 @@ SCALING_OP_PROBES = {
     "funnel": (funnel_probe, "40M events"),
     "pagerank": (pagerank_probe, "8M edges x 5 iters"),
     "dsir": (dsir_probe, "1.5M docs"),
+    "sessionize": (sessionize_probe, "20M events"),
+    "containment": (containment_probe, "400k docs"),
 }
 
 
