@@ -716,7 +716,8 @@ def dedup_paragraphs(df: DataFrame, paras_col: str = "paras",
 
 def containment_join(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", n: int = 3,
-                     threshold: float = 0.5) -> DataFrame:
+                     threshold: float = 0.5,
+                     max_df: int | None = None) -> DataFrame:
     """Directional shingle containment C(A in B) = |S(A) ∩ S(B)| /
     |S(A)| over distinct token ``n``-gram shingles: all ORDERED pairs
     (a, b), a != b, with containment >= ``threshold`` — the
@@ -727,55 +728,75 @@ def containment_join(df: DataFrame, text_col: str = "text",
     curation pipelines (RefinedWeb §3.3's "contained" duplicates)
     test both directions.
 
-    Scale shape — the q14/q85 discipline, never corpus²:
+    Scale shape — the q14/q85 discipline, never corpus², and the
+    corpus-wide shingle explode is STRUCTURALLY single-pass (no
+    reliance on Catalyst exchange reuse, which a plan audit showed
+    does NOT fire for the two-sided self-join formulation):
 
     1. shingles are one JVM expression (``shingle_df``), distinct per
-       doc, so a repeated phrase inside one doc never multiplies join
-       rows;
+       doc, so a repeated phrase inside one doc never multiplies
+       pair rows;
     2. per-doc shingle counts ride along from one map-side
        ``groupBy(id)``;
-    3. shingles seen by ONE doc die before the self-join (they cannot
-       intersect): per-shingle document frequency comes from ONE
-       window over the shingle-keyed shuffle — the q14 shape — so
-       both self-join sides consume the SAME windowed relation and
-       the shingle explode+shuffle materializes once
-       (ReusedExchange), not once per side;
-    4. the surviving equi-join on shingle hash counts shared shingles
-       per ordered pair; both directions come from the ONE unordered
-       join output (emit (a,b) and (b,a) from each match), so the
-       pair shuffle happens once.
+    3. ONE ``groupBy(shingle).collect_list(id)`` shuffle replaces the
+       self-join: singleton shingles (df == 1) die right after it —
+       they cannot intersect — and co-occurring id pairs stream out
+       of each surviving list via ``posexplode`` + a tail ``slice``
+       explode, so no task ever materializes a shingle's k²/2 pairs
+       at once (peak per-row state is the id list itself, 8·k
+       bytes), and the corpus is exploded exactly once;
+    4. pairs are canonicalized (least, greatest) — collect_list
+       order is partition-dependent, the canonical form is not —
+       then one map-side-combinable ``groupBy`` counts shared
+       shingles; both directions are emitted from that ONE unordered
+       pair table.
 
-    Zipf caveat: a shingle shared by k docs still yields ~k²/2
-    candidate rows — identical to q14's exact-join cost, and the same
-    routing applies: cap hot shingles and send Zipf heads through
-    ``minhash_lsh_candidates``.  Exactness of the threshold cut needs
-    no float care: containment compares as ``shared * 1.0 / size``
-    with a >= on a ratio of small ints, reproduced verbatim by the
-    q96 oracle.
+    Zipf caveat: a shingle shared by k docs still streams ~k²/2
+    pair rows — identical to q14's exact-join cost.  ``max_df``
+    (document-frequency cap) drops hotter shingles from pair
+    generation entirely — boilerplate runs and stopword shingles at
+    web scale carry no containment signal but dominate the pair
+    count; route capped heads through ``minhash_lsh_candidates``
+    when they matter.  Default None = exact (the q96 oracle shape).
+    Exactness of the threshold cut needs no float care: containment
+    compares as ``shared * 1.0 / size`` with a >= on a ratio of
+    small ints, reproduced verbatim by the q96 oracle.
 
     Returns ``(id_a, id_b, shared, size_a, containment)`` — "id_a is
     contained in id_b to degree containment".
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if max_df is not None and max_df < 2:
+        raise ValueError(f"max_df must be >= 2, got {max_df}")
     sh = shingle_df(df, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
-    # per-shingle document frequency from one window over the shingle
-    # shuffle (sizes are computed BEFORE this filter, so containment
-    # denominators stay exact); df == 1 shingles cannot form a pair
-    shared_grams = (
-        sh.withColumn(
-            "__k",
-            F.count(F.lit(1)).over(Window.partitionBy("shingle")),
-        )
-        .where(F.col("__k") >= 2)
-        .select(id_col, "shingle")
-    )
-    a = shared_grams.select(F.col(id_col).alias("__ia"), "shingle")
-    b = shared_grams.select(F.col(id_col).alias("__ib"), "shingle")
+    lists = sh.groupBy("shingle").agg(
+        F.collect_list(id_col).alias("__ids"),
+    ).where(F.size("__ids") >= 2)
+    if max_df is not None:
+        lists = lists.where(F.size("__ids") <= max_df)
+    # stream co-occurring pairs: k rows per shingle, each carrying the
+    # id list once; the tail slice explodes lazily inside the stage
     pairs = (
-        a.join(b, "shingle")
-        .where(F.col("__ia") < F.col("__ib"))
+        lists.select(
+            F.col("__ids"),
+            F.posexplode("__ids").alias("__i", "__x"),
+        )
+        .select(
+            F.col("__x"),
+            F.explode(
+                F.slice(
+                    F.col("__ids"),
+                    F.col("__i") + F.lit(2),
+                    F.size("__ids"),
+                ),
+            ).alias("__y"),
+        )
+        .select(
+            F.least("__x", "__y").alias("__ia"),
+            F.greatest("__x", "__y").alias("__ib"),
+        )
         .groupBy("__ia", "__ib")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
