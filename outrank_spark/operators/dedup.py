@@ -800,13 +800,21 @@ def containment_join(df: DataFrame, text_col: str = "text",
         .groupBy("__ia", "__ib")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
+    # both directions from ONE pass over the pair table: a union of
+    # two selects duplicates the entire pair-generation lineage in the
+    # physical plan (the corpus shingle explode ran twice — plan
+    # audit: 3 parquet scans), whereas a 2-element array explode keeps
+    # a single pipeline and merely doubles the (already aggregated)
+    # pair rows
     both = pairs.select(
-        F.col("__ia").alias("id_a"), F.col("__ib").alias("id_b"),
+        F.explode(F.array(
+            F.struct(F.col("__ia").alias("id_a"),
+                     F.col("__ib").alias("id_b")),
+            F.struct(F.col("__ib").alias("id_a"),
+                     F.col("__ia").alias("id_b")),
+        )).alias("__p"),
         "shared",
-    ).unionByName(pairs.select(
-        F.col("__ib").alias("id_a"), F.col("__ia").alias("id_b"),
-        "shared",
-    ))
+    ).select("__p.id_a", "__p.id_b", "shared")
     return (
         both.join(
             sizes.select(F.col(id_col).alias("id_a"),
