@@ -382,3 +382,19 @@ class TestRound4LateAdditions:
                       if "transform" in ln and "xxhash64" in ln]
         assert gram_stage, "gram construction stage missing from plan"
         assert all(ln.count("split(") <= 1 for ln in gram_stage)
+
+    def test_containment_join_single_pair_pipeline(self, spark):
+        """containment_join's corpus shingle explode must run ONCE:
+        the collect_list pair streaming replaced the two-sided
+        self-join (no exchange reuse fired there), and both output
+        directions must come from one array explode over the
+        aggregated pair table, not a union that duplicates the whole
+        pair-generation lineage (regression: 3 parquet scans)."""
+        from outrank_spark.operators.dedup import containment_join
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = plan_of(containment_join(docs, "text", "doc_id", n=3,
+                                        threshold=0.5))
+        assert plan.count("Scan parquet") <= 2  # lists path + sizes path
+        assert "Union" not in plan
+        assert "CartesianProduct" not in plan
