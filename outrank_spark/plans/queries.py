@@ -4030,8 +4030,70 @@ FROM roll ORDER BY event_type, bucket_ts
 """
 
 
+def q104_host_blocklist(spark, sf_dir):
+    """Domain-suffix blocklist URL filter (operators/derived.
+    host_suffix_blocklist) — the first gate of CCNet/RefinedWeb-style
+    curation: ``example.org`` blocks apex + every subdomain,
+    ``ads.example.com`` blocks only that subtree while ``example.com``
+    survives, and a never-matching entry exercises the no-hit path.
+    Hosts are synthesized deterministically from (source, doc_id) so
+    the DuckDB oracle can rebuild them verbatim; the verdict join runs
+    over DISTINCT hosts (the operator's scale shape), row filter via
+    host semi/anti join."""
+    from outrank_spark.operators.derived import host_suffix_blocklist
+
+    docs = load(spark, sf_dir, "documents")
+    part = F.element_at(
+        F.array(F.lit("ads.example.com"), F.lit("shop.example.com"),
+                F.lit("example.org"), F.lit("news.example.net")),
+        (F.col("doc_id") % 4).cast("int") + 1,
+    )
+    hosts = docs.select(
+        "doc_id",
+        F.concat(F.lower("source"),
+                 (F.col("doc_id") % 97).cast("string"),
+                 F.lit("."), part).alias("host"),
+    )
+    blocklist = spark.createDataFrame(
+        [("ads.example.com",), ("example.org",),
+         ("nosuch.example.net",)],
+        "domain string",
+    )
+    kept = host_suffix_blocklist(hosts, blocklist)
+    return (
+        kept.where(F.col("doc_id") % 11 == 0)
+        .select("doc_id", "host")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_Q104 = """
+WITH hosts AS (
+  SELECT doc_id,
+         lower(source) || CAST(doc_id % 97 AS VARCHAR) || '.' ||
+         CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN 'ads.example.com'
+           WHEN 1 THEN 'shop.example.com'
+           WHEN 2 THEN 'example.org'
+           ELSE 'news.example.net' END AS host
+  FROM documents
+),
+block(domain) AS (
+  SELECT * FROM (VALUES ('ads.example.com'), ('example.org'),
+                        ('nosuch.example.net')) v(domain)
+),
+blocked AS (
+  SELECT DISTINCT h.host FROM hosts h JOIN block b
+    ON h.host = b.domain OR h.host LIKE '%.' || b.domain
+)
+SELECT doc_id, host FROM hosts
+WHERE host NOT IN (SELECT host FROM blocked) AND doc_id % 11 = 0
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
-    # --- exact DuckDB oracles (75; the driver's gate window covers
+    # --- exact DuckDB oracles (76; the driver's gate window covers
     # the first 50 — everything after is exact-checked per round by
     # tools/check_oracles.py, artifact in bench_artifacts/) ---
     "q01_pricing_summary": q01_pricing_summary,
@@ -4114,6 +4176,7 @@ QUERIES = {
     "q101_densified_hourly": q101_densified_hourly,
     "q102_sessionization": q102_sessionization,
     "q103_rolling_anomaly": q103_rolling_anomaly,
+    "q104_host_blocklist": q104_host_blocklist,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -4225,4 +4288,5 @@ ORACLES = {
     "q101_densified_hourly": ORACLE_Q101,
     "q102_sessionization": ORACLE_Q102,
     "q103_rolling_anomaly": ORACLE_Q103,
+    "q104_host_blocklist": ORACLE_Q104,
 }

@@ -453,3 +453,59 @@ class TestRollingStats:
         clash = df.withColumn("z", F.lit(0.0))
         with pytest.raises(ValueError, match="collide"):
             rolling_stats(clash, "t", "g", "y")
+
+
+class TestHostSuffixBlocklist:
+    def _df(self, spark):
+        return spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2, 3, 4, 5, 6, 7],
+            "host": [
+                "ads.example.com",        # apex of a blocked subtree
+                "x.ads.example.com",      # inside the blocked subtree
+                "example.com",            # parent of the subtree: ALIVE
+                "example.org",            # blocked apex
+                "deep.sub.example.org",   # subdomain of blocked apex
+                "examples.org",           # NOT a dot-suffix match
+                None,                     # unparseable URL: never blocked
+            ],
+        }))
+
+    def _block(self, spark):
+        return spark.createDataFrame(
+            [("ads.example.com",), ("example.org",)], "domain string",
+        )
+
+    def test_suffix_semantics(self, spark):
+        from outrank_spark.operators.derived import host_suffix_blocklist
+
+        kept = host_suffix_blocklist(self._df(spark), self._block(spark))
+        assert sorted(r.doc_id for r in kept.collect()) == [3, 6, 7]
+
+    def test_keep_blocked_is_complement(self, spark):
+        from outrank_spark.operators.derived import host_suffix_blocklist
+
+        blocked = host_suffix_blocklist(
+            self._df(spark), self._block(spark), keep_blocked=True,
+        )
+        # the null host is in NEITHER side of a host-keyed semi join
+        assert sorted(r.doc_id for r in blocked.collect()) == [1, 2, 4, 5]
+
+    def test_empty_blocklist_keeps_all(self, spark):
+        from outrank_spark.operators.derived import host_suffix_blocklist
+
+        empty = spark.createDataFrame([], "domain string")
+        kept = host_suffix_blocklist(self._df(spark), empty)
+        assert kept.count() == 7
+
+    def test_verdict_computed_over_distinct_hosts(self, spark):
+        """The explode must hang off a distinct(host) aggregate, not
+        the corpus rows: the plan carries an aggregate on the host
+        column upstream of the suffix Generate."""
+        from outrank_spark.operators.derived import host_suffix_blocklist
+
+        out = host_suffix_blocklist(self._df(spark), self._block(spark))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        gen_idx = plan.find("Generate explode")
+        assert gen_idx != -1
+        assert "HashAggregate" in plan[gen_idx:], \
+            "suffix explode not fed by a distinct-host aggregate"
