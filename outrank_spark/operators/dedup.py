@@ -36,7 +36,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 from outrank_spark.hashing import derive_seeds, hash_with_seed
 
 __all__ = [
-    "exact_dedup", "shingle_df", "contamination_scores",
+    "exact_dedup", "shingle_df", "shingle_array_expr",
+    "contamination_scores",
     "minhash_signatures",
     "minhash_lsh_candidates", "ngram_jaccard_pairs",
     "simhash_signatures", "simhash_candidates",
@@ -80,18 +81,27 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     )
 
 
-def shingle_df(df: DataFrame, text_col: str = "text",
-               id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(id, shingle_hash) pairs: token n-gram shingles hashed JVM-side."""
+def shingle_array_expr(text_col: str = "text", n: int = 3) -> str:
+    """SQL expression for a doc's DISTINCT token n-gram shingle-hash
+    array (one JVM projection, no shuffle).  Shared by the exploded
+    relation (:func:`shingle_df`) and by zero-shuffle per-doc shingle
+    COUNTS (``size(...)``) so both sides of a containment/Jaccard
+    denominator agree by construction."""
     toks = f"split({text_col}, ' ')"
-    expr = (
+    return (
         f"CASE WHEN size({toks}) >= {n} THEN "
         f"array_distinct(transform(sequence(1, size({toks}) - {n - 1}), "
         f"i -> xxhash64(concat_ws(' ', slice({toks}, i, {n}))))) "
         f"ELSE array(xxhash64({text_col})) END"
     )
+
+
+def shingle_df(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, shingle_hash) pairs: token n-gram shingles hashed JVM-side."""
     return df.select(
-        F.col(id_col), F.explode(F.expr(expr)).alias("shingle"),
+        F.col(id_col),
+        F.explode(F.expr(shingle_array_expr(text_col, n))).alias("shingle"),
     )
 
 
@@ -736,8 +746,9 @@ def containment_join(df: DataFrame, text_col: str = "text",
     1. shingles are one JVM expression (``shingle_df``), distinct per
        doc, so a repeated phrase inside one doc never multiplies
        pair rows;
-    2. per-doc shingle counts ride along from one map-side
-       ``groupBy(id)``;
+    2. per-doc shingle counts (the containment denominators) are a
+       zero-shuffle ``size(array)`` projection over the doc rows —
+       they never touch the exploded relation;
     3. ONE ``groupBy(shingle).collect_list(id)`` shuffle replaces the
        self-join: singleton shingles (df == 1) die right after it —
        they cannot intersect — and co-occurring id pairs stream out
@@ -770,7 +781,15 @@ def containment_join(df: DataFrame, text_col: str = "text",
     if max_df is not None and max_df < 2:
         raise ValueError(f"max_df must be >= 2, got {max_df}")
     sh = shingle_df(df, text_col, id_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    # containment denominators are per-doc distinct-shingle COUNTS —
+    # a zero-shuffle size(array) projection over the doc rows, NOT a
+    # groupBy(id) over the exploded relation (that shape re-ran the
+    # whole corpus explode a second time and paid a 15M-row shuffle
+    # for numbers each doc row already knows)
+    sizes = df.select(
+        F.col(id_col),
+        F.size(F.expr(shingle_array_expr(text_col, n))).alias("__sz"),
+    )
     lists = sh.groupBy("shingle").agg(
         F.collect_list(id_col).alias("__ids"),
     ).where(F.size("__ids") >= 2)
