@@ -456,7 +456,16 @@ def q14_ngram_jaccard_pairs(spark, sf_dir, hot_shingle_cap=None):
         # narrower shuffle rows
         F.xxhash64("sh_str").alias("shingle"),
     )
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # denominators are per-doc DISTINCT shingle counts — a zero-shuffle
+    # size(array) projection over the doc rows (same trick as
+    # operators/dedup.containment_join), not a groupBy over the
+    # exploded relation, which would re-run the corpus explode and
+    # pay a second wide shuffle.  Docs shorter than n tokens get
+    # sz = 0 and can never appear in `inter`, so the inner join
+    # drops them exactly as the exploded groupBy did.
+    sizes = docs.select(
+        "doc_id", F.size(F.expr(sh_expr)).alias("sz"),
+    )
     # prefilter: document frequency per shingle from one window over
     # the shingle-keyed shuffle.  df == 1 shingles can never produce
     # an (a, b) pair — dropping them is exact and removes the Zipf
