@@ -102,6 +102,8 @@ class SketchCollection(dict):
                 row["estimate"] = len(sk)
             elif kind == "theta":
                 row["estimate"] = sk.estimate()
+            elif kind == "countsketch":
+                row["estimate"] = sk.f2_estimate()
             rows.append(row)
         return pd.DataFrame(rows)
 

@@ -4101,8 +4101,97 @@ ORDER BY doc_id
 """
 
 
+def q107_bloom_semijoin(spark, sf_dir):
+    """Runtime-filtered semi join (operators/runtime_filter.
+    bloom_semijoin): orders of 'BUILDING'-segment customers, Bloom
+    prefilter ahead of the verifying join so only possible members
+    reach the shuffle — EXACT result (false positives removed by the
+    verify join), so the DuckDB ``IN`` oracle matches row for row.
+
+    Scale path: at 100 TB the probe side never shuffles in full — the
+    broadcast filter (MBs for 10^7 keys at 1% fpp) drops
+    (1 - selectivity - fpp) of it map-side first."""
+    from outrank_spark.operators.runtime_filter import bloom_semijoin
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING")
+    kept = bloom_semijoin(orders, cust, key="o_custkey",
+                          build_key="c_custkey", how="semi", exact=True)
+    return (
+        kept.where(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", "o_custkey",
+                _dec("o_totalprice").alias("total_price"))
+        .orderBy("o_orderkey")
+    )
+
+
+ORACLE_Q107 = """
+SELECT o_orderkey, o_custkey,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')
+  AND o_orderkey % 7 = 0
+ORDER BY o_orderkey
+"""
+
+
+def q105_f2_skew_profile(spark, sf_dir):
+    """Second-frequency-moment (self-join size) profile via the
+    Count-Sketch/AMS estimator (sketches/countsketch.py) vs the exact
+    F2 = sum(count^2) computed in-plan.
+
+    F2/N^2 is the key-collision probability a shuffle planner reads to
+    decide salting; the sketch answers it from depth*width ints of
+    state in one scan, where the exact path needs a full groupBy.  The
+    estimate is DETERMINISTIC (fixed derived seeds + purely additive
+    merge -> bitwise partition-independent), but not SQL-expressible,
+    so the driver records rows-only; the AMS bound is asserted per row
+    here and in tests/test_countsketch_fd.py."""
+    from outrank_spark.operators.sketch_build import SketchPlan, build_sketches
+
+    rows = []
+    for table, col in (("events", "user_id"), ("documents", "lang"),
+                       ("lineitem", "l_suppkey")):
+        df = load(spark, sf_dir, table)
+        skc = build_sketches(
+            df, SketchPlan(columns=[col],
+                           sketches={"countsketch": {"depth": 5,
+                                                     "width": 2 ** 13}}),
+        )
+        cs = skc[(col, "countsketch")]
+        est = cs.f2_estimate()
+        exact = (
+            df.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum(F.col("n") * F.col("n"))).collect()[0][0]
+        )
+        rel = abs(est - float(exact)) / float(exact)
+        rows.append((f"{table}.{col}", int(exact), float(est),
+                     float(rel), bool(rel <= cs.f2_rel_error)))
+    return spark.createDataFrame(
+        rows, "key string, exact_f2 long, estimated_f2 double, "
+              "rel_err double, within_ams_bound boolean",
+    )
+
+
+def q106_embedding_spectrum(spark, sf_dir):
+    """Corpus embedding spectral profile from a Frequent Directions
+    sketch (operators/matrix_sketch.embedding_spectrum): certified
+    lower bounds on the top-8 singular values + the energy fraction
+    they capture, from one scan and ell*d floats of merged state.
+
+    No SQL oracle (SVD); tests/test_countsketch_fd.py and
+    tests/test_matrix_sketch_spark.py pin the Ghashami et al. bound
+    against exact numpy SVD at sf0.001."""
+    from outrank_spark.operators.matrix_sketch import embedding_spectrum
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_spectrum(emb, vec_col="embedding", ell=64, top_k=8)
+
+
 QUERIES = {
-    # --- exact DuckDB oracles (76; the driver's gate window covers
+    # --- exact DuckDB oracles (82; the driver's gate window covers
     # the first 50 — everything after is exact-checked per round by
     # tools/check_oracles.py, artifact in bench_artifacts/) ---
     "q01_pricing_summary": q01_pricing_summary,
@@ -4186,6 +4275,7 @@ QUERIES = {
     "q102_sessionization": q102_sessionization,
     "q103_rolling_anomaly": q103_rolling_anomaly,
     "q104_host_blocklist": q104_host_blocklist,
+    "q107_bloom_semijoin": q107_bloom_semijoin,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -4212,6 +4302,8 @@ QUERIES = {
     "q74_bpe_tokenizer": q74_bpe_tokenizer,
     "q78_mrmr_selection": q78_mrmr_selection,
     "q87_sketch_rollup": q87_sketch_rollup,
+    "q105_f2_skew_profile": q105_f2_skew_profile,
+    "q106_embedding_spectrum": q106_embedding_spectrum,
 }
 
 ORACLES = {
@@ -4298,4 +4390,5 @@ ORACLES = {
     "q102_sessionization": ORACLE_Q102,
     "q103_rolling_anomaly": ORACLE_Q103,
     "q104_host_blocklist": ORACLE_Q104,
+    "q107_bloom_semijoin": ORACLE_Q107,
 }

@@ -28,6 +28,8 @@ from outrank_spark.sketches.coverage import CoverageCounter
 from outrank_spark.sketches.rare import RareValueCounter
 from outrank_spark.sketches.frequent import FrequentItems
 from outrank_spark.sketches.theta import ThetaSketch
+from outrank_spark.sketches.countsketch import CountSketch
+from outrank_spark.sketches.fd import FrequentDirections
 
 SKETCH_REGISTRY = {
     "hll": HyperLogLog,
@@ -41,6 +43,8 @@ SKETCH_REGISTRY = {
     "rare": RareValueCounter,
     "mg": FrequentItems,
     "theta": ThetaSketch,
+    "countsketch": CountSketch,
+    "fd": FrequentDirections,
 }
 
 
@@ -50,6 +54,6 @@ def sketch_from_bytes(kind: str, blob: bytes):
 __all__ = [
     "HyperLogLog", "ParityHyperLogLog", "CountMinSketch", "BloomFilter",
     "KLLSketch", "TDigest", "BoundedCounter", "CoverageCounter",
-    "RareValueCounter", "FrequentItems", "ThetaSketch",
-    "SKETCH_REGISTRY", "sketch_from_bytes",
+    "RareValueCounter", "FrequentItems", "ThetaSketch", "CountSketch",
+    "FrequentDirections", "SKETCH_REGISTRY", "sketch_from_bytes",
 ]

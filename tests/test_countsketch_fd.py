@@ -1,0 +1,170 @@
+"""Count-Sketch/AMS F2 + Frequent Directions kernels: published error
+bounds, merge behavior (bitwise-additive for Count-Sketch,
+bound-preserving for FD), wire format, and the Spark builders."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from outrank_spark.sketches import (CountSketch, FrequentDirections,
+                                    sketch_from_bytes)
+
+
+def _zipf_counts(seed=7, n=200_000, vocab=10_000, a=1.5):
+    rng = np.random.default_rng(seed)
+    vals = rng.zipf(a, n) % vocab
+    counts = np.bincount(vals, minlength=vocab).astype(np.float64)
+    return vals, counts
+
+
+# -- Count-Sketch kernel -------------------------------------------------
+
+
+class TestCountSketch:
+
+    @pytest.mark.parametrize("seed", [7, 11, 13])
+    def test_f2_within_ams_bound(self, seed):
+        """AMS estimator: rel err <= sqrt(6/width) per row with prob
+        >= 2/3; the median over depth=5 rows lands inside for every
+        tested seed (deterministic, fixed hash seeds)."""
+        vals, counts = _zipf_counts(seed=seed)
+        exact_f2 = float((counts ** 2).sum())
+        sk = CountSketch(depth=5, width=2 ** 13).update(vals)
+        rel = abs(sk.f2_estimate() - exact_f2) / exact_f2
+        assert rel <= sk.f2_rel_error, (rel, sk.f2_rel_error)
+
+    def test_point_estimates_within_bound(self):
+        """Every heavy item's unbiased point estimate is within the
+        Charikar sqrt(3*F2/width) bound of its true count."""
+        vals, counts = _zipf_counts(seed=3)
+        sk = CountSketch().update(vals)
+        bound = sk.point_error_bound()
+        heavy = np.argsort(counts)[-20:]
+        est = sk.query_many(heavy)
+        for e, h in zip(est, heavy):
+            assert abs(e - counts[h]) <= bound, (e, counts[h], bound)
+
+    @pytest.mark.parametrize("n_parts", [3, 17, 64])
+    def test_merge_is_exactly_additive_bitwise(self, n_parts):
+        """Any partitioning + any merge order reproduces the
+        single-pass matrix bitwise (additive merge class, like CMS)."""
+        vals, _ = _zipf_counts(seed=5, n=60_000)
+        whole = CountSketch().update(vals)
+        parts = [CountSketch().update(p)
+                 for p in np.array_split(vals, n_parts)]
+        fwd = CountSketch()
+        for p in parts:
+            fwd.merge(p)
+        rev = CountSketch()
+        for p in reversed(parts):
+            rev.merge(sketch_from_bytes("countsketch", p.to_bytes()))
+        assert np.array_equal(fwd.M, whole.M)
+        assert np.array_equal(rev.M, whole.M)
+
+    def test_weighted_update_equals_repeated(self):
+        """Pre-aggregated (value, count) updates == repeating the raw
+        stream (the map-side-combine fast path)."""
+        vals = np.array(["a", "b", "a", "c", "a", "b"])
+        uniq, cnt = np.unique(vals, return_counts=True)
+        raw = CountSketch(depth=3, width=64).update(vals)
+        agg = CountSketch(depth=3, width=64).update(uniq, counts=cnt)
+        assert np.array_equal(raw.M, agg.M)
+
+    def test_wire_round_trip(self):
+        sk = CountSketch(depth=4, width=128).update(
+            np.array(["x", "y", "z", "x"]))
+        rt = sketch_from_bytes("countsketch", sk.to_bytes())
+        assert np.array_equal(rt.M, sk.M)
+        assert (rt.depth, rt.width, rt.seed) == (sk.depth, sk.width, sk.seed)
+
+    def test_incompatible_merge_raises(self):
+        with pytest.raises(ValueError):
+            CountSketch(width=64).merge(CountSketch(width=128))
+
+
+# -- Frequent Directions kernel ------------------------------------------
+
+
+def _spectrum_matrix(seed=0, n=4000, d=32):
+    """Rows with a planted decaying spectrum (what web-embedding
+    covariance looks like)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n, d)) @ np.diag(np.linspace(3.0, 0.1, d))
+
+
+class TestFrequentDirections:
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_covariance_bound_single_pass(self, seed):
+        """0 <= A^T A - B^T B <= (||A||_F^2 / ell) I (Ghashami et al.
+        2016 Thm 1.1): the gap matrix is PSD and its spectral norm is
+        inside the published bound."""
+        A = _spectrum_matrix(seed=seed)
+        fd = FrequentDirections(ell=16).update(A)
+        gap = A.T @ A - fd.covariance_estimate()
+        w = np.linalg.eigvalsh(gap)
+        assert w.min() >= -1e-6 * abs(w.max())       # one-sided
+        assert w.max() <= fd.error_bound() + 1e-9    # published bound
+        # realized shrinkage bookkeeping is tighter than the a-priori
+        assert fd.shrink_total <= fd.error_bound() + 1e-9
+        assert w.max() <= fd.shrink_total + 1e-6
+
+    @pytest.mark.parametrize("n_parts", [2, 5, 16])
+    def test_merge_preserves_bound(self, n_parts):
+        """Partition-and-merge keeps the SAME published bound as a
+        single pass (mergeable summaries, PODS'12 / Ghashami §3)."""
+        A = _spectrum_matrix(seed=4)
+        parts = np.array_split(A, n_parts)
+        acc = FrequentDirections(ell=16)
+        for p in parts:
+            part_sk = FrequentDirections(ell=16).update(p)
+            acc.merge(sketch_from_bytes("fd", part_sk.to_bytes()))
+        gap = A.T @ A - acc.covariance_estimate()
+        w = np.linalg.eigvalsh(gap)
+        assert acc.n_rows == A.shape[0]
+        assert abs(acc.squared_frobenius - (A * A).sum()) < 1e-6
+        assert w.min() >= -1e-6 * abs(w.max())
+        assert w.max() <= acc.error_bound() + 1e-9
+
+    def test_singular_values_lower_bound_true_spectrum(self):
+        """sigma_i(B)^2 <= sigma_i(A)^2 <= sigma_i(B)^2 + bound for the
+        top directions (FD never over-claims energy)."""
+        A = _spectrum_matrix(seed=9)
+        fd = FrequentDirections(ell=16).update(A)
+        true_s = np.linalg.svd(A, compute_uv=False)
+        est_s = fd.singular_values(8)
+        for i in range(8):
+            assert est_s[i] ** 2 <= true_s[i] ** 2 + 1e-6
+            assert true_s[i] ** 2 <= est_s[i] ** 2 + fd.error_bound() + 1e-9
+
+    def test_wire_round_trip_mid_fill(self):
+        """Serialize while the buffer is partially full (the state a
+        partition ships after a short stream)."""
+        A = _spectrum_matrix(seed=2, n=19)   # < 2*ell: no shrink yet
+        fd = FrequentDirections(ell=16).update(A)
+        rt = sketch_from_bytes("fd", fd.to_bytes())
+        assert np.allclose(rt.sketch_matrix(), fd.sketch_matrix())
+        assert rt.n_rows == fd.n_rows
+        assert rt.squared_frobenius == fd.squared_frobenius
+        # empty sketch round-trips too (a partition with zero rows)
+        empty = FrequentDirections(ell=8)
+        rt2 = sketch_from_bytes("fd", empty.to_bytes())
+        assert rt2.n_buf == 0 and rt2.d is None
+
+    @pytest.mark.parametrize("d", [4, 16])
+    def test_d_le_ell_is_exact_and_terminates(self, d):
+        """d <= ell: the buffer compacts LOSSLESSLY (no shrinkage, so
+        B^T B == A^T A exactly) — regression for the fill-loop hang
+        where the early-return left the buffer full forever."""
+        A = np.random.default_rng(d).standard_normal((500, d))
+        fd = FrequentDirections(ell=16).update(A)
+        assert fd.shrink_total == 0.0
+        gap = A.T @ A - fd.covariance_estimate()
+        assert np.abs(np.linalg.eigvalsh(gap)).max() < 1e-6
+
+    def test_incompatible_merge_raises(self):
+        a = FrequentDirections(ell=8).update(np.ones((4, 3)))
+        with pytest.raises(ValueError):
+            a.merge(FrequentDirections(ell=16).update(np.ones((4, 3))))
+        with pytest.raises(ValueError):
+            a.merge(FrequentDirections(ell=8).update(np.ones((4, 5))))
