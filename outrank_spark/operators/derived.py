@@ -16,6 +16,8 @@ __all__ = [
     "extract_text_from_html",
     "canonicalize_url",
     "host_suffix_blocklist",
+    "extract_links",
+    "link_host_outdegree",
     "WEB_FEATURE_COLS",
 ]
 
@@ -187,3 +189,53 @@ def host_suffix_blocklist(df: DataFrame, blocklist: DataFrame,
     )
     how = "left_semi" if keep_blocked else "left_anti"
     return df.join(blocked_hosts, host_col, how)
+
+
+def extract_links(df: DataFrame, html_col: str = "html",
+                  out: str = "links",
+                  attrs: tuple[str, ...] = ("href",)) -> DataFrame:
+    """All link targets from an HTML column as an ``array<string>`` —
+    the edge extractor feeding host link graphs (PageRank over
+    ``operators.graph``), outlink-count quality features, and
+    crawl-frontier dedup.
+
+    Pure JVM regex (``regexp_extract_all``), zero shuffle, so it runs
+    inside the scan partition at corpus scale; accepts either a
+    ``binary`` html column (north-rule pages shape — decoded UTF-8
+    first) or a pre-decoded string column.  Attribute values are
+    matched in both quote styles, case-insensitively; relative links
+    are kept verbatim (resolution against the page url is a separate
+    concern).  This is deliberately a *lexical* extractor, same class
+    as ``extract_text_from_html`` — no DOM parse, deterministic, and
+    expressible in any RE2/PCRE engine (the q108 DuckDB oracle uses
+    the identical pattern).
+    """
+    dtype = dict(df.dtypes).get(html_col)
+    src = (F.decode(F.col(html_col), "UTF-8") if dtype == "binary"
+           else F.col(html_col))
+    alt = "|".join(attrs)
+    pat = r'(?i)(?:' + alt + r')\s*=\s*["' + "'" + r']([^"' + "'" + r'<>\s]+)["' + "'" + r']'
+    return df.withColumn(
+        out, F.regexp_extract_all(src, F.lit(pat), F.lit(1)),
+    )
+
+
+def link_host_outdegree(df: DataFrame, links_col: str = "links") -> DataFrame:
+    """Host-level outlink degree table ``(link_host, n_links)``
+    from an extracted-links array column: explode ->
+    absolute-link host regex -> one map-side-combinable groupBy.
+    Relative links (no scheme) carry no host and are excluded.  The
+    (page, host) pair stream collapses by host BEFORE any join with
+    page metadata — at corpus scale the hot boilerplate hosts (CDNs,
+    social widgets) are exactly the Zipf head this pre-aggregation
+    absorbs map-side."""
+    link = F.explode(F.col(links_col)).alias("link")
+    host = F.lower(F.regexp_extract(
+        F.col("link"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
+    return (
+        df.select(link)
+        .select(host.alias("link_host"))
+        .where(F.col("link_host") != "")
+        .groupBy("link_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )

@@ -22,7 +22,7 @@ __all__ = ["fit_langid", "with_language_id", "with_quality_features",
            "with_token_counts", "with_fingerprints", "tfidf_top_terms",
            "ngram_logprob_scores", "normalize_text",
            "pmi_collocations", "inverted_index", "bm25_topk",
-           "ngram_diversity", "zipf_fit"]
+           "ngram_diversity", "zipf_fit", "compression_ratio"]
 
 
 def fit_langid(df: DataFrame, text_col: str = "text",
@@ -643,3 +643,46 @@ def zipf_fit(df: DataFrame, text_col: str = "text",
             F.expr("regr_r2(ln(__n), ln(__rank))"), 6,
         ).alias("r2"),
     )
+
+
+def compression_ratio(df: DataFrame, text_col: str = "text",
+                      out: str = "compression_ratio",
+                      level: int = 6) -> DataFrame:
+    """Per-document zlib compression ratio ``deflate_len / raw_len`` —
+    the repetition/boilerplate signal RefinedWeb and Gopher-family
+    pipelines gate on (highly repetitive or templated pages compress
+    far below natural prose, random/binary junk compresses above it).
+
+    Arrow-batched ``mapInPandas`` (zlib is stdlib; one C call per doc,
+    no third-party dep).  Deterministic for a fixed ``level`` and
+    zlib build, so it can be a reproducible sampling weight; not
+    SQL-expressible, so queries over it are rows-only (pytest pins
+    ordering properties: repeated text < prose < high-entropy junk).
+    Null/empty text -> NULL ratio (no fake 0, same convention as
+    ngram_diversity).  Scale: zero shuffle — the ratio is computed
+    inside the scan partition; project only (id, text) upstream.
+    """
+    import zlib
+
+    cols = df.columns
+    if out in cols:
+        raise ValueError(f"output column {out!r} already exists")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            txt = pdf[text_col]
+            ratios = []
+            for t in txt:
+                if t is None or not isinstance(t, str) or len(t) == 0:
+                    ratios.append(None)
+                    continue
+                raw = t.encode("utf-8")
+                ratios.append(len(zlib.compress(raw, level)) / len(raw))
+            pdf = pdf.copy()
+            pdf[out] = pd.array(ratios, dtype="float64")
+            yield pdf
+
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", `{out}` double"
+    return df.mapInPandas(fn, schema=schema)

@@ -4137,6 +4137,117 @@ ORDER BY o_orderkey
 """
 
 
+def q108_link_graph(spark, sf_dir):
+    """Outlink host graph (operators/derived.extract_links +
+    link_host_outdegree): lexical href extraction from an HTML column
+    -> absolute-link host -> host out-degree.  HTML is synthesized
+    deterministically from (source, doc_id) so the DuckDB oracle can
+    rebuild it verbatim and run the IDENTICAL regex — the extractor
+    itself is pure RE2/Java-regex-portable by design.  Pages carry one
+    per-doc absolute link, a shared CDN link on doc_id%3==0 (the Zipf
+    head the pre-aggregation absorbs), and a relative link that must
+    NOT produce a host row."""
+    from outrank_spark.operators.derived import (extract_links,
+                                                 link_host_outdegree)
+
+    docs = load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><body><a href="http://'), F.lower("source"),
+        (F.col("doc_id") % 53).cast("string"),
+        F.lit('.example.com/a'), F.col("doc_id").cast("string"),
+        F.lit('">x</a>'),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("<a class=t href='https://cdn.shared.net/lib.js'>y</a>"))
+         .otherwise(F.lit("")),
+        F.lit('<a href="/relative/path">z</a></body></html>'),
+    )
+    pages = docs.select(html.alias("page_html"))
+    linked = extract_links(pages, html_col="page_html", out="links")
+    return (
+        link_host_outdegree(linked, links_col="links")
+        .where(F.col("n_links") >= 2)
+        .orderBy(F.desc("n_links"), "link_host")
+    )
+
+
+ORACLE_Q108 = """
+WITH pages AS (
+  SELECT '<html><body><a href="http://' || lower(source) ||
+         CAST(doc_id % 53 AS VARCHAR) || '.example.com/a' ||
+         CAST(doc_id AS VARCHAR) || '">x</a>' ||
+         CASE WHEN doc_id % 3 = 0
+              THEN '<a class=t href=''https://cdn.shared.net/lib.js''>y</a>'
+              ELSE '' END ||
+         '<a href="/relative/path">z</a></body></html>' AS page_html
+  FROM documents
+),
+links AS (
+  SELECT unnest(regexp_extract_all(page_html,
+           '(?i)(?:href)\\s*=\\s*["'']([^"''<>\\s]+)["'']', 1)) AS link
+  FROM pages
+),
+hosts AS (
+  SELECT lower(regexp_extract(link,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS link_host
+  FROM links
+)
+SELECT link_host, count(*) AS n_links
+FROM hosts WHERE link_host <> ''
+GROUP BY link_host HAVING count(*) >= 2
+ORDER BY n_links DESC, link_host
+"""
+
+
+def q109_compression_quality(spark, sf_dir):
+    """zlib compression-ratio quality signal (operators/text.
+    compression_ratio): deflate_len/raw_len per document — the
+    repetition/boilerplate gate (RefinedWeb/Gopher family).  Not
+    SQL-expressible (no zlib in DuckDB), so rows-only; pytest pins the
+    ordering law (repeated << prose << high-entropy) and the
+    null/empty conventions.  Output: per-source tier histogram —
+    deterministic because zlib at a fixed level is."""
+    from outrank_spark.operators.text import compression_ratio
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source",
+                                                   "text")
+    scored = compression_ratio(docs, text_col="text", out="ratio")
+    tier = (
+        F.when(F.col("ratio") < 0.35, "repetitive")
+        .when(F.col("ratio") < 0.75, "normal")
+        .otherwise("incompressible")
+    )
+    return (
+        scored.select("source", tier.alias("tier"))
+        .groupBy("source", "tier")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "tier")
+    )
+
+
+def q110_sql_sketch_surface(spark, sf_dir):
+    """The sketch layer from plain SQL text (functions/sql_sketches):
+    per-lang HLL distinct-text estimates with a blob rollup to a
+    global estimate — registered pandas UDAFs, no DataFrame API in the
+    user's hands.  Estimates are rows-only by nature; the SQL path is
+    bitwise-parity-tested against build_grouped_sketches in
+    tests/test_sql_sketches.py, and the HLL bound is pinned there."""
+    from outrank_spark.functions.sql_sketches import register_sql_sketches
+
+    register_sql_sketches(spark)
+    load(spark, sf_dir, "documents").createOrReplaceTempView(
+        "q110_documents")
+    per_lang = spark.sql(
+        "SELECT lang, hll_sketch(text) AS blob "
+        "FROM q110_documents GROUP BY lang")
+    per_lang.createOrReplaceTempView("q110_blobs")
+    return spark.sql(
+        "SELECT lang, round(hll_estimate(blob)) AS est FROM q110_blobs "
+        "UNION ALL "
+        "SELECT '_total', round(hll_estimate(hll_merge(blob))) "
+        "FROM q110_blobs "
+        "ORDER BY lang")
+
+
 def q105_f2_skew_profile(spark, sf_dir):
     """Second-frequency-moment (self-join size) profile via the
     Count-Sketch/AMS estimator (sketches/countsketch.py) vs the exact
@@ -4191,7 +4302,7 @@ def q106_embedding_spectrum(spark, sf_dir):
 
 
 QUERIES = {
-    # --- exact DuckDB oracles (82; the driver's gate window covers
+    # --- exact DuckDB oracles (83; the driver's gate window covers
     # the first 50 — everything after is exact-checked per round by
     # tools/check_oracles.py, artifact in bench_artifacts/) ---
     "q01_pricing_summary": q01_pricing_summary,
@@ -4276,6 +4387,7 @@ QUERIES = {
     "q103_rolling_anomaly": q103_rolling_anomaly,
     "q104_host_blocklist": q104_host_blocklist,
     "q107_bloom_semijoin": q107_bloom_semijoin,
+    "q108_link_graph": q108_link_graph,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -4304,6 +4416,8 @@ QUERIES = {
     "q87_sketch_rollup": q87_sketch_rollup,
     "q105_f2_skew_profile": q105_f2_skew_profile,
     "q106_embedding_spectrum": q106_embedding_spectrum,
+    "q109_compression_quality": q109_compression_quality,
+    "q110_sql_sketch_surface": q110_sql_sketch_surface,
 }
 
 ORACLES = {
@@ -4391,4 +4505,5 @@ ORACLES = {
     "q103_rolling_anomaly": ORACLE_Q103,
     "q104_host_blocklist": ORACLE_Q104,
     "q107_bloom_semijoin": ORACLE_Q107,
+    "q108_link_graph": ORACLE_Q108,
 }
