@@ -765,6 +765,58 @@ def containment_probe(spark, n_docs: int = 800_000) -> float:
     return dt
 
 
+def bloomjoin_probe(spark, n_probe: int = 120_000_000,
+                    n_build: int = 1_000_000) -> float:
+    """Bloom runtime-filter semi-join scale probe: 120M probe longs vs
+    a 1M-key build side (10% selectivity by construction: k = id % 10M,
+    members = [0, 1M)).  Measures the mergeable Bloom build scan, the
+    broadcast map-side prefilter, and the verifying semi join over
+    survivors; the exact expected count (12M) is asserted.  Sized so
+    the parallel prefilter dominates the ~6 s fixed per-job cost (at
+    30M the probe was fixed-cost-bound: 0.46 measured efficiency).
+    Returns wall seconds."""
+    from pyspark.sql import functions as F
+
+    from outrank_spark.operators.runtime_filter import bloom_semijoin
+
+    probe = spark.range(n_probe).select(
+        (F.col("id") % 10_000_000).alias("k"))
+    build = spark.range(n_build).select(F.col("id").alias("bk"))
+    t0 = time.time()
+    kept = bloom_semijoin(probe, build, key="k", build_key="bk",
+                          how="semi", exact=True, capacity=n_build)
+    n = kept.count()
+    dt = time.time() - t0
+    assert n == n_probe // 10_000_000 * n_build, n
+    return dt
+
+
+def fd_probe(spark, n_rows: int = 3_000_000, d: int = 32) -> float:
+    """Frequent Directions scale probe: one-scan FD (ell=32) over n_rows
+    JVM-synthesized d-dim vectors, log-depth treeAggregate merge.
+    Measures the Arrow array transfer, the per-partition buffered-SVD
+    fold, and the blob merge; exact row/Frobenius bookkeeping is
+    asserted.  Returns wall seconds."""
+    from pyspark.sql import functions as F
+
+    from outrank_spark.operators.matrix_sketch import frequent_directions
+
+    df = spark.range(n_rows).select(
+        F.expr(
+            f"transform(sequence(1, {d}), i -> "
+            "cast((id * 2654435761 + i * 97) % 1000 as double) / 500.0 "
+            "- 1.0)",
+        ).alias("embedding"),
+    )
+    t0 = time.time()
+    sk = frequent_directions(df, vec_col="embedding", ell=32,
+                             merge="tree")
+    dt = time.time() - t0
+    assert sk.n_rows == n_rows, sk.n_rows
+    assert sk.squared_frobenius > 0
+    return dt
+
+
 # name -> (probe fn, human-readable work size) for --scaling-ops;
 # every probe generates its input JVM-side, so the two parallelism
 # levels see byte-identical work
@@ -782,6 +834,8 @@ SCALING_OP_PROBES = {
     "dsir": (dsir_probe, "1.5M docs"),
     "sessionize": (sessionize_probe, "20M events"),
     "containment": (containment_probe, "800k docs"),
+    "bloomjoin": (bloomjoin_probe, "120M probe x 1M keys"),
+    "fdsketch": (fd_probe, "3M x 32-dim vectors"),
 }
 
 
