@@ -4198,6 +4198,60 @@ ORDER BY n_links DESC, link_host
 """
 
 
+def q111_jaccard_threshold_join(spark, sf_dir):
+    """Exact all-pairs Jaccard-threshold join (every pair >= 0.5) via
+    AllPairs/PPJoin prefix filtering (operators/dedup.
+    jaccard_prefix_join) — the exact companion to q28's MinHash LSH.
+
+    Unlike q14 (top-20 via the full shingle self-join, oracle shape),
+    this is the SCALE path for exact threshold joins: only each
+    document's rarest ``(1 - t) * |d| + 1`` shingles enter the
+    candidate join, Zipf-head shingles sort to the end of every
+    document and never hit the join, and verification is bounded to
+    surviving candidates.  The oracle is the brute-force DuckDB join
+    filtered at the same threshold — result sets must match row for
+    row, which pins the prefix filter's exactness proof against an
+    independent engine."""
+    from outrank_spark.operators.dedup import jaccard_prefix_join
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        jaccard_prefix_join(docs, threshold=0.5)
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+    )
+
+
+ORACLE_Q111 = """
+WITH sh AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN list_distinct([
+      array_to_string(t[i:i+2], ' ')
+      FOR i IN range(1, len(t) - 1)
+  ]) ELSE [text] END) AS shingle
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS t
+        FROM documents)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter / (sa.sz + sb.sz - inter)::DOUBLE, 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter / (sa.sz + sb.sz - inter)::DOUBLE >= 0.5 - 1e-12
+ORDER BY jaccard DESC, doc_a, doc_b
+"""
+
+
 def q109_compression_quality(spark, sf_dir):
     """zlib compression-ratio quality signal (operators/text.
     compression_ratio): deflate_len/raw_len per document — the
@@ -4388,6 +4442,7 @@ QUERIES = {
     "q104_host_blocklist": q104_host_blocklist,
     "q107_bloom_semijoin": q107_bloom_semijoin,
     "q108_link_graph": q108_link_graph,
+    "q111_jaccard_threshold_join": q111_jaccard_threshold_join,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -4506,4 +4561,5 @@ ORACLES = {
     "q104_host_blocklist": ORACLE_Q104,
     "q107_bloom_semijoin": ORACLE_Q107,
     "q108_link_graph": ORACLE_Q108,
+    "q111_jaccard_threshold_join": ORACLE_Q111,
 }

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from outrank_spark.operators.dedup import (
     embedding_neardup_candidates,
     exact_dedup,
+    jaccard_prefix_join,
     minhash_lsh_candidates,
     minhash_signatures,
     near_dedup_corpus,
@@ -100,6 +101,68 @@ class TestNgramJaccard:
         }
         expected = {k: v for k, v in full.items() if k in set(cand_keys)}
         assert bounded == expected
+
+
+class TestJaccardPrefixJoin:
+    """jaccard_prefix_join must equal the brute-force join filtered at
+    the threshold — the AllPairs/PPJoin prefix filter is exactness-
+    preserving, so ANY divergence is a bug, not noise."""
+
+    def _brute(self, df, t):
+        return {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs(df, max_shingle_freq=None)
+            .filter(F.col("jaccard") >= t - 1e-12).collect()
+        }
+
+    @pytest.mark.parametrize("t", [0.3, 0.5, 0.8, 1.0])
+    def test_matches_brute_force(self, corpus, t):
+        got = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in jaccard_prefix_join(corpus, threshold=t).collect()
+        }
+        assert got == self._brute(corpus, t)
+
+    def test_random_corpus_sweep(self, spark):
+        # adversarial shape: tiny vocab -> dense overlap graph, doc
+        # sizes 2..30 so ceil(t*sz) hits integer boundaries (t*5 at
+        # t=0.4, t*10 at 0.3/0.5...) where a float-drifted prefix
+        # length would drop qualifying pairs
+        import random
+
+        rng = random.Random(11)
+        vocab = [f"v{i}" for i in range(40)]
+        rows = []
+        for i in range(100):
+            toks = [rng.choice(vocab)
+                    for _ in range(rng.randint(2, 30))]
+            rows.append((i, " ".join(toks)))
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text"]))
+        for t in (0.25, 0.4, 0.6):
+            got = {
+                (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+                for r in jaccard_prefix_join(df, threshold=t).collect()
+            }
+            assert got == self._brute(df, t), f"diverged at t={t}"
+
+    def test_short_docs_whole_text_shingle(self, spark):
+        # docs under n tokens fall back to one whole-text shingle:
+        # identical short docs are jaccard-1.0 pairs, disjoint ones
+        # never pair
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                [(1, "ab cd"), (2, "ab cd"), (3, "xy"), (4, "zz qq")],
+                columns=["doc_id", "text"]))
+        got = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in jaccard_prefix_join(df, threshold=0.5).collect()}
+        assert got == {(1, 2): 1.0}
+
+    def test_bad_threshold_raises(self, corpus):
+        with pytest.raises(ValueError):
+            jaccard_prefix_join(corpus, threshold=0.0)
+        with pytest.raises(ValueError):
+            jaccard_prefix_join(corpus, threshold=1.5)
 
 
 class TestMinHash:
