@@ -14,8 +14,8 @@ Scaling evidence mode (north rule: efficiency >= 0.8 from N to 4N):
 subprocesses at local[N] and local[4N] on identical input (default
 N=2 — the pair where a pure-CPU calibration shows the VM can sustain
 a true 4x; see BENCH.md) and reports efficiency = (T_N / T_4N) / 4.
-``--scaling-ops [names_csv]`` does the same for eleven operator
-probes (optionally a named subset); ``--skew``
+``--scaling-ops [names_csv]`` does the same for the operator
+probes in ``SCALING_OP_PROBES`` (optionally a named subset); ``--skew``
 measures the salted hot-key merge.
 """
 from __future__ import annotations
@@ -765,6 +765,55 @@ def containment_probe(spark, n_docs: int = 800_000) -> float:
     return dt
 
 
+def prefixjoin_probe(spark, n_docs: int = 200_000) -> float:
+    """Exact Jaccard-threshold-join scale probe (jaccard_prefix_join,
+    q111's operator): 200k 40-token docs where pairs (2i, 2i+1) share
+    a 30-token prefix (28 of 38 trigram shingles, J = 28/48 ~ 0.583)
+    and tails are doc-salted.  Measures the df groupBy, the per-doc
+    rarest-first prefix window, the prefix candidate join and the
+    candidate-bounded verify; the exact expected pair count
+    (n_docs/2) is asserted.  Input persisted + materialized before
+    the clock starts; shuffle partitions 4x cores for the probe
+    (same methodology as containment_probe).  Returns wall
+    seconds."""
+    from pyspark.sql import functions as F
+
+    from outrank_spark.operators.dedup import jaccard_prefix_join
+
+    df = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(sequence(1, 30), i -> "
+                "conv(cast(cast(id / 2 as long) * 48271 + i * 131 "
+                "as string), 10, 36))",
+            ),
+            F.expr(
+                "transform(sequence(1, 10), i -> "
+                "concat('u', id, 'x', i))",
+            ),
+        ).alias("text"),
+    ).persist()
+    df.count()  # materialize outside the timed region
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(4 * spark.sparkContext.defaultParallelism),
+    )
+    try:
+        t0 = time.time()
+        pairs = jaccard_prefix_join(df, "text", "doc_id", n=3,
+                                    threshold=0.5)
+        n_pairs = pairs.count()
+        dt = time.time() - t0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        df.unpersist()
+    assert n_pairs == n_docs // 2, (n_pairs, n_docs)
+    return dt
+
+
 def bloomjoin_probe(spark, n_probe: int = 120_000_000,
                     n_build: int = 1_000_000) -> float:
     """Bloom runtime-filter semi-join scale probe: 120M probe longs vs
@@ -834,6 +883,7 @@ SCALING_OP_PROBES = {
     "dsir": (dsir_probe, "1.5M docs"),
     "sessionize": (sessionize_probe, "20M events"),
     "containment": (containment_probe, "800k docs"),
+    "prefixjoin": (prefixjoin_probe, "200k docs"),
     "bloomjoin": (bloomjoin_probe, "120M probe x 1M keys"),
     "fdsketch": (fd_probe, "3M x 32-dim vectors"),
 }
