@@ -4355,6 +4355,64 @@ def q106_embedding_spectrum(spark, sf_dir):
     return embedding_spectrum(emb, vec_col="embedding", ell=64, top_k=8)
 
 
+def q112_bucketed_join(spark, sf_dir):
+    """Exchange-free co-located join from a bucketed storage layout
+    (sources/bucketed.write_bucketed / bucketed_join): documents and
+    embeddings are each written ``bucketBy(8, doc_id)`` once, then the
+    doc-level join reads co-located buckets with ZERO shuffle Exchange
+    — asserted on the executed plan inside this query, with
+    auto-broadcast disabled during planning so the exchange-free
+    property can only come from the layout.  The 100 TB story: tables
+    re-joined on the same key pay their shuffle once at write time
+    instead of on every query.  Result semantics are plain-join
+    semantics (per (lang, label) doc counts + char mass), so the
+    DuckDB oracle is the unbucketed join — bitwise equality proves the
+    layout changed the plan, not the answer."""
+    import os
+    import tempfile
+    import zlib
+
+    from outrank_spark.sources.bucketed import (
+        assert_no_shuffle_exchange, bucketed_join, write_bucketed)
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label")
+    # crc32 (not hash(): salted per process) so reruns at the same
+    # sf_dir overwrite the same table/path instead of accumulating
+    tag = zlib.crc32(os.path.abspath(sf_dir).encode())
+    base = os.path.join(tempfile.gettempdir(), f"q112_bucketed_{tag}")
+    write_bucketed(docs, f"q112_docs_{tag}", "doc_id", 8,
+                   path=os.path.join(base, "docs"))
+    write_bucketed(emb, f"q112_emb_{tag}", "doc_id", 8,
+                   path=os.path.join(base, "emb"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(
+            spark, f"q112_docs_{tag}", f"q112_emb_{tag}", "doc_id")
+        assert_no_shuffle_exchange(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return (
+        joined.groupBy("lang", "label")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("sum_chars"))
+        .orderBy("lang", "label")
+    )
+
+
+ORACLE_Q112 = """
+SELECT d.lang, e.label,
+       COUNT(*) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY d.lang, e.label
+ORDER BY lang, label
+"""
+
+
 QUERIES = {
     # --- exact DuckDB oracles (83; the driver's gate window covers
     # the first 50 — everything after is exact-checked per round by
@@ -4443,6 +4501,7 @@ QUERIES = {
     "q107_bloom_semijoin": q107_bloom_semijoin,
     "q108_link_graph": q108_link_graph,
     "q111_jaccard_threshold_join": q111_jaccard_threshold_join,
+    "q112_bucketed_join": q112_bucketed_join,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -4562,4 +4621,5 @@ ORACLES = {
     "q107_bloom_semijoin": ORACLE_Q107,
     "q108_link_graph": ORACLE_Q108,
     "q111_jaccard_threshold_join": ORACLE_Q111,
+    "q112_bucketed_join": ORACLE_Q112,
 }
