@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["stratified_sample", "weighted_sample",
+__all__ = ["stratified_sample", "weighted_sample", "reservoir_sample",
            "temperature_rebalance", "dsir_logratio", "mixture_sample",
            "hash_split"]
 
@@ -385,3 +385,68 @@ def hash_split(df: DataFrame, id_col: str,
         .withColumn("split", label)
         .drop("__u")
     )
+
+
+def reservoir_sample(df: DataFrame, k: int, id_col: str = "doc_id",
+                     weight_col: str | None = None, seed: str = "",
+                     keep_frac: float | None = None) -> DataFrame:
+    """Global ``k``-row sample without replacement — the ``k`` rows
+    with the smallest deterministic key, so the result is a pure
+    function of the data (order-, partitioning- and cluster-size-free,
+    replayable row-for-row by a SQL oracle).
+
+    * ``weight_col=None``: uniform bottom-k of the salted md5 key —
+      every row equally likely over the seed family.
+    * ``weight_col=w``: Efraimidis–Spirakis A-ES keys. A row's key is
+      ``-ln(u) / w`` with ``u`` the row's md5-uniform in (0, 1];
+      taking the ``k`` SMALLEST keys is exactly sampling without
+      replacement with inclusion probability proportional to ``w``
+      (Efraimidis & Spirakis 2006, the mergeable weighted-reservoir
+      scheme). Rows with null or non-positive weight are excluded
+      (a zero-weight row must never be sampled; raising instead would
+      make dirty data fatal mid-scan).
+
+    Scale shape: ``orderBy(key).limit(k)`` plans
+    ``TakeOrderedAndProject`` — each task keeps its own k-row bounded
+    heap and ships ONLY k rows to a single merge; the corpus is never
+    globally sorted and no full-sort shuffle exists in the plan
+    (asserted in tests/test_sampling.py).  The merge step ships
+    ``tasks x k`` rows, so for k beyond ~1M rows prefer
+    :func:`stratified_sample` over a hash-stratum (quota ``k/s`` per
+    stratum) which keeps the merge per-stratum.  For the uniform mode,
+    ``keep_frac`` installs the same hash-threshold prefilter as
+    :func:`stratified_sample` — any threshold keeping >= k rows
+    preserves the sample bitwise (the sample IS the k smallest keys),
+    and a deficient prefilter is detected with one count and falls
+    back to the unfiltered scan, so exactness is never at stake.
+
+    The reference engine's only sampler is positional every-n-th-line
+    (``core_ranking.py:641-642``); reproducible uniform / weighted
+    quotas are part of the LLM-data-pipeline family.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    _reject_internal_collisions(df, ("_key",), "reservoir_sample")
+    if weight_col is None:
+        keyed = df.withColumn("_key", _md5_key(id_col, seed))
+        if keep_frac is not None:
+            thresh = int(keep_frac * _KEY_SPACE)
+            surv = keyed.filter(F.col("_key") < thresh)
+            # one metadata count decides prefiltered vs full scan —
+            # never both, never a wrong answer
+            if surv.count() >= k:
+                keyed = surv
+    else:
+        if keep_frac is not None:
+            raise ValueError(
+                "keep_frac requires uniform keys; the weighted key "
+                "-ln(u)/w has no weight-free acceptance threshold",
+            )
+        u = (_md5_key(id_col, seed) + F.lit(1)).cast("double") / F.lit(
+            float(_KEY_SPACE))
+        w = F.col(weight_col).cast("double")
+        keyed = (
+            df.filter(w.isNotNull() & (w > 0))
+            .withColumn("_key", -F.log(u) / w)
+        )
+    return keyed.orderBy("_key", id_col).limit(k).drop("_key")

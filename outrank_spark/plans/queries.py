@@ -4413,6 +4413,64 @@ ORDER BY lang, label
 """
 
 
+def q113_reservoir_sample(spark, sf_dir):
+    """Global uniform 40-row sample without replacement
+    (sampling.reservoir_sample): bottom-k of the engine-portable md5
+    key, planned as TakeOrderedAndProject (per-task bounded heap, k
+    rows per task shipped, NO full sort) — the corpus-scale "give me a
+    reproducible random sample" primitive.  Row-for-row exact oracle:
+    DuckDB replays the identical key and tie-break.  The reference's
+    only sampler is positional every-n-th-line (core_ranking.py:
+    641-642)."""
+    from outrank_spark.operators.sampling import reservoir_sample
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source")
+    return reservoir_sample(docs, 40, id_col="doc_id").orderBy("doc_id")
+
+
+ORACLE_Q113 = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS key
+  FROM documents
+  ORDER BY key, doc_id LIMIT 40
+) ORDER BY doc_id
+"""
+
+
+def q114_weighted_reservoir(spark, sf_dir):
+    """Weighted 40-row sample without replacement via
+    Efraimidis-Spirakis A-ES keys (sampling.reservoir_sample with
+    weight_col): key = -ln(u)/w, bottom-k == inclusion proportional to
+    n_chars — longer documents proportionally likelier, the standard
+    token-budget-aware corpus subsample.  Same TakeOrderedAndProject
+    bounded-heap plan as q113.  Exact oracle: DuckDB computes the
+    identical double key (both engines IEEE-754 doubles; ties broken
+    by doc_id)."""
+    from outrank_spark.operators.sampling import reservoir_sample
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    return reservoir_sample(
+        docs, 40, id_col="doc_id", weight_col="n_chars",
+    ).orderBy("doc_id")
+
+
+ORACLE_Q114 = """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) + 1) / 4294967296.0)
+           / CAST(n_chars AS DOUBLE) AS key
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+  ORDER BY key, doc_id LIMIT 40
+) ORDER BY doc_id
+"""
+
+
 QUERIES = {
     # --- exact DuckDB oracles (83; the driver's gate window covers
     # the first 50 — everything after is exact-checked per round by
@@ -4502,6 +4560,8 @@ QUERIES = {
     "q108_link_graph": q108_link_graph,
     "q111_jaccard_threshold_join": q111_jaccard_threshold_join,
     "q112_bucketed_join": q112_bucketed_join,
+    "q113_reservoir_sample": q113_reservoir_sample,
+    "q114_weighted_reservoir": q114_weighted_reservoir,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -4622,4 +4682,6 @@ ORACLES = {
     "q108_link_graph": ORACLE_Q108,
     "q111_jaccard_threshold_join": ORACLE_Q111,
     "q112_bucketed_join": ORACLE_Q112,
+    "q113_reservoir_sample": ORACLE_Q113,
+    "q114_weighted_reservoir": ORACLE_Q114,
 }

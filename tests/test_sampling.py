@@ -581,3 +581,91 @@ class TestChunkDocumentsProperty:
                     for d, text in docs
                     for i, st, ln, txt in py_chunks(text.split(), c, o)}
             assert got == want, (c, o)
+
+
+class TestReservoirSample:
+    """reservoir_sample: bottom-k semantics, plan shape, A-ES weights."""
+
+    def _brute_uniform(self, docs, k, seed=""):
+        import hashlib
+        rows = [(r["doc_id"], r["lang"]) for r in docs.collect()]
+        key = lambda t: (int(hashlib.md5(
+            (seed + str(t[0])).encode()).hexdigest()[:8], 16), t[0])
+        return sorted(sorted(rows, key=key)[:k])
+
+    def test_uniform_matches_brute_force(self, docs):
+        from outrank_spark.operators.sampling import reservoir_sample
+        out = reservoir_sample(docs, 17, id_col="doc_id")
+        got = sorted((r["doc_id"], r["lang"]) for r in out.collect())
+        assert got == self._brute_uniform(docs, 17)
+
+    def test_partition_invariant_and_prefilter_bitwise(self, docs):
+        from outrank_spark.operators.sampling import reservoir_sample
+        base = sorted(r["doc_id"] for r in
+                      reservoir_sample(docs, 9).collect())
+        for variant in (
+            reservoir_sample(docs.repartition(7), 9),
+            reservoir_sample(docs.coalesce(1), 9),
+            # generous prefilter: keeps >= k rows -> bitwise identical
+            reservoir_sample(docs, 9, keep_frac=0.5),
+            # deficient prefilter: detected, falls back to full scan
+            reservoir_sample(docs, 9, keep_frac=1e-9),
+        ):
+            assert sorted(r["doc_id"] for r in variant.collect()) == base
+
+    def test_plan_is_bounded_topk_not_full_sort(self, docs):
+        from outrank_spark.operators.sampling import reservoir_sample
+        plan = reservoir_sample(docs, 5)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange rangepartitioning" not in plan
+
+    def test_weighted_matches_numpy_keys(self, spark):
+        import hashlib
+        import math
+        from outrank_spark.operators.sampling import reservoir_sample
+        rows = [(i, float(1 + (i * 7) % 13)) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        out = reservoir_sample(df, 20, id_col="doc_id", weight_col="w")
+        got = sorted(r["doc_id"] for r in out.collect())
+
+        def key(i, w):
+            u = (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                 + 1) / 2.0 ** 32
+            return -math.log(u) / w
+        want = sorted(i for i, _ in sorted(
+            rows, key=lambda t: (key(*t), t[0]))[:20])
+        assert got == want
+
+    def test_weighted_excludes_nonpositive_and_null(self, spark):
+        from outrank_spark.operators.sampling import reservoir_sample
+        df = spark.createDataFrame(
+            [(1, 2.0), (2, 0.0), (3, -1.0), (4, None), (5, 5.0)],
+            "doc_id long, w double")
+        got = sorted(r["doc_id"] for r in
+                     reservoir_sample(df, 10, weight_col="w").collect())
+        assert got == [1, 5]
+
+    def test_weighted_inclusion_bias(self, spark):
+        # one row with 50x the weight of 99 others must be sampled in
+        # nearly every seed; a uniform row only ~ k/n of the time
+        from outrank_spark.operators.sampling import reservoir_sample
+        rows = [(i, 50.0 if i == 0 else 1.0) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, w double").cache()
+        hits = sum(
+            0 in {r["doc_id"] for r in
+                  reservoir_sample(df, 10, weight_col="w",
+                                   seed=f"s{t}").collect()}
+            for t in range(12)
+        )
+        assert hits >= 11
+
+    def test_validation(self, docs):
+        from outrank_spark.operators.sampling import reservoir_sample
+        with pytest.raises(ValueError, match="k must be positive"):
+            reservoir_sample(docs, 0)
+        with pytest.raises(ValueError, match="keep_frac requires"):
+            reservoir_sample(docs.withColumn("w", F.lit(1.0)), 3,
+                             weight_col="w", keep_frac=0.1)
+        with pytest.raises(ValueError, match="internal column"):
+            reservoir_sample(docs.withColumn("_key", F.lit(1)), 3)
