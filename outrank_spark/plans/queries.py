@@ -4413,6 +4413,72 @@ ORDER BY lang, label
 """
 
 
+def q115_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (operators/pq.pq_topk): vectors
+    L2-normalized and compressed to m=8 one-byte-ish codes, per-query
+    ADC lookup-table scan over the CODES only (np.take + sum, batch-
+    local bounded top), exact cosine rerank of the small candidate
+    pool — FAISS's IVF-PQ recipe re-expressed as DataFrame stages
+    (Jegou et al., TPAMI 2011).  The 100 TB story: the raw embedding
+    column is ~256 TB at 10^12 rows; the 8-byte codes are 32x smaller
+    and the full vectors are touched only for rerank_factor*k rows per
+    query.  With the generous pool the result equals the brute-force
+    top-k row-for-row, so the oracle is q15's exact SQL (self included
+    here; q15 excludes it) — the approximation is exercised separately
+    by the recall pytest (tests/test_pq.py).
+
+    Pool sizing: the synthetic embeddings are near-random (worst
+    case for ADC — top cosines ~0.35, tiny neighbor gaps), and the
+    deepest ADC rank of any true top-8 item measured across both test
+    SFs is 97; rerank_factor=32 (pool=256) leaves a 2.6x margin while
+    still scanning codes, not vectors, for 87%+ of the corpus."""
+    from outrank_spark.operators.pq import pq_topk
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"),
+    )
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+    )
+    from pyspark.sql.window import Window
+
+    top8 = pq_topk(emb, probes, k=8, m=8, nbits=8, rerank_factor=32)
+    # round-then-rank exactly like q15/ORACLE_Q15 so 4dp ties break
+    # identically in both engines
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("vec_id"),
+    )
+    return (
+        top8.withColumn("cosine", F.round("cosine", 4))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_Q115 = """
+WITH probes AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT query_id, e.vec_id,
+         round(list_dot_product(qv::DOUBLE[], e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 4) AS cosine
+  FROM probes, embeddings e
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 def q113_reservoir_sample(spark, sf_dir):
     """Global uniform 40-row sample without replacement
     (sampling.reservoir_sample): bottom-k of the engine-portable md5
@@ -4562,6 +4628,7 @@ QUERIES = {
     "q112_bucketed_join": q112_bucketed_join,
     "q113_reservoir_sample": q113_reservoir_sample,
     "q114_weighted_reservoir": q114_weighted_reservoir,
+    "q115_pq_topk": q115_pq_topk,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -4684,4 +4751,5 @@ ORACLES = {
     "q112_bucketed_join": ORACLE_Q112,
     "q113_reservoir_sample": ORACLE_Q113,
     "q114_weighted_reservoir": ORACLE_Q114,
+    "q115_pq_topk": ORACLE_Q115,
 }
