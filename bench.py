@@ -826,7 +826,9 @@ def bloomjoin_probe(spark, n_probe: int = 240_000_000,
     burns a JVM Arrow-feeder thread AND a Python worker, so local[2]
     really consumes ~4 host cores — the 2->8 ratio structurally
     understates multi-executor scaling for Python-heavy stages (the
-    isolated membership stage measures 0.85).  Returns wall seconds."""
+    isolated membership stage, the ``bloomstage`` probe, measures
+    0.811 — bench_artifacts/r5/scaling_ops_bloomstage.json).
+    Returns wall seconds."""
     from pyspark.sql import functions as F
 
     from outrank_spark.operators.runtime_filter import bloom_semijoin
@@ -840,6 +842,35 @@ def bloomjoin_probe(spark, n_probe: int = 240_000_000,
     n = kept.count()
     dt = time.time() - t0
     assert n == n_probe // 10_000_000 * n_build, n
+    return dt
+
+
+def bloomstage_probe(spark, n_probe: int = 240_000_000,
+                     n_build: int = 1_000_000) -> float:
+    """Isolated Bloom MEMBERSHIP stage (the Python-side part of
+    ``bloomjoin``): same 240M-probe/1M-key shape, but the Bloom build
+    and the verify join are excluded — only the broadcast
+    scalar-pandas-UDF prefilter scan is timed.  This is the number the
+    bloomjoin docstring's core-accounting note cites: a Python-stage
+    task occupies a JVM Arrow-feeder thread AND a Python worker, so
+    the composed probe's 2->8 ratio mixes this stage with JVM-only
+    stages that contend with the extra Python workers at local[2].
+    Survivor count is bound-asserted (all 24M members + <=2x the 1%
+    design fpp of the 216M non-members).  Returns wall seconds."""
+    from pyspark.sql import functions as F
+
+    from outrank_spark.operators.runtime_filter import (
+        bloom_prefilter, build_key_bloom)
+
+    probe = spark.range(n_probe).select(
+        (F.col("id") % 10_000_000).alias("k"))
+    build = spark.range(n_build).select(F.col("id").alias("k"))
+    blob = build_key_bloom(build, "k", capacity=n_build)
+    t0 = time.time()
+    n = bloom_prefilter(probe, "k", blob).count()
+    dt = time.time() - t0
+    members = n_probe // 10_000_000 * n_build
+    assert members <= n <= members + int(0.02 * (n_probe - members)), n
     return dt
 
 
@@ -888,6 +919,7 @@ SCALING_OP_PROBES = {
     "containment": (containment_probe, "800k docs"),
     "prefixjoin": (prefixjoin_probe, "200k docs"),
     "bloomjoin": (bloomjoin_probe, "240M probe x 1M keys"),
+    "bloomstage": (bloomstage_probe, "240M probe x 1M keys"),
     "fdsketch": (fd_probe, "6M x 32-dim vectors"),
 }
 
