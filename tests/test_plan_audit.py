@@ -398,3 +398,51 @@ class TestRound4LateAdditions:
         assert plan.count("Scan parquet") <= 2  # lists path + sizes path
         assert "Union" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestRound4ClosingAdditions:
+    def test_pq_encode_is_zero_shuffle(self, spark):
+        """pq_encode is one mapInPandas over the scan — no Exchange may
+        appear (the 32x byte reduction must not cost a shuffle)."""
+        from outrank_spark.operators.pq import pq_encode, pq_fit
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet").selectExpr(
+            "vec_id", "cast(embedding as array<double>) embedding")
+        cb = pq_fit(emb, m=8, nbits=4, sample_size=256)
+        plan = plan_of(pq_encode(emb, cb))
+        assert "Exchange" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_pq_topk_broadcasts_queries_no_cartesian(self, spark):
+        """pq_topk's rerank joins the tiny query table broadcast; the
+        candidate pipeline must contain no quadratic operator, and the
+        only Python stages are the two mapInPandas passes (encode +
+        ADC scan) — the rerank itself stays JVM-side."""
+        from outrank_spark.operators.pq import pq_topk
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet").selectExpr(
+            "vec_id", "cast(embedding as array<double>) embedding")
+        queries = emb.limit(2).selectExpr(
+            "vec_id as query_id", "embedding as qv")
+        plan = plan_of(pq_topk(emb, queries, k=3, m=8, nbits=4,
+                               rerank_factor=4))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert plan.count("MapInPandas") == 2
+        assert "BatchEvalPython" not in plan  # no row-at-a-time UDF
+
+    def test_bloom_prefilter_is_single_stage_key_only(self, spark):
+        """The scalar-pandas-UDF Bloom prefilter must plan as a FILTER
+        (no Exchange — rows never move), with the key as the only
+        Arrow traffic (ArrowEvalPython, not a whole-row MapInPandas:
+        the r5 rewrite this pins got ~4x on the 240M-row probe)."""
+        from outrank_spark.operators.runtime_filter import (
+            bloom_prefilter, build_key_bloom)
+
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        build = li.select(F.col("l_suppkey").alias("k")).limit(100)
+        blob = build_key_bloom(build, "k", capacity=200)
+        plan = plan_of(bloom_prefilter(li, "l_suppkey", blob))
+        assert "Exchange" not in plan
+        assert "ArrowEvalPython" in plan
+        assert "MapInPandas" not in plan
