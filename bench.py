@@ -957,14 +957,18 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
                 QUERIES[name](spark, sf_dir).collect()
                 best = min(best, time.time() - t0)
             times[name] = round(best, 3)
-        # min of 2 reps for the ranking job too: r3's driver artifact
+        # min of 3 reps for the ranking job: r3's driver artifact
         # recorded 10.78 s from a single rep where two re-measurements
         # of the same code gave 6.13/5.83 s — single-run numbers on this
-        # shared VM are not trustworthy (VERDICT r3, "What's wrong" #1)
+        # shared VM are not trustworthy (VERDICT r3, "What's wrong" #1),
+        # and 2-rep sequences were still observed monotonically
+        # decreasing under host load (11.0 -> 8.9 -> 7.0 s), so a third
+        # rep is needed before min() reflects steady state
         rank_sec, pps = ranking_throughput(spark, N_PAGES, warmup=True)
-        rank_sec2, pps2 = ranking_throughput(spark, N_PAGES, warmup=False)
-        if rank_sec2 < rank_sec:
-            rank_sec, pps = rank_sec2, pps2
+        for _ in range(2):
+            rank_sec2, pps2 = ranking_throughput(spark, N_PAGES, warmup=False)
+            if rank_sec2 < rank_sec:
+                rank_sec, pps = rank_sec2, pps2
         times["ranking_pages_job"] = round(rank_sec, 3)
         t0 = time.time()
         sketch_err = sketch_error_probe(spark, sf_dir)
