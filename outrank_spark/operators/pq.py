@@ -249,9 +249,19 @@ def pq_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     norm = lambda c: F.sqrt(
         F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x),
     )
+    # The candidate set is hard-bounded at queries x pool rows by the
+    # row_number filter above, so it is ALWAYS broadcastable — hint it
+    # explicitly: post-window relations carry no size estimate, and
+    # without the hint the planner's only alternatives at corpus scale
+    # are shuffling the full vector table into a sort-merge join or
+    # (at toy sizes) broadcasting the CORPUS side, both wrong at 100 TB.
+    # With the hint the raw-vector scan flows straight into the build-
+    # side-right BHJ — zero Exchange on the corpus in the rerank.
     scored = (
-        cand.join(F.broadcast(queries), "query_id")
-        .join(emb, id_col)
+        emb.join(
+            F.broadcast(cand.join(F.broadcast(queries), "query_id")),
+            id_col,
+        )
         .withColumn("cosine", dot / (norm(F.col("qv")) * norm(F.col("v"))))
         .select("query_id", id_col, "cosine")
     )

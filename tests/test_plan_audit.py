@@ -430,6 +430,11 @@ class TestRound4ClosingAdditions:
         assert "BroadcastHashJoin" in plan
         assert plan.count("MapInPandas") == 2
         assert "BatchEvalPython" not in plan  # no row-at-a-time UDF
+        # the exact rerank must broadcast the BOUNDED side (candidates,
+        # <= queries x pool rows by row_number) — never sort-merge: an
+        # SMJ here means the raw-vector corpus is being shuffled, which
+        # is exactly what PQ exists to avoid
+        assert "SortMergeJoin" not in plan
 
     def test_bloom_prefilter_is_single_stage_key_only(self, spark):
         """The scalar-pandas-UDF Bloom prefilter must plan as a FILTER
