@@ -202,20 +202,25 @@ def score_batches(df: DataFrame, columns: Sequence[str],
     # ~1/3 of partitions empty and the worst task carrying 5-6 batches,
     # so the scoring stage walls at max-load x batch-time while most
     # cores idle (measured 4.4 s -> 2.8 s at 300k pages x 463 pairs).
-    # An explicit repartition to 4*n_batches gives ~1 batch per task
+    # An explicit repartition to ~4*n_batches gives ~1 batch per task
     # and, being a user-specified count, is not AQE-coalesced; the
     # groupBy then reuses that HashPartitioning (ClusteredDistribution
     # on batch_id is already satisfied) so no second Exchange appears.
-    # At corpus scale n_batches >> shuffle partitions and the default
-    # shuffle is already load-balanced by averaging many batches per
-    # task — spreading there would only multiply task-scheduling
-    # overhead, so the spread applies only in the sparse-batch regime.
+    # The spread applies while batches-per-partition < 32 — below that
+    # the binomial imbalance is material (at 123 batches over 8
+    # partitions the max-loaded partition walls a single-wave stage;
+    # measured 40.2 -> 37.8 s at 2M pages on 8 cores), above it many
+    # batches per task average out on their own and extra tasks would
+    # only cost scheduling.  The partition count caps at 64*shuf so a
+    # corpus-scale job never schedules more than ~64 tasks per shuffle
+    # slot while still leaving most tasks a single batch.
     try:
         shuf = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
         shuf = df.sparkSession.sparkContext.defaultParallelism
-    if n_batches < 8 * shuf:
-        batched = batched.repartition(4 * n_batches, "batch_id")
+    if n_batches < 32 * shuf:
+        batched = batched.repartition(
+            min(4 * n_batches, 64 * shuf), "batch_id")
     return batched.groupBy("batch_id").applyInPandas(fn, schema=_TRIPLET_SCHEMA)
 
 
