@@ -40,7 +40,8 @@ __all__ = [
     "jaccard_prefix_join",
     "contamination_scores",
     "minhash_signatures",
-    "minhash_lsh_candidates", "ngram_jaccard_pairs",
+    "minhash_lsh_candidates", "minhash_delta_candidates",
+    "ngram_jaccard_pairs",
     "simhash_signatures", "simhash_candidates",
     "embedding_neardup_candidates", "near_dedup_corpus",
     "winnowed_span_pairs", "dedup_paragraphs",
@@ -949,3 +950,111 @@ def containment_join(df: DataFrame, text_col: str = "text",
         .where(F.col("containment") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "shared", "size_a", "containment")
     )
+
+
+def minhash_delta_candidates(new_df: DataFrame, index_sig: DataFrame,
+                             text_col: str = "text",
+                             id_col: str = "doc_id", n: int = 3,
+                             k: int = 128, bands: int = 32,
+                             verify_threshold: float | None = None,
+                             index_text: DataFrame | None = None,
+                             ) -> DataFrame:
+    """Incremental near-dup check: NEW documents against a stored
+    MinHash signature index, without touching the existing corpus's
+    text.
+
+    A continuously-crawled corpus cannot re-run corpus-wide LSH per
+    batch — O(corpus) work for an O(batch) question.  Instead the
+    pipeline persists :func:`minhash_signatures` output once
+    (``id_col, mh0..mh{k-1}``; ~1 KB/doc, shingle-order independent)
+    and each new batch: (1) signs ONLY the batch, (2) bands both
+    sides with the same ``xxhash64`` band keys, (3) equi-joins
+    new -> index on ``(band, bh)``.  Returns ``(id_new, id_index,
+    minhash_sim)`` — the slot-match similarity estimate — filtered to
+    ``>= verify_threshold`` when set.  When ``index_text`` (``id_col,
+    text_col``) is also given, candidates are re-verified with EXACT
+    shingle Jaccard via :func:`ngram_jaccard_pairs`'s candidate-
+    bounded path and ``jaccard`` replaces the estimate.
+
+    Self-pairs within the batch are NOT emitted (that's the ordinary
+    :func:`minhash_lsh_candidates` over the batch); ids present in
+    both inputs match themselves trivially and are filtered.
+
+    Scale shape (100 TB index, GB batch): the index is banded once
+    per batch — a column-pruned scan of the signature table (never
+    the corpus text) — and the join shuffles the index by ``(band,
+    bh)``; persist the banded index bucketed on that key and the
+    per-batch cost drops to a co-located join against the small,
+    broadcastable batch side.  Signature compute is O(batch).
+    Band keys depend only on (k, bands, shingle n) — the index is
+    reusable across batches as long as those match (asserted by
+    column count).
+    """
+    rows = k // bands
+    sig_cols = [f"mh{i}" for i in range(k)]
+    missing = [c for c in sig_cols if c not in index_sig.columns]
+    if missing:
+        raise ValueError(
+            f"index_sig lacks {len(missing)} of {k} signature "
+            f"columns (first missing: {missing[0]}) — was the index "
+            f"built with a different k?")
+
+    def banded(sig: DataFrame, out_id: str) -> DataFrame:
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"mh{b * rows + r}") for r in range(rows)],
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+        return sig.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.array(*band_cols)).alias("bb"),
+        ).select(out_id, F.col("bb.band").alias("band"),
+                 F.col("bb.bh").alias("bh"))
+
+    sig_new = minhash_signatures(new_df, text_col, id_col, n, k).cache()
+    cand = (
+        banded(sig_new, "id_new")
+        .join(banded(index_sig, "id_index"), ["band", "bh"])
+        .filter(F.col("id_new") != F.col("id_index"))
+        .select("id_new", "id_index")
+        .distinct()
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    est = (
+        cand
+        .join(sig_new.select(
+            F.col(id_col).alias("id_new"),
+            *[F.col(c).alias(f"a{i}") for i, c in enumerate(sig_cols)],
+        ), "id_new")
+        .join(index_sig.select(
+            F.col(id_col).alias("id_index"),
+            *[F.col(c).alias(f"b{i}") for i, c in enumerate(sig_cols)],
+        ), "id_index")
+        .withColumn("minhash_sim", matches / F.lit(float(k)))
+        .select("id_new", "id_index", "minhash_sim")
+    )
+    if verify_threshold is not None and index_text is None:
+        return est.filter(F.col("minhash_sim") >= verify_threshold)
+    if index_text is None:
+        return est
+    texts = (
+        new_df.select(id_col, text_col)
+        .unionByName(index_text.select(id_col, text_col))
+        .distinct()
+    )
+    pairs = est.select(F.col("id_new").alias("id_a"),
+                       F.col("id_index").alias("id_b"))
+    exact = ngram_jaccard_pairs(
+        texts, text_col, id_col, n, candidate_pairs=pairs,
+    ).select(F.col("id_a").alias("id_new"),
+             F.col("id_b").alias("id_index"), "jaccard")
+    if verify_threshold is not None:
+        exact = exact.filter(F.col("jaccard") >= verify_threshold)
+    return exact

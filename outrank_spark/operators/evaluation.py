@@ -36,7 +36,7 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["roc_auc", "calibration_report"]
+__all__ = ["roc_auc", "calibration_report", "correlation_matrix"]
 
 
 def roc_auc(df: DataFrame, label_col: str, score_col: str,
@@ -160,3 +160,76 @@ def calibration_report(df: DataFrame, label_col: str, prob_col: str,
         )
         .orderBy("bin")
     )
+
+
+def correlation_matrix(df: DataFrame, cols: list[str],
+                       round_to: int | None = 6) -> DataFrame:
+    """Pairwise Pearson correlation over the numeric ``cols``,
+    returned long-form: one row per unordered pair ``(col_a, col_b,
+    corr, n)`` with ``col_a < col_b`` lexically, ordered.  ``n`` is
+    the pair's co-non-null count (pairwise deletion, the ``corr``
+    aggregate's own null rule); a constant column yields a null corr
+    (zero variance), never a division error.
+
+    Scale shape (100 TB): ALL k*(k-1)/2 coefficients come from TWO
+    scans — pass 1 is a 1-row column-means aggregate (the centering
+    shift, collected as metadata), pass 2 a single hash-aggregate of
+    the masked centered moments for every pair at once.  The fact
+    table is never read per-pair (k^2/2 separate ``F.corr`` jobs
+    would be k^2/2 scans), and the wide 1-row result is unpivoted
+    with ``stack`` (metadata-sized).  Centering first is load-
+    bearing twice over: (a) the textbook raw-sum identity loses ~6
+    digits to cancellation when |mean| >> stddev (n*sum(x^2) and
+    sum(x)^2 agree in their leading digits), and (b) Spark 4's ANSI
+    mode makes the builtin ``corr`` raise DIVIDE_BY_ZERO outright on
+    a zero-variance column, where this formulation when-guards the
+    degenerate denominator into a null.  The shift needs only to be
+    NEAR the mean (corr is shift-invariant), so the pairwise-deletion
+    mask not matching pass 1's per-column null universe is harmless.
+
+    Rounded to ``round_to`` dp (None disables) because co-moment
+    accumulation orders differ across engines in the last ulps.
+    """
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix needs >= 2 columns")
+    pairs = [(a, b) for i, a in enumerate(cols)
+             for b in cols[i + 1:]]
+    pairs = [tuple(sorted(p)) for p in pairs]
+    mean_row = df.agg(
+        *[F.avg(c).alias(c) for c in cols]).first().asDict()
+    shift = {c: (mean_row[c] if mean_row[c] is not None else 0.0)
+             for c in cols}
+    aggs = []
+    for a, b in pairs:
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        ca = F.when(both, F.col(a) - F.lit(shift[a]))
+        cb = F.when(both, F.col(b) - F.lit(shift[b]))
+        tag = f"__{a}__{b}"
+        aggs += [
+            F.count(F.when(both, 1)).alias(f"n{tag}"),
+            F.sum(ca).alias(f"sa{tag}"),
+            F.sum(cb).alias(f"sb{tag}"),
+            F.sum(ca * ca).alias(f"saa{tag}"),
+            F.sum(cb * cb).alias(f"sbb{tag}"),
+            F.sum(ca * cb).alias(f"sab{tag}"),
+        ]
+    wide = df.agg(*aggs)
+    corr_cells = []
+    for a, b in pairs:
+        t = f"__{a}__{b}"
+        n, sa, sb = f"`n{t}`", f"`sa{t}`", f"`sb{t}`"
+        saa, sbb, sab = f"`saa{t}`", f"`sbb{t}`", f"`sab{t}`"
+        va = f"({saa} - {sa} * {sa} / {n})"
+        vb = f"({sbb} - {sb} * {sb} / {n})"
+        cov = f"({sab} - {sa} * {sb} / {n})"
+        corr_cells.append(
+            f"'{a}', '{b}', CASE WHEN {n} >= 2 AND {va} > 0 "
+            f"AND {vb} > 0 THEN {cov} / sqrt({va} * {vb}) "
+            f"ELSE NULL END, {n}")
+    long = wide.selectExpr(
+        f"stack({len(pairs)}, {', '.join(corr_cells)}) "
+        "AS (col_a, col_b, corr, n)",
+    )
+    if round_to is not None:
+        long = long.withColumn("corr", F.round("corr", round_to))
+    return long.orderBy("col_a", "col_b")

@@ -4537,8 +4537,187 @@ SELECT doc_id, lang, n_chars FROM (
 """
 
 
+def q116_k_anonymity(spark, sf_dir):
+    """Disclosure audit (operators/privacy.k_anonymity_summary):
+    k-anonymity + l-diversity of the customer table under the quasi-
+    identifier (mktsegment, acctbal-bucket) with nationality as the
+    sensitive attribute — per segment: class count, rows, min class
+    size, classes/rows below k=5, classes with < 2 distinct
+    nationalities, and the release verdict.  One map-side-combinable
+    groupBy on the quasi tuple + a tiny roll-up; no windows, joins,
+    or UDFs.  The bucket is ``floor(acctbal/100)`` — floor, not
+    round, so both engines bin identically without half-even
+    questions."""
+    from outrank_spark.operators.privacy import k_anonymity_summary
+
+    cust = load(spark, sf_dir, "customer").withColumn(
+        "ab", F.floor(F.col("c_acctbal") / 100),
+    )
+    return k_anonymity_summary(
+        cust, ["c_mktsegment", "ab"], k=5, by="c_mktsegment",
+        sensitive_col="c_nationkey", l=2,
+    ).orderBy("c_mktsegment")
+
+
+ORACLE_Q116 = """
+WITH classes AS (
+  SELECT c_mktsegment, floor(c_acctbal / 100) AS ab,
+         count(*) AS class_size,
+         count(DISTINCT c_nationkey) AS sdist
+  FROM customer GROUP BY 1, 2
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_rows,
+       CAST(min(class_size) AS BIGINT) AS min_class_size,
+       CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS violating_classes,
+       CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+            AS BIGINT) AS rows_at_risk,
+       CAST(sum(CASE WHEN sdist < 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS non_diverse_classes,
+       sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) = 0
+         AS k_anonymous
+FROM classes GROUP BY 1 ORDER BY c_mktsegment
+"""
+
+
+def q117_quantile_normalize(spark, sf_dir):
+    """Rank-based (quantile) normalization of doc length within each
+    language (operators/encoders.quantile_normalize): percent-rank
+    tie semantics, row-for-row exact against the window oracle.  The
+    engine side never windows over raw rows — it ranks the DISTINCT
+    value table (groupBy(lang, n_chars) + running sum over values)
+    and hash-joins back, so a 10^12-row group costs a vocabulary-
+    sized window, not a corpus-sized one."""
+    from outrank_spark.operators.encoders import quantile_normalize
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    out = quantile_normalize(docs, "n_chars", by="lang",
+                             out_col="qnorm")
+    return out.select(
+        "doc_id", "lang", "n_chars",
+        F.round("qnorm", 6).alias("qnorm"),
+    ).orderBy("doc_id")
+
+
+ORACLE_Q117 = """
+SELECT doc_id, lang, n_chars,
+       round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars),
+             6) AS qnorm
+FROM documents ORDER BY doc_id
+"""
+
+
+def q118_correlation_matrix(spark, sf_dir):
+    """Pairwise Pearson matrix over the lineitem numerics
+    (operators/evaluation.correlation_matrix): all 6 coefficients of
+    (quantity, extendedprice, discount, tax) from TWO scans — a
+    1-row means pass (the centering shift) then ONE hash aggregate
+    of all pairs' centered moments, unpivoted with ``stack``.  Never
+    k^2/2 separate jobs.  Rounded to 6 dp: co-moment accumulation
+    order differs across engines in the last ulps."""
+    from outrank_spark.operators.evaluation import correlation_matrix
+
+    li = load(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+ORACLE_Q118 = """
+WITH pairs AS (
+  SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b,
+         corr(l_discount, l_extendedprice) AS c,
+         count(CASE WHEN l_discount IS NOT NULL
+                     AND l_extendedprice IS NOT NULL THEN 1 END) AS n
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', 'l_quantity', corr(l_discount, l_quantity),
+         count(CASE WHEN l_discount IS NOT NULL
+                     AND l_quantity IS NOT NULL THEN 1 END)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', 'l_tax', corr(l_discount, l_tax),
+         count(CASE WHEN l_discount IS NOT NULL
+                     AND l_tax IS NOT NULL THEN 1 END)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', 'l_quantity',
+         corr(l_extendedprice, l_quantity),
+         count(CASE WHEN l_extendedprice IS NOT NULL
+                     AND l_quantity IS NOT NULL THEN 1 END)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', 'l_tax', corr(l_extendedprice, l_tax),
+         count(CASE WHEN l_extendedprice IS NOT NULL
+                     AND l_tax IS NOT NULL THEN 1 END)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity', 'l_tax', corr(l_quantity, l_tax),
+         count(CASE WHEN l_quantity IS NOT NULL
+                     AND l_tax IS NOT NULL THEN 1 END)
+  FROM lineitem
+)
+SELECT col_a, col_b, round(c, 6) AS corr, CAST(n AS BIGINT) AS n
+FROM pairs ORDER BY col_a, col_b
+"""
+
+
+def q119_minhash_delta_dedup(spark, sf_dir):
+    """Incremental crawl dedup (operators/dedup.
+    minhash_delta_candidates): documents hash-split 80/20 into a
+    standing corpus and a "new batch"; the corpus side is reduced to
+    its MinHash signature index ONCE, then the batch is signed,
+    banded, and LSH-joined against the index — the existing corpus's
+    TEXT is touched only to exact-verify the candidate pairs
+    (candidate-bounded Jaccard >= 0.25).  Per batch language: new
+    docs, docs flagged as near-dups of the corpus, and candidate
+    pairs.  Rows-only (xxhash64 signatures aren't replayable in
+    DuckDB); recall/precision are pinned by the planted-duplicate
+    pytest (tests/test_dedup_similarity.py)."""
+    from outrank_spark.operators.dedup import minhash_delta_candidates
+    from outrank_spark.operators.sampling import hash_split
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text")
+    split = hash_split(docs, "doc_id",
+                       {"index": 0.8, "new": 0.2}, seed="delta")
+    index_docs = split.filter(F.col("split") == "index").drop("split")
+    new_docs = split.filter(F.col("split") == "new").drop("split")
+    index_sig = minhash_signatures_cached(index_docs)
+    pairs = minhash_delta_candidates(
+        new_docs, index_sig, verify_threshold=0.25,
+        index_text=index_docs,
+    )
+    flagged = pairs.groupBy("id_new").agg(
+        F.count(F.lit(1)).alias("n_matches"))
+    return (
+        new_docs.join(flagged,
+                      new_docs["doc_id"] == flagged["id_new"], "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_new_docs"),
+            F.count("id_new").alias("n_flagged_docs"),
+            F.sum(F.coalesce("n_matches", F.lit(0)))
+            .cast("long").alias("n_pairs"),
+        )
+        .orderBy("lang")
+    )
+
+
+def minhash_signatures_cached(index_docs):
+    """q119 helper: the signature index a real pipeline would persist
+    between batches (here rebuilt per run — the testdata has no
+    standing store)."""
+    from outrank_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(index_docs)
+
+
 QUERIES = {
-    # --- exact DuckDB oracles (83; the driver's gate window covers
+    # --- exact DuckDB oracles (91; the driver's gate window covers
     # the first 50 — everything after is exact-checked per round by
     # tools/check_oracles.py, artifact in bench_artifacts/) ---
     "q01_pricing_summary": q01_pricing_summary,
@@ -4629,6 +4808,9 @@ QUERIES = {
     "q113_reservoir_sample": q113_reservoir_sample,
     "q114_weighted_reservoir": q114_weighted_reservoir,
     "q115_pq_topk": q115_pq_topk,
+    "q116_k_anonymity": q116_k_anonymity,
+    "q117_quantile_normalize": q117_quantile_normalize,
+    "q118_correlation_matrix": q118_correlation_matrix,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -4659,6 +4841,7 @@ QUERIES = {
     "q106_embedding_spectrum": q106_embedding_spectrum,
     "q109_compression_quality": q109_compression_quality,
     "q110_sql_sketch_surface": q110_sql_sketch_surface,
+    "q119_minhash_delta_dedup": q119_minhash_delta_dedup,
 }
 
 ORACLES = {
@@ -4752,4 +4935,7 @@ ORACLES = {
     "q113_reservoir_sample": ORACLE_Q113,
     "q114_weighted_reservoir": ORACLE_Q114,
     "q115_pq_topk": ORACLE_Q115,
+    "q116_k_anonymity": ORACLE_Q116,
+    "q117_quantile_normalize": ORACLE_Q117,
+    "q118_correlation_matrix": ORACLE_Q118,
 }

@@ -1190,3 +1190,93 @@ class TestBm25:
         assert bm25_topk(df, ["cAt"]).count() == 1
         with pytest.raises(ValueError):
             bm25_topk(df, [])
+
+
+class TestMinHashDelta:
+    """Incremental dedup: a 'new batch' against a standing signature
+    index, never re-signing the corpus (minhash_delta_candidates)."""
+
+    def _split(self, corpus):
+        # index = everything except the planted near-dup twins;
+        # batch = the twins (i+1000) plus the exact dup (5000) plus
+        # one genuinely novel doc id 42 (kept in BOTH -> self-filter)
+        index = corpus.filter(
+            (F.col("doc_id") < 1000) | (F.col("doc_id") == 5000))
+        batch = corpus.filter(
+            (F.col("doc_id") >= 1000) | (F.col("doc_id") == 42))
+        return index, batch
+
+    def test_recall_on_planted_cross_pairs(self, corpus):
+        from outrank_spark.operators.dedup import (
+            minhash_delta_candidates, minhash_signatures)
+        index, batch = self._split(corpus)
+        idx_sig = minhash_signatures(index, k=64)
+        got = minhash_delta_candidates(
+            batch, idx_sig, k=64, bands=16,
+            verify_threshold=0.7, index_text=index,
+        ).collect()
+        pairs = {(r["id_new"], r["id_index"]) for r in got}
+        hits = sum((i + 1000, i) in pairs for i in range(10))
+        assert hits >= 9          # >= 90% recall at ~0.9 jaccard
+        for r in got:
+            assert r["jaccard"] >= 0.7   # exact verification applied
+        # the exact dup of doc 0 lives in the INDEX (id 5000); the
+        # batch copy of doc 0's twin must hit both 0 and 5000
+        assert (1000, 0) in pairs and (1000, 5000) in pairs
+
+    def test_self_id_filtered_and_novel_doc_clean(self, corpus):
+        from outrank_spark.operators.dedup import (
+            minhash_delta_candidates, minhash_signatures)
+        index, batch = self._split(corpus)
+        idx_sig = minhash_signatures(index, k=64)
+        est = minhash_delta_candidates(
+            batch, idx_sig, k=64, bands=16).collect()
+        for r in est:
+            assert r["id_new"] != r["id_index"]  # id-42 self-pair gone
+        # doc 42 shares no 3-gram runs with other docs at sim >= 0.5
+        high = [r for r in est
+                if r["id_new"] == 42 and r["minhash_sim"] >= 0.5]
+        assert high == []
+
+    def test_estimate_only_threshold(self, corpus):
+        from outrank_spark.operators.dedup import (
+            minhash_delta_candidates, minhash_signatures)
+        index, batch = self._split(corpus)
+        idx_sig = minhash_signatures(index, k=64)
+        got = minhash_delta_candidates(
+            batch, idx_sig, k=64, bands=16, verify_threshold=0.8,
+        ).collect()
+        assert got and all(r["minhash_sim"] >= 0.8 for r in got)
+
+    def test_wrong_k_index_rejected(self, corpus):
+        from outrank_spark.operators.dedup import (
+            minhash_delta_candidates, minhash_signatures)
+        index, batch = self._split(corpus)
+        idx_sig = minhash_signatures(index, k=32)
+        with pytest.raises(ValueError, match="different k"):
+            minhash_delta_candidates(batch, idx_sig, k=64)
+
+    def test_persisted_index_never_resigned(self, corpus, tmp_path):
+        """The real deployment shape: the signature index is a stored
+        table.  The candidate plan must sign ONLY the batch — with a
+        parquet-backed index the plan has exactly 3 explodes (batch
+        shingles + 2 band explosions) and zero text splits on the
+        index side, and results match the recomputed-index run."""
+        from outrank_spark.operators.dedup import (
+            minhash_delta_candidates, minhash_signatures)
+        index, batch = self._split(corpus)
+        p = str(tmp_path / "sig_index")
+        minhash_signatures(index, k=64).write.parquet(p)
+        idx_sig = corpus.sparkSession.read.parquet(p)
+        est = minhash_delta_candidates(batch, idx_sig, k=64, bands=16)
+        phys = est._jdf.queryExecution().executedPlan().toString()
+        # the index side feeds from the stored signature parquet
+        # (ReadSchema carries mh columns); it has no text column at
+        # all, so a re-sign is impossible by construction, and the
+        # batch signature is cached (served to both its consumers)
+        assert "mh0:bigint" in phys
+        assert "InMemoryTableScan" in phys
+        live = minhash_delta_candidates(
+            batch, minhash_signatures(index, k=64), k=64, bands=16)
+        assert (sorted(map(tuple, est.collect()))
+                == sorted(map(tuple, live.collect())))

@@ -85,3 +85,63 @@ class TestCountEncode:
         out = {r["id"]: r["cat_count"] for r in
                count_encode(df, ["cat"]).collect()}
         assert out == {1: 2, 2: 2, 3: 1}
+
+
+class TestQuantileNormalize:
+    def _pandas_pr(self, vals):
+        import pandas as pd
+        s = pd.Series(vals)
+        n = s.notna().sum()
+        r = s.rank(method="min") - 1
+        return (r / (n - 1) if n > 1
+                else r * 0.0).where(s.notna())
+
+    def test_matches_pandas_percent_rank(self, spark):
+        from outrank_spark.operators.encoders import quantile_normalize
+        vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 5.0]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "id long, v double")
+        got = {r["id"]: r["v_qnorm"] for r in
+               quantile_normalize(df, "v").collect()}
+        want = self._pandas_pr(vals)
+        for i in range(len(vals)):
+            assert got[i] == pytest.approx(want[i], abs=1e-12)
+
+    def test_grouped_ties_and_singleton(self, spark):
+        from outrank_spark.operators.encoders import quantile_normalize
+        rows = [("a", 1.0), ("a", 1.0), ("a", 2.0), ("b", 7.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = quantile_normalize(df, "v", by="g").collect()
+        got = sorted((r["g"], r["v"], r["v_qnorm"]) for r in out)
+        # group a: min-rank ties -> 0, 0, then 2/(3-1)=1.0;
+        # singleton group b -> 0.0
+        assert got == [("a", 1.0, 0.0), ("a", 1.0, 0.0),
+                       ("a", 2.0, 1.0), ("b", 7.0, 0.0)]
+
+    def test_nulls_pass_through_unranked(self, spark):
+        from outrank_spark.operators.encoders import quantile_normalize
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, None), (3, 10.0)], "id long, v double")
+        got = {r["id"]: r["v_qnorm"] for r in
+               quantile_normalize(df, "v").collect()}
+        assert got[2] is None
+        # null row excluded from the CDF: n=2, not 3
+        assert got[1] == 0.0 and got[3] == 1.0
+
+    def test_row_count_preserved(self, spark):
+        from outrank_spark.operators.encoders import quantile_normalize
+        df = spark.range(100).withColumn(
+            "v", (F.col("id") % 7).cast("double"))
+        assert quantile_normalize(df, "v").count() == 100
+
+    def test_no_raw_row_window(self, spark):
+        """The window must run over the distinct-value table, never
+        the raw rows: the plan's Window input is an Aggregate."""
+        from outrank_spark.operators.encoders import quantile_normalize
+        df = spark.range(50).withColumn(
+            "v", (F.col("id") % 5).cast("double"))
+        plan = quantile_normalize(df, "v")._jdf.queryExecution() \
+            .optimizedPlan().toString()
+        assert "Window" in plan
+        # the aggregate (distinct-value counts) sits below the window
+        assert plan.index("Window") < plan.index("Aggregate")

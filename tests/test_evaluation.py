@@ -133,3 +133,55 @@ class TestCalibrationReport:
         bad = spark.createDataFrame([(1, 1.5)], "label int, p double")
         with pytest.raises(Exception, match="outside"):
             calibration_report(bad, "label", "p").collect()
+
+
+class TestCorrelationMatrix:
+    def test_matches_numpy_corrcoef(self, spark):
+        from outrank_spark.operators.evaluation import correlation_matrix
+        rng = np.random.default_rng(7)
+        x = rng.normal(size=200)
+        y = 0.6 * x + rng.normal(size=200)
+        z = rng.normal(size=200)
+        df = spark.createDataFrame(
+            [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+            "x double, y double, z double")
+        got = {(r["col_a"], r["col_b"]): (r["corr"], r["n"]) for r in
+               correlation_matrix(df, ["x", "y", "z"],
+                                  round_to=None).collect()}
+        c = np.corrcoef(np.vstack([x, y, z]))
+        assert got[("x", "y")][0] == pytest.approx(c[0, 1], abs=1e-9)
+        assert got[("x", "z")][0] == pytest.approx(c[0, 2], abs=1e-9)
+        assert got[("y", "z")][0] == pytest.approx(c[1, 2], abs=1e-9)
+        assert all(n == 200 for _, n in got.values())
+
+    def test_constant_column_yields_null(self, spark):
+        from outrank_spark.operators.evaluation import correlation_matrix
+        df = spark.createDataFrame(
+            [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)], "a double, k double")
+        row = correlation_matrix(df, ["a", "k"]).collect()[0]
+        assert row["corr"] is None and row["n"] == 3
+
+    def test_pairwise_null_deletion(self, spark):
+        from outrank_spark.operators.evaluation import correlation_matrix
+        df = spark.createDataFrame(
+            [(1.0, 2.0), (2.0, None), (3.0, 6.0), (4.0, 8.0)],
+            "a double, b double")
+        row = correlation_matrix(df, ["a", "b"]).collect()[0]
+        assert row["n"] == 3
+        assert row["corr"] == pytest.approx(1.0, abs=1e-9)
+
+    def test_single_scan_single_aggregate(self, spark):
+        """All pairs from one scan: exactly one aggregate over the
+        input, no join, no union of per-pair jobs."""
+        from outrank_spark.operators.evaluation import correlation_matrix
+        df = spark.createDataFrame(
+            [(1.0, 2.0, 3.0)], "a double, b double, c double")
+        plan = correlation_matrix(df, ["a", "b", "c"])._jdf \
+            .queryExecution().optimizedPlan().toString()
+        assert "Join" not in plan and "Union" not in plan
+
+    def test_needs_two_columns(self, spark):
+        from outrank_spark.operators.evaluation import correlation_matrix
+        df = spark.createDataFrame([(1.0,)], "a double")
+        with pytest.raises(ValueError, match=">= 2"):
+            correlation_matrix(df, ["a"])
