@@ -36,7 +36,8 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["roc_auc", "calibration_report", "correlation_matrix"]
+__all__ = ["roc_auc", "calibration_report", "correlation_matrix",
+           "spearman_correlation"]
 
 
 def roc_auc(df: DataFrame, label_col: str, score_col: str,
@@ -233,3 +234,52 @@ def correlation_matrix(df: DataFrame, cols: list[str],
     if round_to is not None:
         long = long.withColumn("corr", F.round("corr", round_to))
     return long.orderBy("col_a", "col_b")
+
+
+def spearman_correlation(df: DataFrame, col_a: str, col_b: str,
+                         round_to: int | None = 6) -> DataFrame:
+    """Exact distributed Spearman rank correlation between two numeric
+    columns: 1 row ``(col_a, col_b, corr, n)``.  Rows where either
+    side is null are dropped first (pairwise deletion), then each
+    column is replaced by its AVERAGE rank (the standard Spearman tie
+    treatment — fractional ranks, so ties get the midpoint) and the
+    Pearson coefficient of the ranks is taken via
+    :func:`correlation_matrix`'s centered-moment aggregate.
+
+    Scale shape (100 TB): ranking never windows over raw rows — each
+    column pays a distinct-value groupBy, a vocabulary-sized running
+    sum (``rank = below + (tie_size + 1)/2``), and a hash join back,
+    exactly the :func:`outrank_spark.operators.encoders.
+    quantile_normalize` trick; the final coefficient is one 1-row
+    aggregate.  Spearman is the monotone-association companion to
+    Pearson (q118): heavy-tailed web quantities (doc lengths, link
+    counts) routinely show strong rank association that linear
+    correlation underreports.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(col_a).cast("double").alias("__a"),
+        F.col(col_b).cast("double").alias("__b"),
+    ).where(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+
+    def with_avg_rank(d: DataFrame, c: str, out: str) -> DataFrame:
+        counts = d.groupBy(c).agg(F.count(F.lit(1)).alias("_cnt"))
+        w = (Window.partitionBy()
+             .orderBy(c)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        ranked = counts.select(
+            c,
+            (F.sum("_cnt").over(w) - F.col("_cnt")
+             + (F.col("_cnt") + 1) / 2.0).alias(out),
+        )
+        return d.join(ranked, c)
+
+    ranked = with_avg_rank(
+        with_avg_rank(base, "__a", "ra"), "__b", "rb")
+    m = correlation_matrix(ranked.select("ra", "rb"), ["ra", "rb"],
+                           round_to=round_to)
+    return m.select(
+        F.lit(col_a).alias("col_a"), F.lit(col_b).alias("col_b"),
+        "corr", "n",
+    )

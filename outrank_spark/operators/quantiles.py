@@ -42,7 +42,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["exact_grouped_quantiles"]
+__all__ = ["exact_grouped_quantiles", "winsorize"]
 
 
 def _partition_group_counts(df: DataFrame, group_col: str) -> pd.DataFrame:
@@ -240,3 +240,46 @@ def _pick_order_statistics(
     picked = data.mapInPandas(fn, schema=schema).toPandas()
     bc.unpersist()
     return picked
+
+
+def winsorize(df: DataFrame, value_col: str, by: str,
+              p_lo: float = 0.01, p_hi: float = 0.99,
+              out_col: str | None = None) -> DataFrame:
+    """Append ``out_col`` (default ``<value_col>_wins``): the value
+    clamped to its group's ``[p_lo, p_hi]`` interpolated quantiles —
+    the standard heavy-tail guard before means/regressions (trimming
+    deletes outliers; winsorizing retains them at the boundary, so
+    counts and joins are undisturbed).  Nulls pass through null; a
+    group absent from the bounds table (all-null values) passes
+    through unclamped.
+
+    Scale shape (100 TB): bounds come from
+    :func:`exact_grouped_quantiles` — the two-pass distributed
+    order-statistic selection that never buffers a group in one task
+    — as a metadata-sized pandas frame (2 doubles per group),
+    re-entered as a BROADCAST join; the clamp itself is one JVM
+    ``when`` projection.  The fact table is never shuffled.
+    """
+    if not (0.0 <= p_lo < p_hi <= 1.0):
+        raise ValueError(
+            f"need 0 <= p_lo < p_hi <= 1, got ({p_lo}, {p_hi})")
+    out_col = out_col or f"{value_col}_wins"
+    bounds = exact_grouped_quantiles(df, by, value_col, [p_lo, p_hi])
+    lo_name, hi_name = _q_name(p_lo), _q_name(p_hi)
+    spark = df.sparkSession
+    bdf = spark.createDataFrame(
+        bounds.rename(columns={by: "__g", lo_name: "__lo",
+                               hi_name: "__hi"}),
+        schema="__g string, __lo double, __hi double",
+    )
+    v = F.col(value_col)
+    joined = df.join(
+        F.broadcast(bdf),
+        F.col(by).cast("string") == F.col("__g"), "left")
+    return joined.withColumn(
+        out_col,
+        F.when(v.isNull() | F.col("__lo").isNull(), v)
+        .when(v < F.col("__lo"), F.col("__lo"))
+        .when(v > F.col("__hi"), F.col("__hi"))
+        .otherwise(v),
+    ).drop("__g", "__lo", "__hi")

@@ -4716,8 +4716,127 @@ def minhash_signatures_cached(index_docs):
     return minhash_signatures(index_docs)
 
 
+def q120_spearman_rank(spark, sf_dir):
+    """Distributed exact Spearman rank correlation
+    (operators/evaluation.spearman_correlation) of lineitem quantity
+    vs extended price: average-rank tie treatment, ranks computed
+    over the DISTINCT-VALUE tables (never a raw-row window), Pearson
+    of the ranks via the q118 centered-moment aggregate.  One row;
+    the oracle replays fractional ranks with rank() + (tie-1)/2 and
+    DuckDB's corr."""
+    from outrank_spark.operators.evaluation import spearman_correlation
+
+    li = load(spark, sf_dir, "lineitem")
+    return spearman_correlation(li, "l_quantity", "l_extendedprice")
+
+
+ORACLE_Q120 = """
+WITH base AS (
+  SELECT l_quantity AS a, l_extendedprice AS b FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+r AS (
+  SELECT rank() OVER (ORDER BY a)
+           + (count(*) OVER (PARTITION BY a) - 1) / 2.0 AS ra,
+         rank() OVER (ORDER BY b)
+           + (count(*) OVER (PARTITION BY b) - 1) / 2.0 AS rb
+  FROM base
+)
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+       round(corr(ra, rb), 6) AS corr,
+       CAST(count(*) AS BIGINT) AS n
+FROM r
+"""
+
+
+def q121_decayed_activity(spark, sf_dir):
+    """Recency-weighted activity profile (operators/temporal.
+    decayed_aggregate): per event type, the exponentially decayed
+    event count and value sum with a 7-day half-life anchored at the
+    dataset's max timestamp — the classic "how active is this key
+    NOW" feature that a plain count cannot express.  One pow
+    projection + one map-side-combinable groupBy; no ordering, no
+    window.  Decayed sums are rounded to 4 dp, not 6: they are
+    reordered sums of ~10^5 doubles, where engine-order differences
+    reach ~1e-5 absolute."""
+    from outrank_spark.operators.temporal import decayed_aggregate
+
+    ev = load(spark, sf_dir, "events")
+    out = decayed_aggregate(ev, "ts", ["event_type"],
+                            half_life_secs=7 * 86400.0,
+                            value_col="value")
+    return out.select(
+        "event_type", "n_events",
+        F.round("decayed_count", 4).alias("decayed_count"),
+        F.round("decayed_sum", 4).alias("decayed_sum"),
+    ).orderBy("event_type")
+
+
+ORACLE_Q121 = """
+WITH m AS (SELECT max(epoch_us(ts)) AS ref_us FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(pow(0.5, ((ref_us - epoch_us(ts)) / 1000000.0)
+                          / 604800.0)), 4) AS decayed_count,
+       round(sum(value * pow(0.5, ((ref_us - epoch_us(ts)) / 1000000.0)
+                                  / 604800.0)), 4) AS decayed_sum
+FROM events, m
+WHERE ts IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q122_winsorized_stats(spark, sf_dir):
+    """Winsorized per-language length stats (operators/quantiles.
+    winsorize): document lengths clamped at each language's exact
+    [5%, 95%] interpolated quantiles (two-pass distributed selection,
+    metadata-sized bounds broadcast back, clamp as one JVM when),
+    then mean raw vs mean winsorized — the robust-stats companion to
+    q08's grouped quantiles.  The oracle replays quantile_cont and
+    the same clamp."""
+    from outrank_spark.operators.quantiles import winsorize
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("v"))
+    out = winsorize(docs, "v", "lang", 0.05, 0.95, out_col="vw")
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("v"), 6).alias("mean_raw"),
+            F.round(F.avg("vw"), 6).alias("mean_winsorized"),
+            F.round(F.min("vw"), 6).alias("lo_clamp"),
+            F.round(F.max("vw"), 6).alias("hi_clamp"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_Q122 = """
+WITH b AS (
+  SELECT lang,
+         quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS lo,
+         quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS hi
+  FROM documents GROUP BY lang
+),
+w AS (
+  SELECT d.lang, CAST(d.n_chars AS DOUBLE) AS v,
+         CASE WHEN d.n_chars < b.lo THEN b.lo
+              WHEN d.n_chars > b.hi THEN b.hi
+              ELSE CAST(d.n_chars AS DOUBLE) END AS vw
+  FROM documents d JOIN b ON d.lang = b.lang
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(v), 6) AS mean_raw,
+       round(avg(vw), 6) AS mean_winsorized,
+       round(min(vw), 6) AS lo_clamp,
+       round(max(vw), 6) AS hi_clamp
+FROM w GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
-    # --- exact DuckDB oracles (91; the driver's gate window covers
+    # --- exact DuckDB oracles (94; the driver's gate window covers
     # the first 50 — everything after is exact-checked per round by
     # tools/check_oracles.py, artifact in bench_artifacts/) ---
     "q01_pricing_summary": q01_pricing_summary,
@@ -4811,6 +4930,9 @@ QUERIES = {
     "q116_k_anonymity": q116_k_anonymity,
     "q117_quantile_normalize": q117_quantile_normalize,
     "q118_correlation_matrix": q118_correlation_matrix,
+    "q120_spearman_rank": q120_spearman_rank,
+    "q121_decayed_activity": q121_decayed_activity,
+    "q122_winsorized_stats": q122_winsorized_stats,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -4938,4 +5060,7 @@ ORACLES = {
     "q116_k_anonymity": ORACLE_Q116,
     "q117_quantile_normalize": ORACLE_Q117,
     "q118_correlation_matrix": ORACLE_Q118,
+    "q120_spearman_rank": ORACLE_Q120,
+    "q121_decayed_activity": ORACLE_Q121,
+    "q122_winsorized_stats": ORACLE_Q122,
 }

@@ -165,3 +165,56 @@ class TestExactGroupedQuantiles:
         ref = _builtin(df, "g", "v", [0.01, 0.5, 0.99])
         assert (got[["q01", "q5", "q99"]].values
                 == ref[["p0", "p1", "p2"]].values).all()
+
+
+class TestWinsorize:
+    def test_clamps_at_numpy_quantiles(self, spark):
+        from outrank_spark.operators.quantiles import winsorize
+        rng = np.random.default_rng(11)
+        vals = rng.normal(0, 100, size=400)
+        df = spark.createDataFrame(
+            [("g", float(v)) for v in vals], "grp string, v double")
+        out = winsorize(df, "v", "grp", 0.1, 0.9).collect()
+        lo, hi = np.quantile(vals, 0.1), np.quantile(vals, 0.9)
+        for r in out:
+            want = min(max(r["v"], lo), hi)
+            assert r["v_wins"] == pytest.approx(want, abs=1e-9)
+        assert min(r["v_wins"] for r in out) == pytest.approx(lo, abs=1e-9)
+        assert max(r["v_wins"] for r in out) == pytest.approx(hi, abs=1e-9)
+
+    def test_groups_clamp_independently_and_rows_preserved(self, spark):
+        from outrank_spark.operators.quantiles import winsorize
+        rows = ([("a", float(i)) for i in range(101)]
+                + [("b", float(1000 + i)) for i in range(11)])
+        df = spark.createDataFrame(rows, "grp string, v double")
+        out = winsorize(df, "v", "grp", 0.0, 0.5)
+        got = out.collect()
+        assert len(got) == len(rows)
+        per = {}
+        for r in got:
+            per.setdefault(r["grp"], []).append(r["v_wins"])
+        assert max(per["a"]) == 50.0     # median of 0..100
+        assert max(per["b"]) == 1005.0   # median of 1000..1010
+
+    def test_null_values_pass_through(self, spark):
+        from outrank_spark.operators.quantiles import winsorize
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("a", None)], "grp string, v double")
+        got = {r["v"]: r["v_wins"] for r in
+               winsorize(df, "v", "grp", 0.25, 0.75).collect()}
+        assert got[None] is None
+
+    def test_bad_probs_raise(self, spark):
+        from outrank_spark.operators.quantiles import winsorize
+        df = spark.createDataFrame([("a", 1.0)], "grp string, v double")
+        with pytest.raises(ValueError, match="p_lo < p_hi"):
+            winsorize(df, "v", "grp", 0.9, 0.1)
+
+    def test_broadcast_join_plan(self, spark):
+        from outrank_spark.operators.quantiles import winsorize
+        df = spark.createDataFrame(
+            [("a", float(i)) for i in range(50)], "grp string, v double")
+        plan = winsorize(df, "v", "grp")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan

@@ -4,6 +4,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from outrank_spark.operators.temporal import asof_join
 
@@ -340,3 +341,68 @@ class TestSnapshotDiff:
         import pytest as _pytest
         with _pytest.raises(ValueError, match="key column"):
             snapshot_diff(old, new, [], ["v"])
+
+
+class TestDecayedAggregate:
+    def _events(self, spark):
+        import pandas as pd
+        # anchor 2024-01-08 00:00; ages: 0, 1hl (7d), 2hl (14d)
+        pdf = pd.DataFrame({
+            "k": ["a", "a", "a", "b"],
+            "ts": pd.to_datetime([
+                "2024-01-08 00:00", "2024-01-01 00:00",
+                "2023-12-25 00:00", "2024-01-08 00:00",
+            ]),
+            "v": [10.0, 10.0, 10.0, 4.0],
+        })
+        return spark.createDataFrame(pdf)
+
+    def test_hand_computed_half_lives(self, spark):
+        from outrank_spark.operators.temporal import decayed_aggregate
+        out = {r["k"]: r for r in decayed_aggregate(
+            self._events(spark), "ts", ["k"], 7 * 86400.0,
+            value_col="v").collect()}
+        # weights 1, 0.5, 0.25 exactly (ages are exact half-lives)
+        assert out["a"]["n_events"] == 3
+        assert out["a"]["decayed_count"] == pytest.approx(1.75, abs=1e-12)
+        assert out["a"]["decayed_sum"] == pytest.approx(17.5, abs=1e-12)
+        assert out["b"]["decayed_count"] == pytest.approx(1.0, abs=1e-12)
+
+    def test_explicit_anchor_shifts_weights(self, spark):
+        from outrank_spark.operators.temporal import decayed_aggregate
+        import pandas as pd
+        anchor = int(pd.Timestamp("2024-01-15 00:00").value // 1000)
+        out = {r["k"]: r for r in decayed_aggregate(
+            self._events(spark), "ts", ["k"], 7 * 86400.0,
+            ref_epoch_us=anchor).collect()}
+        # everything one half-life older: 0.5 + 0.25 + 0.125
+        assert out["a"]["decayed_count"] == pytest.approx(0.875, abs=1e-12)
+
+    def test_null_ts_excluded_and_null_value_counts(self, spark):
+        from outrank_spark.operators.temporal import decayed_aggregate
+        df = self._events(spark)
+        df = df.unionByName(df.sparkSession.createDataFrame(
+            [("a", None, 99.0), ("b", "2024-01-08 00:00", None)],
+            "k string, ts string, v double",
+        ).withColumn("ts", F.col("ts").cast(dict(df.dtypes)["ts"])))
+        out = {r["k"]: r for r in decayed_aggregate(
+            df, "ts", ["k"], 7 * 86400.0, value_col="v").collect()}
+        assert out["a"]["n_events"] == 3          # null ts dropped
+        assert out["b"]["n_events"] == 2          # null v still counted
+        assert out["b"]["decayed_sum"] == pytest.approx(4.0, abs=1e-12)
+
+    def test_errors(self, spark):
+        from outrank_spark.operators.temporal import decayed_aggregate
+        df = self._events(spark)
+        with pytest.raises(ValueError, match="half_life"):
+            decayed_aggregate(df, "ts", ["k"], 0)
+        empty = df.where(F.lit(False))
+        with pytest.raises(ValueError, match="anchor"):
+            decayed_aggregate(empty, "ts", ["k"], 60.0)
+
+    def test_plan_is_single_aggregate(self, spark):
+        from outrank_spark.operators.temporal import decayed_aggregate
+        out = decayed_aggregate(self._events(spark), "ts", ["k"],
+                                3600.0, value_col="v")
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "Window" not in plan and "Join" not in plan
