@@ -22,7 +22,8 @@ __all__ = ["fit_langid", "with_language_id", "with_quality_features",
            "with_token_counts", "with_fingerprints", "tfidf_top_terms",
            "ngram_logprob_scores", "normalize_text",
            "pmi_collocations", "inverted_index", "bm25_topk",
-           "ngram_diversity", "zipf_fit", "compression_ratio"]
+           "ngram_diversity", "zipf_fit", "compression_ratio",
+           "with_readability"]
 
 
 def fit_langid(df: DataFrame, text_col: str = "text",
@@ -686,3 +687,48 @@ def compression_ratio(df: DataFrame, text_col: str = "text",
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
     ) + f", `{out}` double"
     return df.mapInPandas(fn, schema=schema)
+
+
+def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append Flesch reading-ease inputs and score: ``n_words``
+    (non-space runs), ``n_sentences`` (runs of ``.!?``, floored at 1
+    so headline-style fragments don't divide by zero), ``n_syllables``
+    (the standard vowel-group approximation — runs of ``aeiouy``,
+    case-insensitive), and
+
+        flesch = 206.835 - 1.015·(words/sentences)
+                         - 84.6·(syllables/words)
+
+    (Flesch 1948; the Kincaid et al. 1975 recalibration uses the same
+    three counts, so callers can derive grade level from these
+    columns).  Empty/whitespace-only text yields 0 words and a null
+    score.  Readability is a standard quality-tier signal next to the
+    Gopher repetition gates: machine-generated and boilerplate text
+    skews to degenerate word/sentence shapes.
+
+    Scale shape: three ``regexp_extract_all`` + ``size`` projections
+    and arithmetic — pure WholeStageCodegen, zero shuffle, and the
+    regexes are Java/RE2-portable so a SQL oracle replays them
+    byte-identically.
+    """
+    words = F.size(F.expr(
+        f"regexp_extract_all({text_col}, '\\\\S+', 0)"))
+    sents = F.greatest(
+        F.size(F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)")),
+        F.lit(1))
+    syll = F.size(F.expr(
+        f"regexp_extract_all(lower({text_col}), '[aeiouy]+', 0)"))
+    out = (
+        df.withColumn("n_words", words)
+        .withColumn("n_sentences", sents)
+        .withColumn("n_syllables", syll)
+    )
+    return out.withColumn(
+        "flesch",
+        F.when(
+            F.col("n_words") > 0,
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("n_words") / F.col("n_sentences"))
+            - F.lit(84.6) * (F.col("n_syllables") / F.col("n_words")),
+        ),
+    )

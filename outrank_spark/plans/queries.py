@@ -4812,6 +4812,175 @@ def q122_winsorized_stats(spark, sf_dir):
     )
 
 
+def q123_readability(spark, sf_dir):
+    """Flesch reading-ease profile (operators/text.with_readability):
+    word / sentence-run / vowel-group-syllable counts as three
+    zero-shuffle regexp projections and the 206.835 formula, rounded
+    to 4 dp, per document.  The oracle replays the identical
+    RE2/Java-portable regexes."""
+    from outrank_spark.operators.text import with_readability
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = with_readability(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        F.col("n_syllables").cast("long").alias("n_syllables"),
+        F.round("flesch", 4).alias("flesch"),
+    ).orderBy("doc_id")
+
+
+ORACLE_Q123 = r"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+           AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS BIGINT) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words > 0 THEN
+         round(206.835 - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+                       - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)),
+               4)
+       END AS flesch
+FROM c ORDER BY doc_id
+"""
+
+
+def q124_robust_outliers(spark, sf_dir):
+    """Robust per-language outlier audit (operators/quantiles.
+    robust_outlier_stats): modified z-score |0.6745 (x − median)/MAD|
+    > 3.5 (Iglewicz–Hoaglin), medians from the two-pass distributed
+    selection broadcast back — the 50%-breakdown alternative to
+    mean/stddev z-scores that the outliers themselves corrupt.  The
+    oracle replays median, MAD, and the threshold with
+    quantile_cont."""
+    from outrank_spark.operators.quantiles import robust_outlier_stats
+
+    docs = load(spark, sf_dir, "documents").select(
+        "lang", F.col("n_chars").cast("double").alias("v"))
+    out = robust_outlier_stats(docs, "v", "lang", z_thresh=3.5)
+    return out.select(
+        "lang", "n",
+        F.round("median", 6).alias("median"),
+        F.round("mad", 6).alias("mad"),
+        F.col("n_outliers").cast("long").alias("n_outliers"),
+    ).orderBy("lang")
+
+
+ORACLE_Q124 = """
+WITH med AS (
+  SELECT lang, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS m
+  FROM documents GROUP BY lang
+),
+dev AS (
+  SELECT d.lang, CAST(d.n_chars AS DOUBLE) AS v, med.m,
+         abs(CAST(d.n_chars AS DOUBLE) - med.m) AS ad
+  FROM documents d JOIN med USING (lang)
+),
+mad AS (
+  SELECT lang, quantile_cont(ad, 0.5) AS md FROM dev GROUP BY lang
+)
+SELECT dev.lang,
+       CAST(count(dev.v) AS BIGINT) AS n,
+       round(max(dev.m), 6) AS median,
+       round(max(mad.md), 6) AS mad,
+       CASE WHEN max(mad.md) > 0 THEN
+         CAST(sum(CASE WHEN 0.6745 * dev.ad / mad.md > 3.5
+                       THEN 1 ELSE 0 END) AS BIGINT)
+       END AS n_outliers
+FROM dev JOIN mad USING (lang)
+GROUP BY dev.lang ORDER BY dev.lang
+"""
+
+
+def q125_hits_navigation(spark, sf_dir):
+    """HITS hubs and authorities (operators/graph.hits) over the q84
+    browsing graph (deduped transition edges of JSON page ids): 10
+    L2-normalized power-iteration rounds.  Like q84, the oracle
+    replays the EXACT fixed-iteration recurrence as generated
+    materialized CTE stages — half-round authority update, L2 norm,
+    half-round hub update — so an iterative algorithm sits under the
+    exact gate."""
+    from outrank_spark.operators.graph import hits, transition_edges
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "page", F.get_json_object("props", "$.k").cast("int"),
+    )
+    edges = transition_edges(ev, "user_id", ["ts", "event_id"], "page")
+    out = hits(edges, iterations=10)
+    return out.select(
+        "node",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    ).orderBy(F.desc("authority"), "node")
+
+
+def _hits_oracle_sql(iterations: int = 10) -> str:
+    """Generate the fixed-iteration HITS recurrence as DuckDB CTE
+    stages (the q84 _pagerank_oracle_sql pattern — AS MATERIALIZED so
+    each state is computed once, not re-inlined exponentially)."""
+    parts = ["""
+WITH ev AS MATERIALIZED (
+  SELECT user_id, ts, event_id,
+         CAST(json_extract(props, '$.k') AS INT) AS page
+  FROM events
+), trans AS MATERIALIZED (
+  SELECT lag(page) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS src,
+         page AS dst
+  FROM ev
+), edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst
+  FROM trans WHERE src IS NOT NULL AND src <> dst
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+),
+h0 AS MATERIALIZED (SELECT node, 1.0 AS h FROM nodes)"""]
+    for t in range(1, iterations + 1):
+        p = t - 1
+        parts.append(f""",
+araw{t} AS MATERIALIZED (
+  SELECT nd.node, coalesce(s.a, 0.0) AS a FROM nodes nd
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(h.h) AS a
+    FROM edges e JOIN h{p} h ON h.node = e.src GROUP BY 1
+  ) s ON nd.node = s.node
+), an{t} AS MATERIALIZED (
+  SELECT sqrt(sum(a * a)) AS nz FROM araw{t}
+), a{t} AS MATERIALIZED (
+  SELECT node, CASE WHEN nz > 0 THEN a / nz ELSE 0.0 END AS a
+  FROM araw{t} CROSS JOIN an{t}
+), hraw{t} AS MATERIALIZED (
+  SELECT nd.node, coalesce(s.h, 0.0) AS h FROM nodes nd
+  LEFT JOIN (
+    SELECT e.src AS node, sum(a.a) AS h
+    FROM edges e JOIN a{t} a ON a.node = e.dst GROUP BY 1
+  ) s ON nd.node = s.node
+), hn{t} AS MATERIALIZED (
+  SELECT sqrt(sum(h * h)) AS nz FROM hraw{t}
+), h{t} AS MATERIALIZED (
+  SELECT node, CASE WHEN nz > 0 THEN h / nz ELSE 0.0 END AS h
+  FROM hraw{t} CROSS JOIN hn{t}
+)""")
+        last = t
+    parts.append(f"""
+SELECT h.node, round(h.h, 6) AS hub, round(a.a, 6) AS authority
+FROM h{last} h JOIN a{last} a ON h.node = a.node
+ORDER BY authority DESC, h.node
+""")
+    return "".join(parts)
+
+
+ORACLE_Q125 = _hits_oracle_sql()
+
+
 ORACLE_Q122 = """
 WITH b AS (
   SELECT lang,
@@ -4836,7 +5005,7 @@ FROM w GROUP BY lang ORDER BY lang
 
 
 QUERIES = {
-    # --- exact DuckDB oracles (94; the driver's gate window covers
+    # --- exact DuckDB oracles (97; the driver's gate window covers
     # the first 50 — everything after is exact-checked per round by
     # tools/check_oracles.py, artifact in bench_artifacts/) ---
     "q01_pricing_summary": q01_pricing_summary,
@@ -4933,6 +5102,9 @@ QUERIES = {
     "q120_spearman_rank": q120_spearman_rank,
     "q121_decayed_activity": q121_decayed_activity,
     "q122_winsorized_stats": q122_winsorized_stats,
+    "q123_readability": q123_readability,
+    "q124_robust_outliers": q124_robust_outliers,
+    "q125_hits_navigation": q125_hits_navigation,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -5063,4 +5235,7 @@ ORACLES = {
     "q120_spearman_rank": ORACLE_Q120,
     "q121_decayed_activity": ORACLE_Q121,
     "q122_winsorized_stats": ORACLE_Q122,
+    "q123_readability": ORACLE_Q123,
+    "q124_robust_outliers": ORACLE_Q124,
+    "q125_hits_navigation": ORACLE_Q125,
 }

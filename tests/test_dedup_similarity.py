@@ -1280,3 +1280,41 @@ class TestMinHashDelta:
             batch, minhash_signatures(index, k=64), k=64, bands=16)
         assert (sorted(map(tuple, est.collect()))
                 == sorted(map(tuple, live.collect())))
+
+
+class TestReadability:
+    def test_hand_computed_flesch(self, spark):
+        from outrank_spark.operators.text import with_readability
+        # "the cat sat. it ran!" -> 5 words, 2 sentence runs,
+        # vowel groups: e, a, a, i, a  -> 5 syllables
+        df = spark.createDataFrame(
+            [(1, "the cat sat. it ran!")], "doc_id long, text string")
+        r = with_readability(df).collect()[0]
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) \
+            == (5, 2, 5)
+        want = 206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5)
+        assert r["flesch"] == pytest.approx(want, abs=1e-9)
+
+    def test_no_terminator_floors_sentences_at_one(self, spark):
+        from outrank_spark.operators.text import with_readability
+        df = spark.createDataFrame(
+            [(1, "just a fragment with no end")],
+            "doc_id long, text string")
+        r = with_readability(df).collect()[0]
+        assert r["n_sentences"] == 1 and r["flesch"] is not None
+
+    def test_empty_text_yields_null_score(self, spark):
+        from outrank_spark.operators.text import with_readability
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   ")], "doc_id long, text string")
+        got = {r["doc_id"]: r for r in with_readability(df).collect()}
+        assert got[1]["n_words"] == 0 and got[1]["flesch"] is None
+        assert got[2]["n_words"] == 0 and got[2]["flesch"] is None
+
+    def test_zero_shuffle_plan(self, spark):
+        from outrank_spark.operators.text import with_readability
+        df = spark.createDataFrame(
+            [(1, "a b.")], "doc_id long, text string")
+        plan = with_readability(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan

@@ -257,3 +257,60 @@ def test_dsir_rejects_colliding_columns(spark):
     )
     with pytest.raises(ValueError, match="dsir_logratio"):
         dsir_logratio(docs, F.lit(True))
+
+
+def _numpy_hits(edges, iterations=10):
+    nodes = sorted({s for s, d in edges} | {d for s, d in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for s, d in set(edges):
+        A[idx[s], idx[d]] = 1.0
+    h = np.ones(n)
+    a = np.zeros(n)
+    for _ in range(iterations):
+        a = A.T @ h
+        nz = np.linalg.norm(a)
+        a = a / nz if nz > 0 else a * 0.0
+        h = A @ a
+        nz = np.linalg.norm(h)
+        h = h / nz if nz > 0 else h * 0.0
+    return {v: (h[idx[v]], a[idx[v]]) for v in nodes}
+
+
+class TestHits:
+    EDGES = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (3, 4), (1, 4)]
+
+    def test_matches_numpy_power_iteration(self, spark):
+        from outrank_spark.operators.graph import hits
+        df = spark.createDataFrame(self.EDGES, "src int, dst int")
+        got = {r["node"]: (r["hub"], r["authority"])
+               for r in hits(df, iterations=10).collect()}
+        want = _numpy_hits(self.EDGES)
+        assert set(got) == set(want)
+        for v in want:
+            assert got[v][0] == pytest.approx(want[v][0], abs=1e-9), v
+            assert got[v][1] == pytest.approx(want[v][1], abs=1e-9), v
+
+    def test_pure_source_and_sink(self, spark):
+        from outrank_spark.operators.graph import hits
+        # 0 -> 1 -> 2: node 0 is never linked (authority 0), node 2
+        # links nowhere (hub 0)
+        df = spark.createDataFrame([(0, 1), (1, 2)], "src int, dst int")
+        got = {r["node"]: r for r in hits(df, iterations=5).collect()}
+        assert got[0]["authority"] == 0.0
+        assert got[2]["hub"] == 0.0
+        assert got[1]["hub"] > 0 and got[1]["authority"] > 0
+
+    def test_duplicate_edges_collapse(self, spark):
+        from outrank_spark.operators.graph import hits
+        once = spark.createDataFrame(self.EDGES, "src int, dst int")
+        dup = once.unionByName(once)
+        a = sorted(map(tuple, hits(once, iterations=6).collect()))
+        b = sorted(map(tuple, hits(dup, iterations=6).collect()))
+        assert a == b
+
+    def test_empty_graph(self, spark):
+        from outrank_spark.operators.graph import hits
+        df = spark.createDataFrame([], "src int, dst int")
+        assert hits(df, iterations=3).collect() == []

@@ -218,3 +218,34 @@ class TestWinsorize:
             .executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestRobustOutlierStats:
+    def test_planted_outliers(self, spark):
+        from outrank_spark.operators.quantiles import robust_outlier_stats
+        # 99 values in [0, 98] plus one wild point
+        rows = ([("a", float(i)) for i in range(99)]
+                + [("a", 10000.0)])
+        df = spark.createDataFrame(rows, "grp string, v double")
+        r = robust_outlier_stats(df, "v", "grp").collect()[0]
+        vals = np.array([v for _, v in rows])
+        med = np.median(vals)
+        mad = np.median(np.abs(vals - med))
+        assert r["median"] == pytest.approx(med, abs=1e-9)
+        assert r["mad"] == pytest.approx(mad, abs=1e-9)
+        want = int(np.sum(0.6745 * np.abs(vals - med) / mad > 3.5))
+        assert r["n_outliers"] == want >= 1
+
+    def test_zero_mad_reports_null(self, spark):
+        from outrank_spark.operators.quantiles import robust_outlier_stats
+        rows = [("c", 5.0)] * 10 + [("c", 99.0)]
+        df = spark.createDataFrame(rows, "grp string, v double")
+        r = robust_outlier_stats(df, "v", "grp").collect()[0]
+        assert r["mad"] == 0.0
+        assert r["n_outliers"] is None   # undefined, never a fake 0
+
+    def test_bad_threshold(self, spark):
+        from outrank_spark.operators.quantiles import robust_outlier_stats
+        df = spark.createDataFrame([("a", 1.0)], "grp string, v double")
+        with pytest.raises(ValueError, match="z_thresh"):
+            robust_outlier_stats(df, "v", "grp", z_thresh=0)
