@@ -17,7 +17,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["stratified_sample", "weighted_sample", "reservoir_sample",
            "temperature_rebalance", "dsir_logratio", "mixture_sample",
-           "hash_split"]
+           "hash_split", "bootstrap_replicate_stats",
+           "bootstrap_mean_ci", "POISSON1_CDF"]
 
 _KEY_SPACE = 1 << 32  # md5-prefix keys are uniform in [0, 2^32)
 
@@ -450,3 +451,105 @@ def reservoir_sample(df: DataFrame, k: int, id_col: str = "doc_id",
             .withColumn("_key", -F.log(u) / w)
         )
     return keyed.orderBy("_key", id_col).limit(k).drop("_key")
+
+
+# cumulative Poisson(1) CDF, P(X <= k) for k = 0..9, full double
+# precision.  SHARED with the q126 DuckDB oracle generator (the SQL
+# embeds these exact literals), so the two engines' CASE ladders bin
+# the identical md5-uniform key identically — keep any change in sync.
+POISSON1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+    0.999998874797402,
+    0.9999998885745216,
+]
+
+
+def _poisson1_weight(u):
+    """Inverse-CDF Poisson(1) draw from a uniform column: the weight
+    ladder of the online bootstrap.  Truncated at 10 (P ~ 1e-8 mass
+    beyond the table — one row in a hundred million gets clamped)."""
+    expr = None
+    for k, c in enumerate(POISSON1_CDF):
+        branch = (F.when(u < F.lit(c), F.lit(k)) if expr is None
+                  else expr.when(u < F.lit(c), F.lit(k)))
+        expr = branch
+    return expr.otherwise(F.lit(len(POISSON1_CDF)))
+
+
+def bootstrap_replicate_stats(df: DataFrame, value_col: str,
+                              id_col: str, B: int = 32,
+                              seed: str = "boot") -> DataFrame:
+    """Online (Poisson) bootstrap replicates of the mean in ONE scan:
+    classic resampling-with-replacement is impossible at corpus scale
+    (it needs n independent draws per replicate), but Poisson(1) row
+    weights approximate the multinomial exactly as n grows (Oza &
+    Russell 2001; the streaming-bootstrap standard).  Replicate ``b``
+    weighs each row by an inverse-CDF Poisson(1) draw from the
+    md5-uniform key of ``(seed|b|id)`` — deterministic, re-run and
+    partitioning invariant, and engine-portable (the q51/q100 key
+    family), so an exact SQL oracle can replay every replicate.
+    Returns ``(rep, n_eff, wmean)``: the weighted row count and
+    weighted mean per replicate; the spread of ``wmean`` across
+    replicates IS the sampling distribution of the mean.
+
+    Scale shape (100 TB): all ``B`` replicates come from ONE pass —
+    2B mergeable aggregates (weighted count + weighted sum) inside a
+    single 1-row hash aggregate, unpivoted with ``stack``; the weight
+    columns are pure JVM md5/CASE projections.  Never loop B scans.
+    An empty replicate (possible only at toy n) reports a null mean.
+    """
+    if B < 1:
+        raise ValueError(f"B must be >= 1, got {B}")
+    v = F.col(value_col)
+    base = df.where(v.isNotNull())
+    aggs = []
+    for b in range(B):
+        w = _poisson1_weight(_md5_uniform(id_col, f"{seed}|{b}|"))
+        aggs += [
+            F.sum(w).cast("long").alias(f"n__{b}"),
+            F.sum(w * v).alias(f"s__{b}"),
+        ]
+    wide = base.agg(*aggs)
+    cells = ", ".join(
+        f"{b}, `n__{b}`, CASE WHEN `n__{b}` > 0 "
+        f"THEN `s__{b}` / `n__{b}` END"
+        for b in range(B)
+    )
+    return wide.selectExpr(
+        f"stack({B}, {cells}) AS (rep, n_eff, wmean)",
+    ).orderBy("rep")
+
+
+def bootstrap_mean_ci(df: DataFrame, value_col: str, id_col: str,
+                      B: int = 64, alpha: float = 0.05,
+                      seed: str = "boot") -> dict:
+    """Percentile bootstrap confidence interval for the mean of
+    ``value_col``: runs :func:`bootstrap_replicate_stats` (one scan)
+    and takes the empirical (alpha/2, 1-alpha/2) quantiles of the B
+    replicate means driver-side (B rows — metadata, never data).
+    Returns ``{"mean", "lo", "hi", "B"}``."""
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    import numpy as np
+
+    reps = bootstrap_replicate_stats(
+        df, value_col, id_col, B, seed).collect()
+    means = np.array([r["wmean"] for r in reps
+                      if r["wmean"] is not None], dtype=float)
+    if means.size == 0:
+        raise ValueError("no non-empty bootstrap replicates "
+                         "(empty input?)")
+    point = df.agg(F.avg(value_col)).first()[0]
+    return {
+        "mean": float(point),
+        "lo": float(np.quantile(means, alpha / 2)),
+        "hi": float(np.quantile(means, 1 - alpha / 2)),
+        "B": int(means.size),
+    }

@@ -4981,6 +4981,114 @@ ORDER BY authority DESC, h.node
 ORACLE_Q125 = _hits_oracle_sql()
 
 
+def q126_bootstrap_mean(spark, sf_dir):
+    """Online Poisson bootstrap of the mean doc length
+    (operators/sampling.bootstrap_replicate_stats): 32 replicates in
+    ONE scan — per replicate an inverse-CDF Poisson(1) weight from
+    the engine-portable md5 key of (seed|rep|doc_id), 2B mergeable
+    aggregates in a single 1-row hash aggregate, stack-unpivoted.
+    Weighted sums are INTEGER (long n_chars x int weight), so the
+    replicate means are bit-identical across engines and the oracle
+    is exact row-for-row — a resampling procedure under the exact
+    gate."""
+    from outrank_spark.operators.sampling import bootstrap_replicate_stats
+
+    docs = load(spark, sf_dir, "documents")
+    out = bootstrap_replicate_stats(docs, "n_chars", "doc_id",
+                                    B=32, seed="ci")
+    return out.select(
+        "rep", "n_eff", F.round("wmean", 6).alias("wmean"),
+    ).orderBy("rep")
+
+
+def _bootstrap_oracle_sql(B: int = 32, seed: str = "ci") -> str:
+    """q126 oracle generator: replays the md5-uniform key and the
+    Poisson(1) CASE ladder with the SAME full-precision literals as
+    operators/sampling.POISSON1_CDF (imported, not re-typed)."""
+    from outrank_spark.operators.sampling import POISSON1_CDF
+
+    ladder = " ".join(
+        f"WHEN u < {c!r} THEN {k}"
+        for k, c in enumerate(POISSON1_CDF)
+    )
+    return f"""
+WITH reps AS (SELECT CAST(range AS INT) AS rep FROM range({B})),
+k AS (
+  SELECT reps.rep, d.n_chars,
+         CAST(('0x' || substr(md5('{seed}|' || reps.rep || '|'
+                                  || CAST(d.doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) / 4294967296.0 AS u
+  FROM documents d CROSS JOIN reps
+  WHERE d.n_chars IS NOT NULL
+),
+w AS (
+  SELECT rep, n_chars,
+         CASE {ladder} ELSE {len(POISSON1_CDF)} END AS w
+  FROM k
+)
+SELECT rep, CAST(sum(w) AS BIGINT) AS n_eff,
+       round(CASE WHEN sum(w) > 0
+             THEN sum(w * n_chars) / CAST(sum(w) AS DOUBLE) END,
+             6) AS wmean
+FROM w GROUP BY rep ORDER BY rep
+"""
+
+
+ORACLE_Q126 = _bootstrap_oracle_sql()
+
+
+def q127_join_size_estimate(spark, sf_dir):
+    """Equi-join cardinality estimation from Count-Sketch inner
+    products (sketches/countsketch.inner_product — AMS 1999): the
+    optimizer statistic "how big will this join be?" answered from
+    two depth x width integer arrays WITHOUT running the join.  Per
+    key pair: exact join size (computed in-plan as sum over keys of
+    cnt_a * cnt_b — the verification, not the product), the AMS
+    estimate, relative error, and the sqrt(6/width) * sqrt(F2_a *
+    F2_b) bound flag.  Deterministic (fixed derived seeds, additive
+    merge) but not SQL-expressible — rows-only; the bound is also
+    asserted in tests/test_countsketch_fd.py."""
+    from outrank_spark.operators.sketch_build import (
+        SketchPlan, build_sketches)
+
+    spec = [
+        ("orders.o_custkey x customer.c_custkey",
+         ("orders", "o_custkey"), ("customer", "c_custkey")),
+        ("lineitem.l_orderkey x orders.o_orderkey",
+         ("lineitem", "l_orderkey"), ("orders", "o_orderkey")),
+    ]
+    params = {"depth": 5, "width": 2 ** 13}
+    rows = []
+    for label, (ta, ca), (tb, cb) in spec:
+        da, db = load(spark, sf_dir, ta), load(spark, sf_dir, tb)
+        ska = build_sketches(
+            da, SketchPlan(columns=[ca],
+                           sketches={"countsketch": dict(params)}),
+        )[(ca, "countsketch")]
+        skb = build_sketches(
+            db, SketchPlan(columns=[cb],
+                           sketches={"countsketch": dict(params)}),
+        )[(cb, "countsketch")]
+        est = ska.inner_product(skb)
+        bound = ska.join_size_bound(skb)
+        fa = da.groupBy(F.col(ca).cast("string").alias("k")).agg(
+            F.count(F.lit(1)).alias("na"))
+        fb = db.groupBy(F.col(cb).cast("string").alias("k")).agg(
+            F.count(F.lit(1)).alias("nb"))
+        exact = (
+            fa.join(fb, "k")
+            .agg(F.sum(F.col("na") * F.col("nb")))
+            .collect()[0][0]
+        ) or 0
+        rel = abs(est - float(exact)) / float(exact) if exact else 0.0
+        rows.append((label, int(exact), float(est), float(rel),
+                     bool(abs(est - float(exact)) <= bound)))
+    return spark.createDataFrame(
+        rows, "join_pair string, exact_size long, estimated double, "
+              "rel_err double, within_ams_bound boolean",
+    )
+
+
 ORACLE_Q122 = """
 WITH b AS (
   SELECT lang,
@@ -5005,7 +5113,7 @@ FROM w GROUP BY lang ORDER BY lang
 
 
 QUERIES = {
-    # --- exact DuckDB oracles (97; the driver's gate window covers
+    # --- exact DuckDB oracles (98; the driver's gate window covers
     # the first 50 — everything after is exact-checked per round by
     # tools/check_oracles.py, artifact in bench_artifacts/) ---
     "q01_pricing_summary": q01_pricing_summary,
@@ -5105,6 +5213,7 @@ QUERIES = {
     "q123_readability": q123_readability,
     "q124_robust_outliers": q124_robust_outliers,
     "q125_hits_navigation": q125_hits_navigation,
+    "q126_bootstrap_mean": q126_bootstrap_mean,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -5136,6 +5245,7 @@ QUERIES = {
     "q109_compression_quality": q109_compression_quality,
     "q110_sql_sketch_surface": q110_sql_sketch_surface,
     "q119_minhash_delta_dedup": q119_minhash_delta_dedup,
+    "q127_join_size_estimate": q127_join_size_estimate,
 }
 
 ORACLES = {
@@ -5238,4 +5348,5 @@ ORACLES = {
     "q123_readability": ORACLE_Q123,
     "q124_robust_outliers": ORACLE_Q124,
     "q125_hits_navigation": ORACLE_Q125,
+    "q126_bootstrap_mean": ORACLE_Q126,
 }

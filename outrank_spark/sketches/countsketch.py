@@ -114,6 +114,31 @@ class CountSketch:
         """Finalizer contract alias (SketchCollection.estimate path)."""
         return self.f2_estimate()
 
+    def inner_product(self, other: "CountSketch") -> float:
+        """AMS inner-product estimate <f_a, f_b> = Σ_k f_a(k)·f_b(k)
+        between the two sketched frequency vectors — i.e. the
+        EQUI-JOIN SIZE of the two keyed relations (Alon, Gibbons,
+        Matias, Szegedy 1999): median over rows of the row dot
+        product.  Unbiased per row; |est − J| <= sqrt(6/width) ·
+        sqrt(F2_a · F2_b) per row with prob >= 2/3, median-boosted
+        over ``depth`` rows (see :meth:`join_size_bound`).  Requires
+        identical (depth, width, seed) — same hash family, else the
+        row products are meaningless."""
+        if (other.depth, other.width, other.seed) != (
+                self.depth, self.width, self.seed):
+            raise ValueError("incompatible CountSketch parameters")
+        prods = (self.M.astype(np.float64)
+                 * other.M.astype(np.float64)).sum(axis=1)
+        return float(np.median(prods))
+
+    def join_size_bound(self, other: "CountSketch") -> float:
+        """Additive error scale of :meth:`inner_product`:
+        sqrt(6/width) · sqrt(F2_a · F2_b) (per-row AMS variance bound,
+        median-boosted over depth rows)."""
+        return float(np.sqrt(6.0 / self.width)
+                     * np.sqrt(self.f2_estimate()
+                               * other.f2_estimate()))
+
     # -- merge ---------------------------------------------------------
     def merge(self, other: "CountSketch") -> "CountSketch":
         if (other.depth, other.width, other.seed) != (

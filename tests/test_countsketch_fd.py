@@ -168,3 +168,62 @@ class TestFrequentDirections:
             a.merge(FrequentDirections(ell=16).update(np.ones((4, 3))))
         with pytest.raises(ValueError):
             a.merge(FrequentDirections(ell=8).update(np.ones((4, 5))))
+
+
+class TestInnerProduct:
+    """AMS join-size estimation (CountSketch.inner_product)."""
+
+    def _freqs(self, rng, n_keys, n_rows):
+        keys = rng.integers(0, n_keys, size=n_rows)
+        return [f"k{v}" for v in keys]
+
+    def test_self_inner_product_is_f2(self):
+        rng = np.random.default_rng(3)
+        cs = CountSketch(depth=5, width=2 ** 12)
+        cs.update(np.array(self._freqs(rng, 50, 2000), dtype=object))
+        # <a, a> over the same sketch == the AMS F2 estimate when both
+        # medians pick the same row; per-row identity is exact
+        prods = (cs.M.astype(np.float64) ** 2).sum(axis=1)
+        assert cs.inner_product(cs) == float(np.median(prods))
+        assert cs.inner_product(cs) == cs.f2_estimate()
+
+    def test_estimates_exact_join_size_within_bound(self):
+        from collections import Counter
+        rng = np.random.default_rng(11)
+        a = self._freqs(rng, 200, 5000)
+        b = self._freqs(rng, 200, 3000)
+        fa, fb = Counter(a), Counter(b)
+        exact = sum(fa[k] * fb[k] for k in fa)
+        ca = CountSketch(depth=7, width=2 ** 13).update(
+            np.array(a, dtype=object))
+        cb = CountSketch(depth=7, width=2 ** 13).update(
+            np.array(b, dtype=object))
+        est = ca.inner_product(cb)
+        assert abs(est - exact) <= ca.join_size_bound(cb)
+        assert abs(est - exact) / exact < 0.05
+
+    def test_disjoint_keys_estimate_near_zero(self):
+        ca = CountSketch(depth=5, width=2 ** 13).update(
+            np.array([f"a{i}" for i in range(500)], dtype=object))
+        cb = CountSketch(depth=5, width=2 ** 13).update(
+            np.array([f"b{i}" for i in range(500)], dtype=object))
+        # true inner product 0; bound allows sqrt(6/w)*sqrt(F2a*F2b)
+        assert abs(ca.inner_product(cb)) <= ca.join_size_bound(cb)
+
+    def test_merge_invariance(self):
+        rng = np.random.default_rng(7)
+        vals = np.array(self._freqs(rng, 100, 4000), dtype=object)
+        other = CountSketch(depth=5, width=2 ** 12).update(
+            np.array(self._freqs(rng, 100, 1000), dtype=object))
+        whole = CountSketch(depth=5, width=2 ** 12).update(vals)
+        parts = CountSketch(depth=5, width=2 ** 12)
+        for chunk in np.array_split(vals, 7):
+            parts.merge(CountSketch(depth=5, width=2 ** 12).update(chunk))
+        assert parts.inner_product(other) == whole.inner_product(other)
+
+    def test_incompatible_params_raise(self):
+        a = CountSketch(depth=5, width=2 ** 10)
+        with pytest.raises(ValueError):
+            a.inner_product(CountSketch(depth=5, width=2 ** 11))
+        with pytest.raises(ValueError):
+            a.inner_product(CountSketch(depth=4, width=2 ** 10))

@@ -669,3 +669,72 @@ class TestReservoirSample:
                              weight_col="w", keep_frac=0.1)
         with pytest.raises(ValueError, match="internal column"):
             reservoir_sample(docs.withColumn("_key", F.lit(1)), 3)
+
+
+class TestBootstrap:
+    def _docs(self, spark, n=500):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 97 + 10).alias("v"))
+
+    def test_replicate_weights_match_python_replay(self, spark):
+        """Replicate 0's weighted stats replayed independently with
+        hashlib + the shared CDF table — pins the key recipe and the
+        ladder semantics end to end."""
+        import hashlib
+
+        from outrank_spark.operators.sampling import (
+            POISSON1_CDF, bootstrap_replicate_stats)
+        df = self._docs(spark, 300)
+        got = {r["rep"]: r for r in bootstrap_replicate_stats(
+            df, "v", "doc_id", B=4, seed="t").collect()}
+
+        def weight(doc_id, rep):
+            h = hashlib.md5(f"t|{rep}|{doc_id}".encode()).hexdigest()
+            u = int(h[:8], 16) / 2 ** 32
+            for k, c in enumerate(POISSON1_CDF):
+                if u < c:
+                    return k
+            return len(POISSON1_CDF)
+
+        for rep in range(4):
+            ws = [(weight(i, rep), i % 97 + 10) for i in range(300)]
+            n_eff = sum(w for w, _ in ws)
+            wmean = sum(w * v for w, v in ws) / n_eff
+            assert got[rep]["n_eff"] == n_eff
+            assert got[rep]["wmean"] == pytest.approx(wmean, abs=1e-12)
+
+    def test_replicates_concentrate_around_true_mean(self, spark):
+        from outrank_spark.operators.sampling import (
+            bootstrap_replicate_stats)
+        df = self._docs(spark, 2000)
+        true_mean = df.agg(F.avg("v")).first()[0]
+        reps = bootstrap_replicate_stats(
+            df, "v", "doc_id", B=16).collect()
+        means = [r["wmean"] for r in reps]
+        # sd of the mean of 2000 iid values in [10, 107) is ~0.6;
+        # every replicate within 5 sigma, and the replicate average
+        # within ~2 combined-sigma of truth
+        assert all(abs(m - true_mean) < 4.0 for m in means)
+        assert abs(sum(means) / len(means) - true_mean) < 1.0
+
+    def test_single_aggregate_plan(self, spark):
+        from outrank_spark.operators.sampling import (
+            bootstrap_replicate_stats)
+        out = bootstrap_replicate_stats(
+            self._docs(spark), "v", "doc_id", B=8)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "Join" not in plan and "Window" not in plan
+
+    def test_ci_brackets_truth_and_validates(self, spark):
+        from outrank_spark.operators.sampling import bootstrap_mean_ci
+        df = self._docs(spark, 2000)
+        ci = bootstrap_mean_ci(df, "v", "doc_id", B=32)
+        assert ci["lo"] <= ci["mean"] <= ci["hi"]
+        assert ci["B"] == 32
+        with pytest.raises(ValueError, match="alpha"):
+            bootstrap_mean_ci(df, "v", "doc_id", alpha=1.5)
+        from outrank_spark.operators.sampling import (
+            bootstrap_replicate_stats)
+        with pytest.raises(ValueError, match="B must be"):
+            bootstrap_replicate_stats(df, "v", "doc_id", B=0)
