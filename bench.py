@@ -921,7 +921,63 @@ SCALING_OP_PROBES = {
     "bloomjoin": (bloomjoin_probe, "240M probe x 1M keys"),
     "bloomstage": (bloomstage_probe, "240M probe x 1M keys"),
     "fdsketch": (fd_probe, "6M x 32-dim vectors"),
+    "bootstrap": (bootstrap_probe, "8M rows x 32 replicates"),
+    "hits": (hits_probe, "8M edges x 5 iters"),
 }
+
+
+def bootstrap_probe(spark, n_rows: int = 8_000_000,
+                    B: int = 32) -> float:
+    """Poisson-bootstrap scale probe: B=32 replicate means over
+    n_rows JVM-generated values in ONE scan — 2B mergeable aggregates
+    whose inputs are B md5 projections per row, the heaviest pure-CPU
+    JVM-expression stage in the engine (no shuffle beyond the 1-row
+    final agg, no Python), so it reads the codegen-scan scaling
+    ceiling directly.  Returns wall seconds."""
+    from pyspark.sql import functions as F
+
+    from outrank_spark.operators.sampling import bootstrap_replicate_stats
+
+    df = spark.range(n_rows).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 1013).cast("double").alias("v"),
+    )
+    t0 = time.time()
+    reps = bootstrap_replicate_stats(df, "v", "doc_id", B=B).collect()
+    dt = time.time() - t0
+    assert len(reps) == B and all(r["n_eff"] > 0 for r in reps)
+    return dt
+
+
+def hits_probe(spark, n_edges: int = 8_000_000,
+               n_nodes: int = 200_000) -> float:
+    """HITS scale probe: 5 L2-normalized power-iteration rounds over
+    the pagerank probe's hub-skewed synthetic graph.  Two joins + two
+    groupBys per round with the same per-round localCheckpoint
+    barrier as pagerank (documented serial-share ceiling applies).
+    Returns wall seconds."""
+    from pyspark.sql import functions as F
+
+    from outrank_spark.operators.graph import hits
+
+    edges = spark.range(n_edges).select(
+        F.pmod(F.xxhash64("id"), F.lit(n_nodes)).alias("src"),
+        F.pow(
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1_000_000))
+            / F.lit(1_000_000.0), F.lit(3.0),
+        ).cast("double").alias("u"),
+    ).select(
+        "src", (F.col("u") * n_nodes).cast("long").alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    t0 = time.time()
+    out = hits(edges, iterations=5)
+    row = out.agg(
+        F.sum(F.col("hub") * F.col("hub")).alias("h2"),
+        F.sum(F.col("authority") * F.col("authority")).alias("a2"),
+    ).first()
+    dt = time.time() - t0
+    assert abs(row["h2"] - 1.0) < 1e-6 and abs(row["a2"] - 1.0) < 1e-6
+    return dt
 
 
 def run_suite(cpus: int, sf_dir: str) -> dict:

@@ -46,6 +46,7 @@ __all__ = [
     "embedding_neardup_candidates", "near_dedup_corpus",
     "winnowed_span_pairs", "dedup_paragraphs",
     "duplicated_spans_exact", "containment_join",
+    "sorted_neighborhood_pairs",
 ]
 
 
@@ -1058,3 +1059,94 @@ def minhash_delta_candidates(new_df: DataFrame, index_sig: DataFrame,
     if verify_threshold is not None:
         exact = exact.filter(F.col("jaccard") >= verify_threshold)
     return exact
+
+
+def sorted_neighborhood_pairs(df: DataFrame, key_col: str,
+                              id_col: str = "doc_id",
+                              window: int = 3,
+                              num_partitions: int | None = None,
+                              ) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995): sort
+    the corpus by a blocking key and emit every pair within
+    ``window`` positions — the record-linkage candidate generator for
+    TYPO-shaped duplicates that hash blocking scatters (LSH needs
+    shared shingles; a sort key like a normalized name puts
+    near-spellings adjacent).  Returns ``(id_a, id_b, key_a, key_b,
+    gap)`` with gap in [1, window]; output size is exactly
+    ``window·n − window(window+1)/2`` — LINEAR in the corpus, the
+    method's defining guarantee.  Null keys are excluded (they would
+    all sort adjacent and pair meaninglessly).
+
+    Scale shape (100 TB): the global sort is the two-pass
+    range-partition rank (the roc_auc/ks_drift discipline — NEVER a
+    single-partition window): range-partition + in-partition sort by
+    (key, id), pass 1 ships one count per partition whose cumulative
+    offsets make every local index global, pass 2 stamps ranks
+    independently per partition.  Neighbor pairs come from an explode
+    of the window offsets + ONE equi-join on the stamped rank —
+    skew-free by construction (ranks are unique).
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    import pandas as pd
+
+    spark = df.sparkSession
+    n_part = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
+    data = (
+        df.select(F.col(id_col).alias("__id"),
+                  F.col(key_col).cast("string").alias("__k"))
+        .where(F.col("__k").isNotNull())
+        .repartitionByRange(n_part, "__k", "__id")
+        .sortWithinPartitions("__k", "__id")
+        .persist()
+    )
+    try:
+        def counts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            n = sum(len(p) for p in batches)
+            if n:
+                yield pd.DataFrame({"pid": [pid], "n": [n]})
+
+        meta = data.mapInPandas(counts, "pid int, n long") \
+            .toPandas().sort_values("pid")
+        if meta.empty:
+            return spark.createDataFrame(
+                [], "id_a long, id_b long, key_a string, "
+                    "key_b string, gap int")
+        meta["off"] = meta["n"].cumsum() - meta["n"]
+        offsets = {int(r.pid): int(r.off)
+                   for r in meta.itertuples(index=False)}
+
+        def stamp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            base = offsets.get(pid, 0)
+            seen = 0
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["rank"] = range(base + seen, base + seen + len(pdf))
+                seen += len(pdf)
+                yield pdf
+
+        ranked = data.mapInPandas(
+            stamp, "__id long, __k string, rank long",
+        ).localCheckpoint(eager=True)
+    finally:
+        data.unpersist()
+    right = ranked.select(
+        F.col("rank").alias("__r2"),
+        F.col("__id").alias("id_b"), F.col("__k").alias("key_b"))
+    return (
+        ranked.withColumn(
+            "gap", F.explode(F.array(
+                *[F.lit(k) for k in range(1, window + 1)])))
+        .select(
+            F.col("__id").alias("id_a"), F.col("__k").alias("key_a"),
+            (F.col("rank") + F.col("gap")).alias("__r2"), "gap")
+        .join(right, "__r2")
+        .select("id_a", "id_b", "key_a", "key_b", "gap")
+    )

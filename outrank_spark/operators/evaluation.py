@@ -37,7 +37,7 @@ from typing import Iterator
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["roc_auc", "calibration_report", "correlation_matrix",
-           "spearman_correlation"]
+           "spearman_correlation", "cuped_adjust"]
 
 
 def roc_auc(df: DataFrame, label_col: str, score_col: str,
@@ -283,3 +283,67 @@ def spearman_correlation(df: DataFrame, col_a: str, col_b: str,
         F.lit(col_a).alias("col_a"), F.lit(col_b).alias("col_b"),
         "corr", "n",
     )
+
+
+def cuped_adjust(df: DataFrame, metric_col: str, covariate_col: str,
+                 arm_col: str | None = None,
+                 round_to: int | None = 6) -> DataFrame:
+    """CUPED variance reduction for experiment readouts (Deng, Xu,
+    Kohavi, Walker — WSDM 2013): adjust the experiment metric with a
+    pre-experiment covariate, ``y_adj = y − θ·(x − mean(x))`` with
+    ``θ = cov(x, y) / var(x)`` fitted on ALL units (θ must be
+    arm-independent or the adjustment biases the delta).  Reduces the
+    metric's variance by the squared correlation — the standard way
+    to read an A/B test days earlier at web scale.  Returns one row
+    per arm (one global row when ``arm_col`` is None): ``n``,
+    ``raw_mean``, ``adjusted_mean``, ``theta``, ``var_raw``,
+    ``var_adjusted``, ``var_reduction`` (1 − var_adj/var_raw).
+    Rows with a null metric or covariate are dropped (a unit without
+    a pre-period reads as bias, not as zero).  Degenerate var(x) = 0
+    yields θ = 0 (no adjustment), never a division error.
+
+    Scale shape: a 1-row means pass (centering metadata, the q118
+    discipline — centered sums dodge catastrophic cancellation and
+    ANSI divide-by-zero), one global moment aggregate for θ, then ONE
+    map-side-combinable groupBy(arm) over a pure-JVM adjusted-metric
+    projection.  Three scans total, no window, no join, no Python.
+    """
+    y, x = F.col(metric_col).cast("double"), \
+        F.col(covariate_col).cast("double")
+    base = df.where(y.isNotNull() & x.isNotNull())
+    m = base.agg(F.avg(x).alias("mx"), F.avg(y).alias("my")).first()
+    if m["mx"] is None:
+        raise ValueError("no rows with both metric and covariate")
+    mx, my = float(m["mx"]), float(m["my"])
+    cx, cy = x - F.lit(mx), y - F.lit(my)
+    mom = base.agg(
+        F.sum(cx * cy).alias("sxy"),
+        F.sum(cx * cx).alias("sxx"),
+    ).first()
+    theta = (float(mom["sxy"]) / float(mom["sxx"])
+             if mom["sxx"] and float(mom["sxx"]) > 0 else 0.0)
+    adj = y - F.lit(theta) * (x - F.lit(mx))
+    keys = [arm_col] if arm_col is not None else []
+    out = (
+        base.withColumn("__adj", adj)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(y).alias("raw_mean"),
+            F.avg("__adj").alias("adjusted_mean"),
+            F.lit(theta).alias("theta"),
+            F.var_pop(y).alias("var_raw"),
+            F.var_pop("__adj").alias("var_adjusted"),
+        )
+        .withColumn(
+            "var_reduction",
+            F.when(F.col("var_raw") > 0,
+                   1.0 - F.col("var_adjusted") / F.col("var_raw"))
+            .otherwise(F.lit(0.0)),
+        )
+    )
+    if round_to is not None:
+        for c in ("raw_mean", "adjusted_mean", "theta",
+                  "var_raw", "var_adjusted", "var_reduction"):
+            out = out.withColumn(c, F.round(c, round_to))
+    return out

@@ -5089,6 +5089,109 @@ def q127_join_size_estimate(spark, sf_dir):
     )
 
 
+def q128_cuped_experiment(spark, sf_dir):
+    """CUPED experiment readout (operators/evaluation.cuped_adjust):
+    users hash-assigned to two arms, post-period value sum adjusted
+    by the pre-period covariate (the corpus midpoint splits pre/post
+    at integer microseconds, so both engines cut identically), θ
+    fitted on all units via the centered-moment aggregate.  Per arm:
+    raw vs adjusted mean, θ, and the variance reduction — the
+    standard week-earlier A/B readout.  Exact oracle: DuckDB replays
+    midpoint, per-user sums, covar_pop/var_pop θ, and the adjusted
+    aggregate."""
+    from outrank_spark.operators.evaluation import cuped_adjust
+
+    ev = load(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    us = F.expr("timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+    ev = ev.withColumn("__us", us)
+    lim = ev.agg(F.min("__us").alias("lo"),
+                 F.max("__us").alias("hi")).first()
+    mid = (int(lim["lo"]) + int(lim["hi"])) // 2
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("__us") < mid, F.col("value")))
+            .alias("x"),
+            F.sum(F.when(F.col("__us") >= mid, F.col("value")))
+            .alias("y"),
+        )
+        .withColumn("arm", F.pmod(F.col("user_id"), F.lit(2)))
+    )
+    return cuped_adjust(per_user, "y", "x", arm_col="arm") \
+        .orderBy("arm")
+
+
+ORACLE_Q128 = """
+WITH u AS (
+  SELECT user_id, value, epoch_us(ts) AS us
+  FROM events WHERE ts IS NOT NULL
+),
+m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM u),
+pu AS (
+  SELECT user_id, user_id % 2 AS arm,
+         sum(CASE WHEN us < mid THEN value END) AS x,
+         sum(CASE WHEN us >= mid THEN value END) AS y
+  FROM u, m GROUP BY user_id
+),
+base AS (SELECT * FROM pu WHERE x IS NOT NULL AND y IS NOT NULL),
+g AS (
+  SELECT avg(x) AS mx,
+         CASE WHEN var_pop(x) > 0
+              THEN covar_pop(x, y) / var_pop(x) ELSE 0.0 END AS theta
+  FROM base
+),
+adj AS (
+  SELECT arm, y, y - g.theta * (x - g.mx) AS ya, g.theta
+  FROM base, g
+)
+SELECT arm, CAST(count(*) AS BIGINT) AS n,
+       round(avg(y), 6) AS raw_mean,
+       round(avg(ya), 6) AS adjusted_mean,
+       round(max(theta), 6) AS theta,
+       round(var_pop(y), 6) AS var_raw,
+       round(var_pop(ya), 6) AS var_adjusted,
+       round(CASE WHEN var_pop(y) > 0
+             THEN 1.0 - var_pop(ya) / var_pop(y) ELSE 0.0 END,
+             6) AS var_reduction
+FROM adj GROUP BY arm ORDER BY arm
+"""
+
+
+def q129_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking (operators/dedup.
+    sorted_neighborhood_pairs): documents sorted by a 16-char text
+    prefix key, every pair within 2 positions emitted — the
+    record-linkage candidate generator with a LINEAR output
+    guarantee.  The global rank is the two-pass range-partition
+    stamp (never a single-partition window); the oracle replays it
+    with a window row_number and a rank-distance self-join."""
+    from outrank_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "k16", F.substring("text", 1, 16))
+    out = sorted_neighborhood_pairs(docs, "k16", "doc_id", window=2)
+    return out.orderBy("id_a", "gap", "id_b")
+
+
+ORACLE_Q129 = """
+WITH k AS (
+  SELECT doc_id, substr(text, 1, 16) AS k FROM documents
+  WHERE text IS NOT NULL
+),
+r AS (
+  SELECT doc_id, k,
+         row_number() OVER (ORDER BY k, doc_id) - 1 AS rank
+  FROM k
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       a.k AS key_a, b.k AS key_b,
+       CAST(b.rank - a.rank AS INT) AS gap
+FROM r a JOIN r b ON b.rank > a.rank AND b.rank <= a.rank + 2
+ORDER BY id_a, gap, id_b
+"""
+
+
 ORACLE_Q122 = """
 WITH b AS (
   SELECT lang,
@@ -5113,7 +5216,7 @@ FROM w GROUP BY lang ORDER BY lang
 
 
 QUERIES = {
-    # --- exact DuckDB oracles (98; the driver's gate window covers
+    # --- exact DuckDB oracles (100; the driver's gate window covers
     # the first 50 — everything after is exact-checked per round by
     # tools/check_oracles.py, artifact in bench_artifacts/) ---
     "q01_pricing_summary": q01_pricing_summary,
@@ -5214,6 +5317,8 @@ QUERIES = {
     "q124_robust_outliers": q124_robust_outliers,
     "q125_hits_navigation": q125_hits_navigation,
     "q126_bootstrap_mean": q126_bootstrap_mean,
+    "q128_cuped_experiment": q128_cuped_experiment,
+    "q129_sorted_neighborhood": q129_sorted_neighborhood,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -5349,4 +5454,6 @@ ORACLES = {
     "q124_robust_outliers": ORACLE_Q124,
     "q125_hits_navigation": ORACLE_Q125,
     "q126_bootstrap_mean": ORACLE_Q126,
+    "q128_cuped_experiment": ORACLE_Q128,
+    "q129_sorted_neighborhood": ORACLE_Q129,
 }

@@ -1318,3 +1318,53 @@ class TestReadability:
         plan = with_readability(df)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestSortedNeighborhood:
+    def _brute(self, rows, w):
+        order = sorted(rows, key=lambda r: (r[1], r[0]))
+        pairs = set()
+        for i, (ida, ka) in enumerate(order):
+            for g in range(1, w + 1):
+                if i + g < len(order):
+                    idb, kb = order[i + g]
+                    pairs.add((ida, idb, ka, kb, g))
+        return pairs
+
+    def test_matches_bruteforce_and_linear_count(self, spark):
+        from outrank_spark.operators.dedup import sorted_neighborhood_pairs
+        rows = [(i, f"name{(i * 7) % 23:03d}") for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, k string")
+        got = {tuple(r) for r in sorted_neighborhood_pairs(
+            df, "k", window=3).collect()}
+        assert got == self._brute(rows, 3)
+        n, w = len(rows), 3
+        assert len(got) == w * n - w * (w + 1) // 2
+
+    def test_typo_neighbors_pair_where_hashing_cannot(self, spark):
+        from outrank_spark.operators.dedup import sorted_neighborhood_pairs
+        rows = [(1, "jonathan smith"), (2, "jonathan smyth"),
+                (3, "aaron a"), (4, "zoe z")]
+        df = spark.createDataFrame(rows, "doc_id long, k string")
+        got = {(r["id_a"], r["id_b"]) for r in
+               sorted_neighborhood_pairs(df, "k", window=1).collect()}
+        assert (1, 2) in got          # adjacent after sorting
+
+    def test_partition_invariance(self, spark):
+        from outrank_spark.operators.dedup import sorted_neighborhood_pairs
+        rows = [(i, f"k{(i * 13) % 31:02d}") for i in range(80)]
+        df = spark.createDataFrame(rows, "doc_id long, k string")
+        a = {tuple(r) for r in sorted_neighborhood_pairs(
+            df.repartition(1), "k", window=2).collect()}
+        b = {tuple(r) for r in sorted_neighborhood_pairs(
+            df.repartition(16), "k", window=2).collect()}
+        assert a == b
+
+    def test_null_keys_excluded_and_window_validated(self, spark):
+        from outrank_spark.operators.dedup import sorted_neighborhood_pairs
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "b")], "doc_id long, k string")
+        got = sorted_neighborhood_pairs(df, "k", window=1).collect()
+        assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 3)}
+        with pytest.raises(ValueError, match="window"):
+            sorted_neighborhood_pairs(df, "k", window=0)

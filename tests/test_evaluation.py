@@ -257,3 +257,62 @@ class TestSpearmanCorrelation:
             first_op = next(
                 ln for ln in frag.splitlines()[1:] if "- " in ln)
             assert "Aggregate" in first_op
+
+
+class TestCupedAdjust:
+    def _units(self, spark, n=400, seed=9):
+        rng = np.random.default_rng(seed)
+        x = rng.normal(50, 10, size=n)
+        y = 2.0 * x + rng.normal(0, 5, size=n)
+        arm = (np.arange(n) % 2).astype(int)
+        rows = [(int(a), float(xx), float(yy))
+                for a, xx, yy in zip(arm, x, y)]
+        return (spark.createDataFrame(rows, "arm int, x double, y double"),
+                x, y)
+
+    def test_theta_matches_numpy_and_variance_drops(self, spark):
+        from outrank_spark.operators.evaluation import cuped_adjust
+        df, x, y = self._units(spark)
+        rows = cuped_adjust(df, "y", "x", arm_col="arm",
+                            round_to=None).collect()
+        theta = float(np.cov(x, y, bias=True)[0, 1] / np.var(x))
+        for r in rows:
+            assert r["theta"] == pytest.approx(theta, rel=1e-9)
+            # y = 2x + e: the covariate removes almost all variance
+            assert r["var_reduction"] > 0.9
+        # global invariant: adjustment never moves the OVERALL mean
+        g = cuped_adjust(df, "y", "x", round_to=None).collect()[0]
+        assert g["adjusted_mean"] == pytest.approx(
+            g["raw_mean"], rel=1e-9)
+
+    def test_perfect_covariate_kills_variance(self, spark):
+        from outrank_spark.operators.evaluation import cuped_adjust
+        rows = [(i % 2, float(i), 3.0 + 2.0 * i) for i in range(100)]
+        df = spark.createDataFrame(rows, "arm int, x double, y double")
+        r = cuped_adjust(df, "y", "x", round_to=None).collect()[0]
+        assert r["var_adjusted"] == pytest.approx(0.0, abs=1e-9)
+        assert r["var_reduction"] == pytest.approx(1.0, abs=1e-9)
+
+    def test_constant_covariate_is_noop(self, spark):
+        from outrank_spark.operators.evaluation import cuped_adjust
+        rows = [(0, 5.0, float(i)) for i in range(50)]
+        df = spark.createDataFrame(rows, "arm int, x double, y double")
+        r = cuped_adjust(df, "y", "x", round_to=None).collect()[0]
+        assert r["theta"] == 0.0
+        assert r["adjusted_mean"] == pytest.approx(
+            r["raw_mean"], rel=1e-12)
+
+    def test_null_units_dropped(self, spark):
+        from outrank_spark.operators.evaluation import cuped_adjust
+        df = spark.createDataFrame(
+            [(0, 1.0, 2.0), (0, None, 9.0), (0, 3.0, None),
+             (0, 2.0, 4.0)],
+            "arm int, x double, y double")
+        r = cuped_adjust(df, "y", "x", round_to=None).collect()[0]
+        assert r["n"] == 2
+
+    def test_empty_raises(self, spark):
+        from outrank_spark.operators.evaluation import cuped_adjust
+        df = spark.createDataFrame([], "arm int, x double, y double")
+        with pytest.raises(ValueError, match="no rows"):
+            cuped_adjust(df, "y", "x")
