@@ -264,6 +264,11 @@ def winsorize(df: DataFrame, value_col: str, by: str,
     if not (0.0 <= p_lo < p_hi <= 1.0):
         raise ValueError(
             f"need 0 <= p_lo < p_hi <= 1, got ({p_lo}, {p_hi})")
+    clash = {"__g", "__lo", "__hi"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"winsorize internal column(s) {sorted(clash)} already "
+            "exist in the input — rename them first")
     out_col = out_col or f"{value_col}_wins"
     bounds = exact_grouped_quantiles(df, by, value_col, [p_lo, p_hi])
     lo_name, hi_name = _q_name(p_lo), _q_name(p_hi)
@@ -309,6 +314,13 @@ def robust_outlier_stats(df: DataFrame, value_col: str, by: str,
     """
     if z_thresh <= 0:
         raise ValueError(f"z_thresh must be > 0, got {z_thresh}")
+    clash = {"__g", "__g2", "__med", "__mad", "__absdev"} \
+        & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"robust_outlier_stats internal column(s) "
+            f"{sorted(clash)} already exist in the input — rename "
+            "them first")
     spark = df.sparkSession
     med = exact_grouped_quantiles(df, by, value_col, [0.5])
     med_df = spark.createDataFrame(
