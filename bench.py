@@ -900,32 +900,6 @@ def fd_probe(spark, n_rows: int = 6_000_000, d: int = 32) -> float:
     return dt
 
 
-# name -> (probe fn, human-readable work size) for --scaling-ops;
-# every probe generates its input JVM-side, so the two parallelism
-# levels see byte-identical work
-SCALING_OP_PROBES = {
-    "asof": (asof_probe, "16M rows"),
-    "components": (components_probe, "4M edges"),
-    "minhash": (minhash_probe, "200k docs"),
-    "quality": (quality_model_probe, "150k docs"),
-    "semdedup": (semdedup_probe, "600k rows"),
-    "warc": (warc_probe, "192k records"),
-    "discretize": (discretize_probe, "60M rows"),
-    "bpe": (bpe_probe, "1.2M docs"),
-    "funnel": (funnel_probe, "40M events"),
-    "pagerank": (pagerank_probe, "8M edges x 5 iters"),
-    "dsir": (dsir_probe, "1.5M docs"),
-    "sessionize": (sessionize_probe, "20M events"),
-    "containment": (containment_probe, "800k docs"),
-    "prefixjoin": (prefixjoin_probe, "200k docs"),
-    "bloomjoin": (bloomjoin_probe, "240M probe x 1M keys"),
-    "bloomstage": (bloomstage_probe, "240M probe x 1M keys"),
-    "fdsketch": (fd_probe, "6M x 32-dim vectors"),
-    "bootstrap": (bootstrap_probe, "8M rows x 32 replicates"),
-    "hits": (hits_probe, "8M edges x 5 iters"),
-}
-
-
 def bootstrap_probe(spark, n_rows: int = 8_000_000,
                     B: int = 32) -> float:
     """Poisson-bootstrap scale probe: B=32 replicate means over
@@ -978,6 +952,33 @@ def hits_probe(spark, n_edges: int = 8_000_000,
     dt = time.time() - t0
     assert abs(row["h2"] - 1.0) < 1e-6 and abs(row["a2"] - 1.0) < 1e-6
     return dt
+
+
+
+# name -> (probe fn, human-readable work size) for --scaling-ops;
+# every probe generates its input JVM-side, so the two parallelism
+# levels see byte-identical work
+SCALING_OP_PROBES = {
+    "asof": (asof_probe, "16M rows"),
+    "components": (components_probe, "4M edges"),
+    "minhash": (minhash_probe, "200k docs"),
+    "quality": (quality_model_probe, "150k docs"),
+    "semdedup": (semdedup_probe, "600k rows"),
+    "warc": (warc_probe, "192k records"),
+    "discretize": (discretize_probe, "60M rows"),
+    "bpe": (bpe_probe, "1.2M docs"),
+    "funnel": (funnel_probe, "40M events"),
+    "pagerank": (pagerank_probe, "8M edges x 5 iters"),
+    "dsir": (dsir_probe, "1.5M docs"),
+    "sessionize": (sessionize_probe, "20M events"),
+    "containment": (containment_probe, "800k docs"),
+    "prefixjoin": (prefixjoin_probe, "200k docs"),
+    "bloomjoin": (bloomjoin_probe, "240M probe x 1M keys"),
+    "bloomstage": (bloomstage_probe, "240M probe x 1M keys"),
+    "fdsketch": (fd_probe, "6M x 32-dim vectors"),
+    "bootstrap": (bootstrap_probe, "8M rows x 32 replicates"),
+    "hits": (hits_probe, "8M edges x 5 iters"),
+}
 
 
 def run_suite(cpus: int, sf_dir: str) -> dict:

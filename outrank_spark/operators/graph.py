@@ -216,7 +216,14 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
         )
         a_full = nodes.join(
             auth_raw, nodes["node"] == auth_raw["dst"], "left",
-        ).select("node", F.coalesce("a_raw", F.lit(0.0)).alias("a_raw"))
+        ).select(
+            "node", F.coalesce("a_raw", F.lit(0.0)).alias("a_raw"),
+        # materialize the raw vector BEFORE the norm: the norm
+        # aggregate and the normalized projection both consume it,
+        # and un-materialized the join+groupBy subtree runs TWICE
+        # per half-round (measured: 0.52 -> 0.80 2->8-core
+        # efficiency, bench --scaling-ops hits)
+        ).localCheckpoint(eager=True)
         a_norm = a_full.agg(
             F.sqrt(F.sum(F.col("a_raw") * F.col("a_raw"))).alias("nz"))
         a = a_full.crossJoin(F.broadcast(a_norm)).select(
@@ -233,7 +240,7 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
             hub_raw, nodes["node"] == hub_raw["src"], "left",
         ).select(
             "node", F.coalesce("h_raw", F.lit(0.0)).alias("h_raw"),
-            )
+        ).localCheckpoint(eager=True)
         h_norm = h_full.agg(
             F.sqrt(F.sum(F.col("h_raw") * F.col("h_raw"))).alias("nz"))
         h = h_full.crossJoin(F.broadcast(h_norm)).select(
@@ -241,9 +248,11 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
             F.when(F.col("nz") > 0, F.col("h_raw") / F.col("nz"))
             .otherwise(F.lit(0.0)).alias("hub"),
         )
-        state = (
-            h.join(a, "node")
-            .select("node", "hub", "authority")
-            .localCheckpoint(eager=True)
-        )
+        # no checkpoint here: lineage is already truncated at the
+        # materialized a_full/h_full, and the next round reads state
+        # exactly once — a third per-round barrier bought nothing
+        # (each eager checkpoint is a full job launch; the fixed
+        # scheduler cost is the serial share that caps small-graph
+        # 2->8-core efficiency, see BENCH.md hits probe)
+        state = h.join(a, "node").select("node", "hub", "authority")
     return state
