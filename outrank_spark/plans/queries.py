@@ -5192,6 +5192,138 @@ ORDER BY id_a, gap, id_b
 """
 
 
+def q130_table_profile(spark, sf_dir):
+    """Deequ-style column profile (operators/validation.
+    profile_table): per documents column the null rate, exact
+    distinct count, numeric min/max/mean and string min/max, from
+    TWO scans total (one mergeable-stats aggregate + one distinct
+    aggregate — never a scan per column; many exact distincts in one
+    agg would multiply the scan through Expand).  Numeric stats stay
+    doubles and string stats stay strings, so the oracle compares
+    values, never float-formatting dialects."""
+    from outrank_spark.operators.validation import profile_table
+
+    docs = load(spark, sf_dir, "documents")
+    return profile_table(docs)
+
+
+ORACLE_Q130 = """
+SELECT 'doc_id' AS "column", 'bigint' AS dtype,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(doc_id) AS BIGINT) AS n_null,
+       round((count(*) - count(doc_id)) / CAST(count(*) AS DOUBLE), 6)
+         AS null_frac,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+       round(min(CAST(doc_id AS DOUBLE)), 6) AS min_num,
+       round(max(CAST(doc_id AS DOUBLE)), 6) AS max_num,
+       round(avg(CAST(doc_id AS DOUBLE)), 6) AS mean_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM documents
+UNION ALL
+SELECT 'lang', 'string', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(lang) AS BIGINT),
+       round((count(*) - count(lang)) / CAST(count(*) AS DOUBLE), 6),
+       CAST(count(DISTINCT lang) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       min(lang), max(lang)
+FROM documents
+UNION ALL
+SELECT 'n_chars', 'bigint', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(n_chars) AS BIGINT),
+       round((count(*) - count(n_chars)) / CAST(count(*) AS DOUBLE), 6),
+       CAST(count(DISTINCT n_chars) AS BIGINT),
+       round(min(CAST(n_chars AS DOUBLE)), 6),
+       round(max(CAST(n_chars AS DOUBLE)), 6),
+       round(avg(CAST(n_chars AS DOUBLE)), 6),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT 'source', 'string', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(source) AS BIGINT),
+       round((count(*) - count(source)) / CAST(count(*) AS DOUBLE), 6),
+       CAST(count(DISTINCT source) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       min(source), max(source)
+FROM documents
+UNION ALL
+SELECT 'text', 'string', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(text) AS BIGINT),
+       round((count(*) - count(text)) / CAST(count(*) AS DOUBLE), 6),
+       CAST(count(DISTINCT text) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       min(text), max(text)
+FROM documents
+ORDER BY "column"
+"""
+
+
+def q131_constraint_checks(spark, sf_dir):
+    """Declarative data-quality gate (operators/validation.
+    check_constraints): a six-rule book over documents — uniqueness,
+    null bans, numeric bounds (one rule violated on purpose so the
+    report path is exercised), a value whitelist, and a full-match
+    regex — evaluated as ONE row-level sum(when) aggregate plus one
+    distinct aggregate, reported as violations, never exceptions.
+    The oracle replays every rule as plain SQL counting."""
+    from outrank_spark.operators.validation import check_constraints
+
+    docs = load(spark, sf_dir, "documents")
+    rules = [
+        {"col": "doc_id", "rule": "unique"},
+        {"col": "doc_id", "rule": "not_null"},
+        {"col": "n_chars", "rule": "non_negative"},
+        {"col": "n_chars", "rule": "max", "value": 300},
+        {"col": "lang", "rule": "in_set",
+         "value": ["en", "de", "fr", "es", "zh"]},
+        {"col": "source", "rule": "regex", "value": "src[0-9]+"},
+    ]
+    return check_constraints(docs, rules).orderBy("rule_id")
+
+
+ORACLE_Q131 = """
+SELECT 0 AS rule_id, 'doc_id' AS "column", 'unique' AS rule,
+       CAST(count(doc_id) AS BIGINT) AS n_checked,
+       CAST(count(doc_id) - count(DISTINCT doc_id) AS BIGINT)
+         AS n_violations,
+       count(doc_id) = count(DISTINCT doc_id) AS passed
+FROM documents
+UNION ALL
+SELECT 1, 'doc_id', 'not_null', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) = 0
+FROM documents
+UNION ALL
+SELECT 2, 'n_chars', 'non_negative', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN n_chars < 0 THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN n_chars < 0 THEN 1 ELSE 0 END) = 0
+FROM documents
+UNION ALL
+SELECT 3, 'n_chars', 'max', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) = 0
+FROM documents
+UNION ALL
+SELECT 4, 'lang', 'in_set', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN lang IS NOT NULL
+                      AND lang NOT IN ('en','de','fr','es','zh')
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN lang IS NOT NULL
+                 AND lang NOT IN ('en','de','fr','es','zh')
+                THEN 1 ELSE 0 END) = 0
+FROM documents
+UNION ALL
+SELECT 5, 'source', 'regex', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN source IS NOT NULL
+                      AND NOT regexp_full_match(source, 'src[0-9]+')
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN source IS NOT NULL
+                 AND NOT regexp_full_match(source, 'src[0-9]+')
+                THEN 1 ELSE 0 END) = 0
+FROM documents
+ORDER BY rule_id
+"""
+
+
 ORACLE_Q122 = """
 WITH b AS (
   SELECT lang,
@@ -5216,7 +5348,7 @@ FROM w GROUP BY lang ORDER BY lang
 
 
 QUERIES = {
-    # --- exact DuckDB oracles (100; the driver's gate window covers
+    # --- exact DuckDB oracles (102; the driver's gate window covers
     # the first 50 — everything after is exact-checked per round by
     # tools/check_oracles.py, artifact in bench_artifacts/) ---
     "q01_pricing_summary": q01_pricing_summary,
@@ -5319,6 +5451,8 @@ QUERIES = {
     "q126_bootstrap_mean": q126_bootstrap_mean,
     "q128_cuped_experiment": q128_cuped_experiment,
     "q129_sorted_neighborhood": q129_sorted_neighborhood,
+    "q130_table_profile": q130_table_profile,
+    "q131_constraint_checks": q131_constraint_checks,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -5456,4 +5590,6 @@ ORACLES = {
     "q126_bootstrap_mean": ORACLE_Q126,
     "q128_cuped_experiment": ORACLE_Q128,
     "q129_sorted_neighborhood": ORACLE_Q129,
+    "q130_table_profile": ORACLE_Q130,
+    "q131_constraint_checks": ORACLE_Q131,
 }
