@@ -31,7 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["connected_components", "duplicate_clusters", "keep_canonical"]
+__all__ = ["connected_components", "duplicate_clusters",
+           "keep_canonical", "golden_records"]
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -133,6 +134,51 @@ def duplicate_clusters(pairs: DataFrame, src: str = "src",
         comp.groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= min_size)
+    )
+
+
+def golden_records(df: DataFrame, pairs: DataFrame,
+                   quality_col: str, id_col: str = "doc_id",
+                   src: str = "src", dst: str = "dst",
+                   min_size: int = 2) -> DataFrame:
+    """Survivorship (record-linkage "golden record" selection): per
+    duplicate cluster, the member that wins on quality.  Returns
+    ``(cluster_id, survivor_id, n_members, survivor_quality)`` for
+    clusters of at least ``min_size`` members; the survivor is the
+    max-``quality_col`` member, ties broken by MINIMUM id so the
+    pick is deterministic and engine-replayable.
+
+    Where :func:`keep_canonical` keeps the minimum-id member (pure
+    dedup), this keeps the BEST member — the ER survivorship rule
+    (longest text, freshest snapshot, highest completeness score).
+
+    Scale shape: components via large-star/small-star, then ONE
+    broadcast-joinable component map against the corpus and ONE
+    mergeable aggregate — the argmax is ``max(struct(quality, -id))``,
+    which merges associatively across partitions; no window over
+    corpus rows.
+    """
+    comp = connected_components(pairs, src=src, dst=dst)
+    joined = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(quality_col).alias("q"),
+    ).join(comp, "id")
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.struct(
+                F.col("q").alias("q"),
+                (-F.col("id")).alias("nid"),
+            )).alias("m"),
+        )
+        .where(F.col("n_members") >= min_size)
+        .select(
+            "cluster_id",
+            (-F.col("m.nid")).cast("long").alias("survivor_id"),
+            F.col("n_members").cast("long"),
+            F.col("m.q").alias("survivor_quality"),
+        )
     )
 
 

@@ -37,10 +37,13 @@ family (drift monitoring operators/drift.py, CDC snapshot_diff) from
 """
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-__all__ = ["profile_table", "check_constraints"]
+__all__ = ["profile_table", "check_constraints", "benford_audit",
+           "fd_violations", "key_skew_audit"]
 
 _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
             T.FloatType, T.DoubleType, T.DecimalType)
@@ -190,4 +193,229 @@ def check_constraints(df: DataFrame, rules: list[dict],
     return df.sparkSession.createDataFrame(
         out, "rule_id int, column string, rule string, "
              "n_checked long, n_violations long, passed boolean",
+    )
+
+
+# Benford's-law expected first-digit shares log10(1 + 1/d), d=1..9 —
+# Python constants so the Spark side never calls an engine log; the
+# DuckDB oracle's log10() agrees to <1 ulp, masked by round-to-6.
+_BENFORD = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_audit(df: DataFrame, cols: list[str],
+                  round_to: int = 6,
+                  scale: int = 1_000_000) -> DataFrame:
+    """First-significant-digit audit against Benford's law — the
+    classic fabricated/degenerate-numeric-data detector (Nigrini's
+    forensic-accounting test, applied here as a corpus admission
+    signal next to :func:`profile_table`).
+
+    Returns 9 rows per audited column: ``(column, digit, n_obs,
+    obs_frac, exp_frac, chi2_term)``; ``sum(chi2_term)`` per column is
+    the Pearson chi-square statistic vs the Benford distribution
+    (8 df).  Digits that never occur still get a row (n_obs = 0) so
+    the statistic is complete.
+
+    Engine-portable digit extraction — NO floating log/pow on data:
+    the value is scaled to a BIGINT (``floor(|v| * scale + 0.5)``,
+    i.e. |v| resolved to 1/scale granularity) and the first digit is
+    the first character of the integer's decimal string.  Integer
+    formatting is bit-portable across engines, where
+    ``floor(v / 10^floor(log10 v))`` can flip buckets on 1-ulp libm
+    differences.  Values with ``|v| < 1/(2*scale)`` (incl. 0) and
+    nulls are excluded, and n_obs counts per column reflect that.
+
+    Scale shape: ONE scan — all columns unpivot through ``stack``
+    into (column, value), one map-side-combinable groupBy on
+    (column, digit) [≤ 9·k cells], a broadcast join of per-column
+    totals, and a 9·k-row digit scaffold left-join.  No windows, no
+    corpus-sized shuffles.
+    """
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown column(s): {missing}")
+    cells = ", ".join(f"'{c}', CAST(`{c}` AS DOUBLE)" for c in cols)
+    long = df.selectExpr(
+        f"stack({len(cols)}, {cells}) AS (column, v)")
+    scaled = F.floor(F.abs(F.col("v")) * F.lit(float(scale)) + 0.5) \
+        .cast("long")
+    digits = (
+        long.where(F.col("v").isNotNull())
+        .select("column", scaled.alias("s"))
+        .where(F.col("s") > 0)
+        .select("column", F.substring(F.col("s").cast("string"), 1, 1)
+                .cast("int").alias("digit"))
+        .groupBy("column", "digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    totals = digits.groupBy("column").agg(
+        F.sum("n_obs").alias("n_col"))
+    spark = df.sparkSession
+    scaffold = spark.createDataFrame(
+        [(c, d) for c in cols for d in range(1, 10)],
+        "column string, digit int",
+    )
+    exp_frac = F.element_at(
+        F.create_map(*[F.lit(x) for d in range(1, 10)
+                       for x in (d, _BENFORD[d])]),
+        F.col("digit"))
+    e = F.col("n_col") * exp_frac
+    n_obs = F.coalesce("n_obs", F.lit(0)).cast("long")
+    return (
+        scaffold
+        .join(digits, ["column", "digit"], "left")
+        .join(F.broadcast(totals), "column")
+        .select(
+            "column", "digit", n_obs.alias("n_obs"),
+            F.round(n_obs / F.col("n_col"), round_to)
+            .alias("obs_frac"),
+            F.round(exp_frac, round_to).alias("exp_frac"),
+            F.round((n_obs - e) * (n_obs - e) / e, round_to)
+            .alias("chi2_term"),
+        )
+        .orderBy("column", "digit")
+    )
+
+
+def fd_violations(df: DataFrame, fds: list[tuple],
+                  round_to: int = 6) -> DataFrame:
+    """Approximate-functional-dependency discovery: for each candidate
+    FD ``lhs -> rhs`` report how badly the table violates it, via the
+    standard g3 error (Kivinen-Mannila): the minimum fraction of rows
+    that must be deleted for the FD to hold exactly — per lhs group
+    that is ``group_size - max single-rhs-value count``, summed.
+
+    ``fds``: list of ``(lhs, rhs)`` with lhs a column name or list of
+    names.  One row per FD: ``(fd_id, lhs, rhs, n_rows, n_groups,
+    n_violating_groups, g3_violations, g3_error, holds)``.  Rows with
+    a NULL anywhere in lhs+rhs are excluded (SQL grouping would
+    otherwise treat NULL as a value and understate violations).
+
+    Scale shape, per FD: groupBy(lhs, rhs).count — fully map-side
+    combinable — then a second vocabulary-sized groupBy(lhs) taking
+    sum/max/count, then a 1-row roll-up.  No windows, no joins, no
+    row ever leaves the aggregate tree.  Each FD is its own scan
+    (grouping keys differ); callers batching many FDs over a huge
+    table should persist the source or derive candidates from a
+    sample first — discovery-at-scale is sample-then-verify.
+    """
+    if not fds:
+        raise ValueError("fds must be non-empty")
+    spark = df.sparkSession
+    out = None
+    for i, (lhs, rhs) in enumerate(fds):
+        lhs_cols = [lhs] if isinstance(lhs, str) else list(lhs)
+        for c in lhs_cols + [rhs]:
+            if c not in df.columns:
+                raise ValueError(f"fd {i}: unknown column {c!r}")
+        cond = F.col(rhs).isNotNull()
+        for c in lhs_cols:
+            cond = cond & F.col(c).isNotNull()
+        pairs = (
+            df.where(cond)
+            .groupBy(*lhs_cols, rhs)
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        grp = pairs.groupBy(*lhs_cols).agg(
+            F.sum("__c").alias("__n"),
+            F.max("__c").alias("__keep"),
+            F.count(F.lit(1)).alias("__nd"),
+        )
+        row = grp.agg(
+            F.coalesce(F.sum("__n"), F.lit(0)).alias("n_rows"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.when(F.col("__nd") > 1, 1).otherwise(0))
+            .alias("n_violating_groups"),
+            F.coalesce(F.sum(F.col("__n") - F.col("__keep")),
+                       F.lit(0)).alias("g3_violations"),
+        ).select(
+            F.lit(i).alias("fd_id"),
+            F.lit(",".join(lhs_cols)).alias("lhs"),
+            F.lit(rhs).alias("rhs"),
+            F.col("n_rows").cast("long"),
+            F.col("n_groups").cast("long"),
+            F.col("n_violating_groups").cast("long"),
+            F.col("g3_violations").cast("long"),
+            F.when(F.col("n_rows") > 0,
+                   F.round(F.col("g3_violations")
+                           / F.col("n_rows"), round_to))
+            .alias("g3_error"),
+            (F.col("n_violating_groups") == 0).alias("holds"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def key_skew_audit(df: DataFrame, key_col: str,
+                   top_k: int = 10,
+                   round_to: int = 6) -> DataFrame:
+    """Exact hot-key diagnostic for a join/grouping key: one row
+    ``(key, n_rows, n_keys, max_count, top1_share, topk_share,
+    gini)`` describing how skewed the key's frequency distribution
+    is — the number that decides whether a shuffle on this key needs
+    salting or AQE skew handling (q105's F2 sketch profile is the
+    streaming estimate; this is its exact-oracle complement).
+
+    Gini over per-key counts is computed WITHOUT ranking the keys:
+    counts compress to a count-of-COUNTS histogram (distinct
+    count-values only — the distinct-value discipline of q117/q120),
+    and with multiplicities ``w_k`` of count-value ``v_k`` in
+    ascending order the sorted-rank sum telescopes to
+    ``sum_k v_k * (W_k(W_k+1) - W_{k-1}(W_{k-1}+1)) / 2`` with
+    ``W_k = cumsum(w_k)``; Gini = 2*S/(n*total) - (n+1)/n.  All sums
+    are integer until the final division, so the DuckDB oracle
+    matches bit-for-bit before the round.  NULL keys are excluded.
+
+    Scale shape: groupBy(key) [map-side combinable] -> groupBy(count)
+    [histogram-sized] -> ONE window over the distinct-count histogram
+    (a few thousand rows even at 10^12 input rows) -> 1-row roll-up.
+    The top-k share reuses the same histogram with a descending
+    cumulative weight — no corpus-sized window, no sort of all keys.
+    """
+    if key_col not in df.columns:
+        raise ValueError(f"unknown column {key_col!r}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    from pyspark.sql import Window
+
+    counts = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hist = counts.groupBy("c").agg(F.count(F.lit(1)).alias("w"))
+    asc = Window.orderBy("c") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    desc = Window.orderBy(F.desc("c")) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wk = F.sum("w").over(asc)
+    wk_prev = wk - F.col("w")
+    # sorted-rank sum contribution of this count-value block
+    rank_sum = F.col("c") * (wk * (wk + 1) - wk_prev * (wk_prev + 1)) / 2
+    dk = F.sum("w").over(desc)          # cum keys, hottest first
+    dk_prev = dk - F.col("w")
+    topk_take = F.greatest(
+        F.lit(0), F.least(F.col("w"), F.lit(top_k) - dk_prev))
+    enriched = hist.select(
+        "c", "w",
+        rank_sum.cast("long").alias("rs"),
+        (F.col("c") * topk_take).alias("topk_part"),
+    )
+    return enriched.agg(
+        F.lit(key_col).alias("key"),
+        F.sum(F.col("c") * F.col("w")).cast("long").alias("n_rows"),
+        F.sum("w").cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_count"),
+        F.sum("rs").alias("__rs"),
+        F.sum("topk_part").cast("long").alias("__topk"),
+    ).select(
+        "key", "n_rows", "n_keys", "max_count",
+        F.round(F.col("max_count") / F.col("n_rows"), round_to)
+        .alias("top1_share"),
+        F.round(F.col("__topk") / F.col("n_rows"), round_to)
+        .alias("topk_share"),
+        F.round(
+            2.0 * F.col("__rs") / (F.col("n_keys") * F.col("n_rows"))
+            - (F.col("n_keys") + 1.0) / F.col("n_keys"), round_to)
+        .alias("gini"),
     )

@@ -5324,6 +5324,255 @@ ORDER BY rule_id
 """
 
 
+def q132_benford_audit(spark, sf_dir):
+    """Benford first-digit forensic audit (operators/validation.
+    benford_audit) over two orders columns: o_totalprice (a
+    sum-of-random-terms, roughly Benford in its leading band) and
+    o_custkey (uniform ids — flagrantly NON-Benford, huge chi2
+    terms), so the report shows both verdicts.  Digit extraction is
+    integer-string based (scale to BIGINT, first decimal char) — NO
+    floating log/pow touches data, so the DuckDB oracle replays it
+    bit-for-bit; only the CONSTANT Benford shares use log10, under
+    the q58/q70 round-to-6 ln-parity convention."""
+    from outrank_spark.operators.validation import benford_audit
+
+    orders = load(spark, sf_dir, "orders")
+    return benford_audit(orders, ["o_custkey", "o_totalprice"])
+
+
+ORACLE_Q132 = """
+WITH src AS (
+  SELECT 'o_custkey' AS col, CAST(o_custkey AS DOUBLE) AS v FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', CAST(o_totalprice AS DOUBLE) FROM orders
+), d AS (
+  SELECT col,
+         CAST(substr(CAST(CAST(floor(abs(v)*1000000.0 + 0.5) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM src
+  WHERE v IS NOT NULL
+    AND CAST(floor(abs(v)*1000000.0 + 0.5) AS BIGINT) > 0
+), c AS (
+  SELECT col, digit, count(*) AS n FROM d GROUP BY 1, 2
+), t AS (
+  SELECT col, sum(n) AS nc FROM c GROUP BY 1
+), scaffold AS (
+  SELECT col, g.digit
+  FROM (SELECT DISTINCT col FROM src) CROSS JOIN
+       generate_series(1, 9) AS g(digit)
+)
+SELECT s.col AS "column", s.digit,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_obs,
+       round(coalesce(c.n, 0) / CAST(t.nc AS DOUBLE), 6) AS obs_frac,
+       round(log10(1.0 + 1.0/s.digit), 6) AS exp_frac,
+       round(pow(coalesce(c.n, 0) - t.nc * log10(1.0 + 1.0/s.digit), 2)
+             / (t.nc * log10(1.0 + 1.0/s.digit)), 6) AS chi2_term
+FROM scaffold s
+LEFT JOIN c ON c.col = s.col AND c.digit = s.digit
+JOIN t ON t.col = s.col
+ORDER BY s.col, s.digit
+"""
+
+
+def q133_fd_discovery(spark, sf_dir):
+    """Approximate-functional-dependency discovery (operators/
+    validation.fd_violations, Kivinen-Mannila g3 error) over three
+    candidate FDs on orders: the key FD o_orderkey -> o_custkey
+    (holds exactly), the false FD o_custkey -> o_orderpriority
+    (customers reorder at every priority), and a composite-lhs
+    candidate (o_custkey, o_orderdate) -> o_orderstatus exercising
+    the multi-column path.  g3 = min rows to delete for the FD to
+    hold, the standard violation measure; oracle replays the
+    sum/max group algebra per FD."""
+    from outrank_spark.operators.validation import fd_violations
+
+    orders = load(spark, sf_dir, "orders")
+    return fd_violations(orders, [
+        ("o_orderkey", "o_custkey"),
+        ("o_custkey", "o_orderpriority"),
+        (["o_custkey", "o_orderdate"], "o_orderstatus"),
+    ])
+
+
+ORACLE_Q133 = """
+WITH fd0 AS (
+  SELECT sum(n) AS nr, count(*) AS ng,
+         sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS nv,
+         sum(n - keep) AS g3
+  FROM (SELECT o_orderkey, sum(c) AS n, max(c) AS keep,
+               count(*) AS nd
+        FROM (SELECT o_orderkey, o_custkey, count(*) AS c
+              FROM orders
+              WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+              GROUP BY 1, 2)
+        GROUP BY 1)
+), fd1 AS (
+  SELECT sum(n) AS nr, count(*) AS ng,
+         sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS nv,
+         sum(n - keep) AS g3
+  FROM (SELECT o_custkey, sum(c) AS n, max(c) AS keep,
+               count(*) AS nd
+        FROM (SELECT o_custkey, o_orderpriority, count(*) AS c
+              FROM orders
+              WHERE o_custkey IS NOT NULL
+                AND o_orderpriority IS NOT NULL
+              GROUP BY 1, 2)
+        GROUP BY 1)
+), fd2 AS (
+  SELECT sum(n) AS nr, count(*) AS ng,
+         sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS nv,
+         sum(n - keep) AS g3
+  FROM (SELECT o_custkey, o_orderdate, sum(c) AS n, max(c) AS keep,
+               count(*) AS nd
+        FROM (SELECT o_custkey, o_orderdate, o_orderstatus,
+                     count(*) AS c
+              FROM orders
+              WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+                AND o_orderstatus IS NOT NULL
+              GROUP BY 1, 2, 3)
+        GROUP BY 1, 2)
+)
+SELECT 0 AS fd_id, 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
+       CAST(nr AS BIGINT) AS n_rows, CAST(ng AS BIGINT) AS n_groups,
+       CAST(nv AS BIGINT) AS n_violating_groups,
+       CAST(g3 AS BIGINT) AS g3_violations,
+       round(g3 / CAST(nr AS DOUBLE), 6) AS g3_error,
+       nv = 0 AS holds
+FROM fd0
+UNION ALL
+SELECT 1, 'o_custkey', 'o_orderpriority', CAST(nr AS BIGINT),
+       CAST(ng AS BIGINT), CAST(nv AS BIGINT), CAST(g3 AS BIGINT),
+       round(g3 / CAST(nr AS DOUBLE), 6), nv = 0
+FROM fd1
+UNION ALL
+SELECT 2, 'o_custkey,o_orderdate', 'o_orderstatus', CAST(nr AS BIGINT),
+       CAST(ng AS BIGINT), CAST(nv AS BIGINT), CAST(g3 AS BIGINT),
+       round(g3 / CAST(nr AS DOUBLE), 6), nv = 0
+FROM fd2
+ORDER BY fd_id
+"""
+
+
+def q134_golden_records(spark, sf_dir):
+    """ER survivorship (operators/components.golden_records): the
+    q39 blocking-key pair graph -> connected components -> per
+    cluster keep the BEST member (max n_chars, ties to min doc_id)
+    instead of q39's min-id canonical — the golden-record rule of
+    record linkage.  The argmax is a mergeable max(struct(quality,
+    -id)) aggregate, never a window over corpus rows.  Oracle: the
+    q39 recursive min-label CTE plus a row_number survivor pick."""
+    from outrank_spark.operators.components import golden_records
+
+    docs = load(spark, sf_dir, "documents")
+
+    def star_edges(*key_cols):
+        keyed = docs.select(
+            "doc_id", F.concat_ws("|", *key_cols).alias("k"),
+        )
+        mins = keyed.groupBy("k").agg(F.min("doc_id").alias("dst"))
+        return (
+            keyed.join(mins, "k")
+            .where(F.col("doc_id") != F.col("dst"))
+            .select(F.col("doc_id").alias("src"), "dst")
+        )
+
+    pairs = star_edges(
+        F.col("lang"), F.floor(F.col("n_chars") / 50),
+    ).union(star_edges(F.col("source"), F.floor(F.col("n_chars") / 80)))
+    return (
+        golden_records(docs, pairs, quality_col="n_chars")
+        .withColumn("survivor_quality",
+                    F.col("survivor_quality").cast("long"))
+        .orderBy("cluster_id")
+    )
+
+
+ORACLE_Q134 = """
+WITH RECURSIVE
+e1 AS (SELECT doc_id AS src,
+              MIN(doc_id) OVER (PARTITION BY lang, n_chars // 50) AS dst
+       FROM documents),
+e2 AS (SELECT doc_id AS src,
+              MIN(doc_id) OVER (PARTITION BY source, n_chars // 80) AS dst
+       FROM documents),
+edges0 AS (SELECT src, dst FROM e1 WHERE src <> dst
+           UNION SELECT src, dst FROM e2 WHERE src <> dst),
+edges AS (SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst AS id, w.lbl AS lbl FROM walk w JOIN edges e ON e.src = w.id
+),
+comp AS (SELECT id, MIN(lbl) AS cluster_id FROM walk GROUP BY id),
+m AS (
+  SELECT c.cluster_id, d.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+         count(*) OVER (PARTITION BY c.cluster_id) AS n
+  FROM comp c JOIN documents d ON d.doc_id = c.id
+)
+SELECT cluster_id, CAST(doc_id AS BIGINT) AS survivor_id,
+       CAST(n AS BIGINT) AS n_members,
+       CAST(n_chars AS BIGINT) AS survivor_quality
+FROM m WHERE rn = 1 AND n >= 2 ORDER BY cluster_id
+"""
+
+
+def q135_key_skew_audit(spark, sf_dir):
+    """Exact join-key skew diagnostic (operators/validation.
+    key_skew_audit) on two shuffle keys — events.user_id (the
+    session/user hot-key axis) and lineitem.l_suppkey — reporting
+    top-1/top-10 shares and the Gini coefficient of per-key counts:
+    the numbers that decide salting vs plain hash shuffle (q105's F2
+    sketch is the streaming estimate; this is the exact complement).
+    Gini runs over the count-of-counts HISTOGRAM (distinct-value
+    discipline), with integer sums up to the final division, so the
+    oracle's straightforward row_number replay matches exactly."""
+    from outrank_spark.operators.validation import key_skew_audit
+
+    events = load(spark, sf_dir, "events")
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        key_skew_audit(events, "user_id")
+        .unionByName(key_skew_audit(lineitem, "l_suppkey"))
+        .orderBy("key")
+    )
+
+
+ORACLE_Q135 = """
+WITH c1 AS (SELECT user_id AS k, count(*) AS c FROM events
+            WHERE user_id IS NOT NULL GROUP BY 1),
+r1 AS (SELECT c, row_number() OVER (ORDER BY c) AS i FROM c1),
+t1 AS (SELECT sum(c) AS s
+       FROM (SELECT c FROM c1 ORDER BY c DESC LIMIT 10)),
+a1 AS (
+  SELECT 'user_id' AS key, CAST(sum(c) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(c) AS BIGINT) AS max_count,
+         round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top1_share,
+         round(t1.s / CAST(sum(c) AS DOUBLE), 6) AS topk_share,
+         round(2.0 * sum(i * c) / (count(*) * CAST(sum(c) AS DOUBLE))
+               - (count(*) + 1.0) / count(*), 6) AS gini
+  FROM r1 CROSS JOIN t1 GROUP BY t1.s
+), c2 AS (SELECT l_suppkey AS k, count(*) AS c FROM lineitem
+          WHERE l_suppkey IS NOT NULL GROUP BY 1),
+r2 AS (SELECT c, row_number() OVER (ORDER BY c) AS i FROM c2),
+t2 AS (SELECT sum(c) AS s
+       FROM (SELECT c FROM c2 ORDER BY c DESC LIMIT 10)),
+a2 AS (
+  SELECT 'l_suppkey', CAST(sum(c) AS BIGINT),
+         CAST(count(*) AS BIGINT), CAST(max(c) AS BIGINT),
+         round(max(c) / CAST(sum(c) AS DOUBLE), 6),
+         round(t2.s / CAST(sum(c) AS DOUBLE), 6),
+         round(2.0 * sum(i * c) / (count(*) * CAST(sum(c) AS DOUBLE))
+               - (count(*) + 1.0) / count(*), 6)
+  FROM r2 CROSS JOIN t2 GROUP BY t2.s
+)
+SELECT * FROM a1 UNION ALL SELECT * FROM a2 ORDER BY key
+"""
+
+
 ORACLE_Q122 = """
 WITH b AS (
   SELECT lang,
@@ -5453,6 +5702,10 @@ QUERIES = {
     "q129_sorted_neighborhood": q129_sorted_neighborhood,
     "q130_table_profile": q130_table_profile,
     "q131_constraint_checks": q131_constraint_checks,
+    "q132_benford_audit": q132_benford_audit,
+    "q133_fd_discovery": q133_fd_discovery,
+    "q134_golden_records": q134_golden_records,
+    "q135_key_skew_audit": q135_key_skew_audit,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -5592,4 +5845,8 @@ ORACLES = {
     "q129_sorted_neighborhood": ORACLE_Q129,
     "q130_table_profile": ORACLE_Q130,
     "q131_constraint_checks": ORACLE_Q131,
+    "q132_benford_audit": ORACLE_Q132,
+    "q133_fd_discovery": ORACLE_Q133,
+    "q134_golden_records": ORACLE_Q134,
+    "q135_key_skew_audit": ORACLE_Q135,
 }

@@ -101,3 +101,57 @@ class TestConnectedComponents:
             for r in connected_components(df).collect()
         }
         assert got == {1: 1, 2: 1}  # self-loop 5 dropped
+
+
+class TestGoldenRecords:
+    def test_best_quality_wins_with_min_id_ties(self, spark):
+        from outrank_spark.operators.components import golden_records
+
+        # component {1,2,3}: quality 5, 9, 9 -> survivor 2 (tie on 9,
+        # min id); component {10,11}: survivor 11 (quality 8 > 1)
+        docs = spark.createDataFrame(
+            [(1, 5), (2, 9), (3, 9), (10, 1), (11, 8), (99, 7)],
+            "doc_id long, q long")
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "src long, dst long")
+        got = {r["cluster_id"]: r for r in
+               golden_records(docs, pairs, "q").collect()}
+        assert set(got) == {1, 10}          # singleton 99 excluded
+        assert (got[1]["survivor_id"], got[1]["survivor_quality"],
+                got[1]["n_members"]) == (2, 9, 3)
+        assert (got[10]["survivor_id"], got[10]["n_members"]) == (11, 2)
+
+    def test_matches_union_find_argmax(self, spark):
+        from outrank_spark.operators.components import golden_records
+
+        rng = np.random.default_rng(11)
+        edges = [(int(a), int(b)) for a, b in
+                 rng.integers(0, 60, size=(80, 2)) if a != b]
+        quality = {i: int(q) for i, q in
+                   enumerate(rng.integers(0, 20, size=60))}
+        docs = spark.createDataFrame(
+            [(i, q) for i, q in quality.items()], "doc_id long, q long")
+        pairs = spark.createDataFrame(edges, "src long, dst long")
+        labels = _union_find(edges)
+        want: dict[int, tuple] = {}
+        for node, lbl in labels.items():
+            cur = want.get(lbl)
+            cand = (quality[node], -node)
+            if cur is None or cand > cur:
+                want[lbl] = cand
+        got = {r["cluster_id"]: (r["survivor_quality"],
+                                 -r["survivor_id"])
+               for r in golden_records(docs, pairs, "q",
+                                       min_size=1).collect()}
+        assert got == want
+
+    def test_min_size_filter(self, spark):
+        from outrank_spark.operators.components import golden_records
+
+        docs = spark.createDataFrame(
+            [(1, 1), (2, 2), (3, 3), (4, 4), (5, 5)],
+            "doc_id long, q long")
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (4, 5)], "src long, dst long")
+        assert golden_records(docs, pairs, "q",
+                              min_size=3).count() == 1

@@ -111,3 +111,174 @@ class TestCheckConstraints:
             df, [{"col": "s", "rule": "regex",
                   "value": "src[0-9]+"}]).collect()[0]
         assert got["n_violations"] == 1   # substring match not enough
+
+
+class TestBenfordAudit:
+    def test_hand_digit_counts_and_chi2(self, spark):
+        import math
+
+        from outrank_spark.operators.validation import benford_audit
+
+        # first digits: 1, 1, 2, 9, 1 (0.04 excluded? no: 0.04 -> 4)
+        df = spark.createDataFrame(
+            [(1.0,), (123.4,), (0.25,), (950.0,), (0.0011,),
+             (None,), (0.0,)],
+            "v double")
+        got = {r["digit"]: r for r in
+               benford_audit(df, ["v"]).collect()}
+        assert set(got) == set(range(1, 10))      # full scaffold
+        counts = {d: got[d]["n_obs"] for d in got}
+        assert counts == {1: 3, 2: 1, 9: 1, 3: 0, 4: 0, 5: 0,
+                          6: 0, 7: 0, 8: 0}
+        n = 5
+        for d in (1, 9):
+            e = n * math.log10(1 + 1 / d)
+            assert got[d]["chi2_term"] == pytest.approx(
+                (counts[d] - e) ** 2 / e, abs=5e-7)
+        assert got[1]["obs_frac"] == pytest.approx(3 / 5, abs=1e-9)
+        assert got[1]["exp_frac"] == pytest.approx(
+            math.log10(2), abs=5e-7)
+
+    def test_sub_granularity_and_zero_excluded(self, spark):
+        from outrank_spark.operators.validation import benford_audit
+
+        df = spark.createDataFrame(
+            [(4e-7,), (0.0,), (2e-6,)], "v double")
+        got = benford_audit(df, ["v"]).collect()
+        assert sum(r["n_obs"] for r in got) == 1   # only 2e-6 counted
+        assert next(r for r in got if r["digit"] == 2)["n_obs"] == 1
+
+    def test_negative_values_use_abs(self, spark):
+        from outrank_spark.operators.validation import benford_audit
+
+        df = spark.createDataFrame([(-35.0,), (31.0,)], "v double")
+        got = {r["digit"]: r["n_obs"]
+               for r in benford_audit(df, ["v"]).collect()}
+        assert got[3] == 2
+
+    def test_unknown_column_raises(self, spark):
+        from outrank_spark.operators.validation import benford_audit
+
+        df = spark.createDataFrame([(1.0,)], "v double")
+        with pytest.raises(ValueError, match="unknown column"):
+            benford_audit(df, ["nope"])
+
+    def test_one_scan_no_sort_merge_join(self, spark):
+        from outrank_spark.operators.validation import benford_audit
+
+        df = spark.createDataFrame(
+            [(float(i), float(i * 7)) for i in range(1, 50)],
+            "a double, b double")
+        plan = benford_audit(df, ["a", "b"])._jdf.queryExecution() \
+            .optimizedPlan().toString()
+        assert "SortMergeJoin" not in plan
+
+
+class TestFdViolations:
+    def test_g3_on_planted_violations(self, spark):
+        from outrank_spark.operators.validation import fd_violations
+
+        # a -> b: group a=1 has b values {x: 2, y: 1} -> g3 = 1;
+        # group a=2 is clean
+        df = spark.createDataFrame(
+            [(1, "x"), (1, "x"), (1, "y"), (2, "z"), (2, "z")],
+            "a int, b string")
+        r = fd_violations(df, [("a", "b")]).collect()[0]
+        assert (r["n_rows"], r["n_groups"]) == (5, 2)
+        assert r["n_violating_groups"] == 1
+        assert r["g3_violations"] == 1
+        assert r["g3_error"] == pytest.approx(0.2)
+        assert r["holds"] is False
+
+    def test_exact_fd_holds(self, spark):
+        from outrank_spark.operators.validation import fd_violations
+
+        df = spark.createDataFrame(
+            [(1, "x"), (1, "x"), (2, "y")], "a int, b string")
+        r = fd_violations(df, [("a", "b")]).collect()[0]
+        assert r["holds"] is True and r["g3_violations"] == 0
+
+    def test_nulls_excluded_and_composite_lhs(self, spark):
+        from outrank_spark.operators.validation import fd_violations
+
+        df = spark.createDataFrame(
+            [(1, "u", "x"), (1, "u", "y"), (1, "v", "x"),
+             (None, "u", "x"), (1, None, "x"), (1, "u", None)],
+            "a int, b string, c string")
+        got = fd_violations(df, [(["a", "b"], "c")]).collect()[0]
+        # only the 3 fully non-null rows count; (1,u) has {x,y}
+        assert got["n_rows"] == 3
+        assert got["lhs"] == "a,b"
+        assert got["n_violating_groups"] == 1
+        assert got["g3_violations"] == 1
+
+    def test_multiple_fds_one_row_each(self, spark):
+        from outrank_spark.operators.validation import fd_violations
+
+        df = spark.createDataFrame(
+            [(1, "x", 5), (2, "y", 5)], "a int, b string, c int")
+        got = fd_violations(df, [("a", "b"), ("c", "b"), ("b", "a")])
+        rows = got.orderBy("fd_id").collect()
+        assert [r["fd_id"] for r in rows] == [0, 1, 2]
+        assert rows[1]["holds"] is False      # c=5 -> {x, y}
+        assert rows[0]["holds"] and rows[2]["holds"]
+
+    def test_errors(self, spark):
+        from outrank_spark.operators.validation import fd_violations
+
+        df = spark.createDataFrame([(1, 2)], "a int, b int")
+        with pytest.raises(ValueError, match="non-empty"):
+            fd_violations(df, [])
+        with pytest.raises(ValueError, match="unknown column"):
+            fd_violations(df, [("a", "zzz")])
+
+
+class TestKeySkewAudit:
+    def test_matches_numpy_gini(self, spark):
+        import numpy as np
+
+        from outrank_spark.operators.validation import key_skew_audit
+
+        rng = np.random.default_rng(7)
+        keys = rng.zipf(1.7, 4000) % 97          # skewed key draw
+        df = spark.createDataFrame(
+            [(int(k),) for k in keys], "k long")
+        got = key_skew_audit(df, "k").collect()[0]
+        counts = np.sort(np.bincount(keys)[np.bincount(keys) > 0])
+        n, tot = len(counts), counts.sum()
+        gini = (2 * np.sum(np.arange(1, n + 1) * counts)
+                / (n * tot) - (n + 1) / n)
+        assert got["n_rows"] == tot and got["n_keys"] == n
+        assert got["max_count"] == counts[-1]
+        assert got["gini"] == pytest.approx(gini, abs=5e-7)
+        assert got["top1_share"] == pytest.approx(
+            counts[-1] / tot, abs=5e-7)
+        assert got["topk_share"] == pytest.approx(
+            counts[-10:].sum() / tot, abs=5e-7)
+
+    def test_uniform_keys_gini_zero(self, spark):
+        from outrank_spark.operators.validation import key_skew_audit
+
+        df = spark.createDataFrame(
+            [(i % 10,) for i in range(100)], "k int")
+        got = key_skew_audit(df, "k").collect()[0]
+        assert got["gini"] == pytest.approx(0.0, abs=1e-9)
+        assert got["topk_share"] == pytest.approx(1.0)
+
+    def test_null_keys_dropped_and_topk_truncation(self, spark):
+        from outrank_spark.operators.validation import key_skew_audit
+
+        df = spark.createDataFrame(
+            [(None,), (1,), (1,), (2,)], "k int")
+        got = key_skew_audit(df, "k", top_k=1).collect()[0]
+        assert got["n_rows"] == 3 and got["n_keys"] == 2
+        assert got["topk_share"] == pytest.approx(2 / 3, abs=5e-7)
+
+    def test_errors(self, spark):
+        from outrank_spark.operators.validation import key_skew_audit
+
+        df = spark.createDataFrame([(1,)], "k int")
+        with pytest.raises(ValueError, match="unknown column"):
+            key_skew_audit(df, "zzz")
+        with pytest.raises(ValueError, match="top_k"):
+            key_skew_audit(df, "k", top_k=0)
