@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from typing import Iterator, Sequence
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
@@ -47,6 +49,7 @@ __all__ = [
     "winnowed_span_pairs", "dedup_paragraphs",
     "duplicated_spans_exact", "containment_join",
     "sorted_neighborhood_pairs",
+    "fellegi_sunter_em",
 ]
 
 
@@ -1149,4 +1152,97 @@ def sorted_neighborhood_pairs(df: DataFrame, key_col: str,
             (F.col("rank") + F.col("gap")).alias("__r2"), "gap")
         .join(right, "__r2")
         .select("id_a", "id_b", "key_a", "key_b", "gap")
+    )
+
+
+def fellegi_sunter_em(pairs: DataFrame, agreement_cols: Sequence[str],
+                      iters: int = 2, init_m: float = 0.9,
+                      init_u: float = 0.1, init_p: float = 0.2,
+                      round_to: int = 6) -> DataFrame:
+    """Fellegi-Sunter record-linkage parameter estimation via EM
+    (Winkler's classic unsupervised fit): from candidate pairs with
+    binary field-agreement indicators, estimate per-field m
+    (P(agree | match)) and u (P(agree | non-match)) and the match/
+    non-match log2 weights that score every future pair.  This is the
+    decision layer on top of the blocking operators
+    (:func:`sorted_neighborhood_pairs`, LSH candidates): blocking
+    proposes, Fellegi-Sunter weighs.
+
+    Returns one row per field: ``(field, m, u, w_agree, w_disagree)``
+    with ``w_agree = log2(m/u)``, ``w_disagree = log2((1-m)/(1-u))``,
+    rounded; plus a final ``__prior__`` row carrying the fitted match
+    prior p in the ``m`` column (u/w columns null).
+
+    Scale shape: the ONLY distributed work is one map-side-combinable
+    groupBy over the agreement vector — at most ``2^k`` pattern rows
+    for k fields regardless of pair count (NULL agreement values
+    count as disagreement, conservatively).  EM then iterates on that
+    <= 2^k-row table driver-side with plain floats: a 10^10-pair
+    candidate set and a 10^3-pair one cost the same EM.  Iteration
+    count is FIXED (``iters``), so the whole fit is deterministic and
+    the q136 oracle replays it as unrolled SQL stages (the q84/q125
+    fixed-iteration discipline).  Conditional independence across
+    fields is the standard FS assumption; correlated fields bias m/u
+    like they do every FS implementation.
+    """
+    k = len(agreement_cols)
+    if k == 0:
+        raise ValueError("agreement_cols must be non-empty")
+    if not (1 <= iters <= 50):
+        raise ValueError(f"iters must be in [1, 50], got {iters}")
+    for c in agreement_cols:
+        if c not in pairs.columns:
+            raise ValueError(f"unknown column {c!r}")
+    gs = [F.coalesce(F.col(c).cast("int"), F.lit(0)).alias(f"g{j}")
+          for j, c in enumerate(agreement_cols)]
+    pat = (
+        pairs.select(*gs)
+        .groupBy(*[f"g{j}" for j in range(k)])
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    patterns = sorted(
+        (tuple(int(r[f"g{j}"]) for j in range(k)), int(r["c"]))
+        for r in pat
+    )
+    if not patterns:
+        raise ValueError("pairs is empty — nothing to fit")
+    m = [float(init_m)] * k
+    u = [float(init_u)] * k
+    p = float(init_p)
+    total = float(sum(c for _, c in patterns))
+    for _ in range(iters):
+        s_post = 0.0
+        s_mg = [0.0] * k
+        s_ug = [0.0] * k
+        for g, c in patterns:
+            wm = p
+            wu = 1.0 - p
+            for j in range(k):
+                wm *= m[j] if g[j] else (1.0 - m[j])
+                wu *= u[j] if g[j] else (1.0 - u[j])
+            post = wm / (wm + wu)
+            s_post += c * post
+            for j in range(k):
+                if g[j]:
+                    s_mg[j] += c * post
+                    s_ug[j] += c * (1.0 - post)
+        p = s_post / total
+        m = [s_mg[j] / s_post for j in range(k)]
+        u = [s_ug[j] / (total - s_post) for j in range(k)]
+    eps = 1e-9
+    clamp = lambda x: min(max(x, eps), 1.0 - eps)  # noqa: E731
+    rows = []
+    for j, c in enumerate(agreement_cols):
+        mj, uj = clamp(m[j]), clamp(u[j])
+        rows.append((
+            c, round(mj, round_to), round(uj, round_to),
+            round(math.log2(mj / uj), round_to),
+            round(math.log2((1.0 - mj) / (1.0 - uj)), round_to),
+        ))
+    rows.append(("__prior__", round(clamp(p), round_to),
+                 None, None, None))
+    return pairs.sparkSession.createDataFrame(
+        rows, "field string, m double, u double, "
+              "w_agree double, w_disagree double",
     )

@@ -5573,6 +5573,196 @@ SELECT * FROM a1 UNION ALL SELECT * FROM a2 ORDER BY key
 """
 
 
+def q136_fellegi_sunter(spark, sf_dir):
+    """Fellegi-Sunter linkage-parameter EM (operators/dedup.
+    fellegi_sunter_em): nation-blocked customer candidate pairs with
+    three binary agreements (market segment, acctbal thousand-bucket,
+    name 2-digit suffix), two EM iterations from EXACTLY-representable
+    inits (0.875/0.125/0.25 — products of powers of two, so the
+    oracle's E-step is bit-identical), emitting per-field m/u and
+    log2 match weights plus the fitted prior.  Distributed work is
+    ONE groupBy to the <=2^3-row agreement-pattern table; EM runs on
+    that table, so 10^10 pairs cost the same fit.  Oracle: two
+    unrolled EM stages in SQL (the q84/q125 fixed-iteration
+    discipline)."""
+    from outrank_spark.operators.dedup import fellegi_sunter_em
+
+    cust = load(spark, sf_dir, "customer")
+
+    def side(tag):
+        return cust.select(
+            F.col("c_custkey").alias(f"id_{tag}"),
+            F.col("c_nationkey").alias("k"),
+            F.col("c_mktsegment").alias(f"seg_{tag}"),
+            F.floor(F.col("c_acctbal") / 1000).alias(f"bal_{tag}"),
+            F.substring(F.col("c_name"), -2, 2).alias(f"nm_{tag}"),
+        )
+
+    pairs = (
+        side("a").join(side("b"), "k")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            (F.col("seg_a") == F.col("seg_b")).alias("a_seg"),
+            (F.col("bal_a") == F.col("bal_b")).alias("a_bal"),
+            (F.col("nm_a") == F.col("nm_b")).alias("a_nm"),
+        )
+    )
+    return fellegi_sunter_em(
+        pairs, ["a_seg", "a_bal", "a_nm"], iters=2,
+        init_m=0.875, init_u=0.125, init_p=0.25,
+    ).orderBy("field")
+
+
+ORACLE_Q136 = """
+WITH pr AS (
+  SELECT CASE WHEN a.c_mktsegment = b.c_mktsegment
+              THEN 1 ELSE 0 END AS g0,
+         CASE WHEN floor(a.c_acctbal/1000) = floor(b.c_acctbal/1000)
+              THEN 1 ELSE 0 END AS g1,
+         CASE WHEN substr(a.c_name, length(a.c_name)-1, 2)
+                   = substr(b.c_name, length(b.c_name)-1, 2)
+              THEN 1 ELSE 0 END AS g2
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+), pat AS (
+  SELECT g0, g1, g2, CAST(count(*) AS DOUBLE) AS c
+  FROM pr GROUP BY 1, 2, 3
+), tot AS (SELECT sum(c) AS t FROM pat),
+e1 AS (
+  SELECT g0, g1, g2, c,
+    (((0.25 * (CASE WHEN g0=1 THEN 0.875 ELSE 1.0-0.875 END))
+            * (CASE WHEN g1=1 THEN 0.875 ELSE 1.0-0.875 END))
+            * (CASE WHEN g2=1 THEN 0.875 ELSE 1.0-0.875 END)) AS wm,
+    ((((1.0-0.25) * (CASE WHEN g0=1 THEN 0.125 ELSE 1.0-0.125 END))
+            * (CASE WHEN g1=1 THEN 0.125 ELSE 1.0-0.125 END))
+            * (CASE WHEN g2=1 THEN 0.125 ELSE 1.0-0.125 END)) AS wu
+  FROM pat
+), i1 AS (
+  SELECT sum(c * wm/(wm+wu)) AS sp,
+         sum(c * wm/(wm+wu) * g0) AS mg0,
+         sum(c * wm/(wm+wu) * g1) AS mg1,
+         sum(c * wm/(wm+wu) * g2) AS mg2,
+         sum(c * (1.0 - wm/(wm+wu)) * g0) AS ug0,
+         sum(c * (1.0 - wm/(wm+wu)) * g1) AS ug1,
+         sum(c * (1.0 - wm/(wm+wu)) * g2) AS ug2
+  FROM e1
+), p1 AS (
+  SELECT sp/t AS p, mg0/sp AS m0, mg1/sp AS m1, mg2/sp AS m2,
+         ug0/(t-sp) AS u0, ug1/(t-sp) AS u1, ug2/(t-sp) AS u2
+  FROM i1 CROSS JOIN tot
+), e2 AS (
+  SELECT g0, g1, g2, c,
+    (((p1.p * (CASE WHEN g0=1 THEN p1.m0 ELSE 1.0-p1.m0 END))
+            * (CASE WHEN g1=1 THEN p1.m1 ELSE 1.0-p1.m1 END))
+            * (CASE WHEN g2=1 THEN p1.m2 ELSE 1.0-p1.m2 END)) AS wm,
+    ((((1.0-p1.p) * (CASE WHEN g0=1 THEN p1.u0 ELSE 1.0-p1.u0 END))
+            * (CASE WHEN g1=1 THEN p1.u1 ELSE 1.0-p1.u1 END))
+            * (CASE WHEN g2=1 THEN p1.u2 ELSE 1.0-p1.u2 END)) AS wu
+  FROM pat CROSS JOIN p1
+), i2 AS (
+  SELECT sum(c * wm/(wm+wu)) AS sp,
+         sum(c * wm/(wm+wu) * g0) AS mg0,
+         sum(c * wm/(wm+wu) * g1) AS mg1,
+         sum(c * wm/(wm+wu) * g2) AS mg2,
+         sum(c * (1.0 - wm/(wm+wu)) * g0) AS ug0,
+         sum(c * (1.0 - wm/(wm+wu)) * g1) AS ug1,
+         sum(c * (1.0 - wm/(wm+wu)) * g2) AS ug2
+  FROM e2
+), p2 AS (
+  SELECT sp/t AS p,
+         least(greatest(mg0/sp, 1e-9), 1.0-1e-9) AS m0,
+         least(greatest(mg1/sp, 1e-9), 1.0-1e-9) AS m1,
+         least(greatest(mg2/sp, 1e-9), 1.0-1e-9) AS m2,
+         least(greatest(ug0/(t-sp), 1e-9), 1.0-1e-9) AS u0,
+         least(greatest(ug1/(t-sp), 1e-9), 1.0-1e-9) AS u1,
+         least(greatest(ug2/(t-sp), 1e-9), 1.0-1e-9) AS u2
+  FROM i2 CROSS JOIN tot
+)
+SELECT '__prior__' AS field,
+       round(least(greatest(p, 1e-9), 1.0-1e-9), 6) AS m,
+       CAST(NULL AS DOUBLE) AS u, CAST(NULL AS DOUBLE) AS w_agree,
+       CAST(NULL AS DOUBLE) AS w_disagree
+FROM p2
+UNION ALL
+SELECT 'a_seg', round(m0, 6), round(u0, 6),
+       round(log2(m0/u0), 6), round(log2((1.0-m0)/(1.0-u0)), 6)
+FROM p2
+UNION ALL
+SELECT 'a_bal', round(m1, 6), round(u1, 6),
+       round(log2(m1/u1), 6), round(log2((1.0-m1)/(1.0-u1)), 6)
+FROM p2
+UNION ALL
+SELECT 'a_nm', round(m2, 6), round(u2, 6),
+       round(log2(m2/u2), 6), round(log2((1.0-m2)/(1.0-u2)), 6)
+FROM p2
+ORDER BY field
+"""
+
+
+def q137_zorder_audit(spark, sf_dir):
+    """Z-order vs linear layout data-skipping audit (operators/
+    layout.zorder_layout_audit) over (l_partkey, l_suppkey) masked to
+    8 bits, 64 candidate files: per layout and column the mean/max
+    zone-map span fraction — the expected fraction of files a point
+    predicate cannot prune.  The report shows the lakehouse tradeoff
+    exactly: linear is ~perfect on its sort column and ~useless on
+    the other; Z-order is good on BOTH.  All-integer bit arithmetic,
+    bit-identical in the oracle; one aggregate per layout, nothing
+    corpus-sized sorts or shuffles."""
+    from outrank_spark.operators.layout import zorder_layout_audit
+
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        zorder_layout_audit(li, ["l_partkey", "l_suppkey"],
+                            bits=8, file_bits=6)
+        .orderBy("layout", "column")
+    )
+
+
+ORACLE_Q137 = """
+WITH m AS (
+  SELECT (l_partkey & 255) AS x, (l_suppkey & 255) AS y
+  FROM lineitem
+), f AS (
+  SELECT x, y,
+         (((x >> 5) & 1) + 2*((y >> 5) & 1) + 4*((x >> 6) & 1)
+          + 8*((y >> 6) & 1) + 16*((x >> 7) & 1)
+          + 32*((y >> 7) & 1)) AS fz,
+         (x >> 2) AS fl
+  FROM m
+), sz AS (
+  SELECT fz, min(x) AS mnx, max(x) AS mxx,
+             min(y) AS mny, max(y) AS mxy
+  FROM f GROUP BY fz
+), sl AS (
+  SELECT fl, min(x) AS mnx, max(x) AS mxx,
+             min(y) AS mny, max(y) AS mxy
+  FROM f GROUP BY fl
+)
+SELECT 'zorder' AS layout, 'l_partkey' AS "column",
+       CAST(count(*) AS BIGINT) AS n_files,
+       round(avg((mxx - mnx + 1) / 256.0), 6) AS avg_span_frac,
+       round(max((mxx - mnx + 1) / 256.0), 6) AS max_span_frac
+FROM sz
+UNION ALL
+SELECT 'zorder', 'l_suppkey', CAST(count(*) AS BIGINT),
+       round(avg((mxy - mny + 1) / 256.0), 6),
+       round(max((mxy - mny + 1) / 256.0), 6)
+FROM sz
+UNION ALL
+SELECT 'linear', 'l_partkey', CAST(count(*) AS BIGINT),
+       round(avg((mxx - mnx + 1) / 256.0), 6),
+       round(max((mxx - mnx + 1) / 256.0), 6)
+FROM sl
+UNION ALL
+SELECT 'linear', 'l_suppkey', CAST(count(*) AS BIGINT),
+       round(avg((mxy - mny + 1) / 256.0), 6),
+       round(max((mxy - mny + 1) / 256.0), 6)
+FROM sl
+ORDER BY layout, "column"
+"""
+
+
 ORACLE_Q122 = """
 WITH b AS (
   SELECT lang,
@@ -5706,6 +5896,8 @@ QUERIES = {
     "q133_fd_discovery": q133_fd_discovery,
     "q134_golden_records": q134_golden_records,
     "q135_key_skew_audit": q135_key_skew_audit,
+    "q136_fellegi_sunter": q136_fellegi_sunter,
+    "q137_zorder_audit": q137_zorder_audit,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -5849,4 +6041,6 @@ ORACLES = {
     "q133_fd_discovery": ORACLE_Q133,
     "q134_golden_records": ORACLE_Q134,
     "q135_key_skew_audit": ORACLE_Q135,
+    "q136_fellegi_sunter": ORACLE_Q136,
+    "q137_zorder_audit": ORACLE_Q137,
 }

@@ -1368,3 +1368,93 @@ class TestSortedNeighborhood:
         assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 3)}
         with pytest.raises(ValueError, match="window"):
             sorted_neighborhood_pairs(df, "k", window=0)
+
+
+class TestFellegiSunterEM:
+    @staticmethod
+    def _reference_em(patterns, k, iters, m0, u0, p0):
+        m, u, p = [m0] * k, [u0] * k, p0
+        total = float(sum(c for _, c in patterns))
+        for _ in range(iters):
+            sp, mg, ug = 0.0, [0.0] * k, [0.0] * k
+            for g, c in patterns:
+                wm, wu = p, 1.0 - p
+                for j in range(k):
+                    wm *= m[j] if g[j] else 1.0 - m[j]
+                    wu *= u[j] if g[j] else 1.0 - u[j]
+                post = wm / (wm + wu)
+                sp += c * post
+                for j in range(k):
+                    if g[j]:
+                        mg[j] += c * post
+                        ug[j] += c * (1.0 - post)
+            p = sp / total
+            m = [mg[j] / sp for j in range(k)]
+            u = [ug[j] / (total - sp) for j in range(k)]
+        return m, u, p
+
+    def test_recovers_planted_mixture(self, spark):
+        from outrank_spark.operators.dedup import fellegi_sunter_em
+
+        # 200 "match" pairs agree on both fields w.p. ~0.9; 1800
+        # "non-match" pairs agree w.p. ~0.1 — deterministic counts.
+        rows = ([(True, True)] * 170 + [(True, False)] * 20
+                + [(False, True)] * 10
+                + [(False, False)] * 1500 + [(True, False)] * 150
+                + [(False, True)] * 150)
+        df = spark.createDataFrame(rows, "a boolean, b boolean")
+        got = {r["field"]: r for r in
+               fellegi_sunter_em(df, ["a", "b"], iters=8).collect()}
+        assert got["a"]["m"] > 0.6 > got["a"]["u"]
+        assert got["b"]["m"] > 0.6 > got["b"]["u"]
+        assert got["a"]["w_agree"] > 0 > got["a"]["w_disagree"]
+        assert 0.0 < got["__prior__"]["m"] < 0.5
+
+    def test_matches_pure_python_em(self, spark):
+        import math
+
+        from outrank_spark.operators.dedup import fellegi_sunter_em
+
+        rows = ([(1, 1, 0)] * 40 + [(1, 0, 1)] * 25 + [(0, 0, 0)] * 300
+                + [(0, 1, 1)] * 7 + [(1, 1, 1)] * 11)
+        df = spark.createDataFrame(rows, "x int, y int, z int")
+        got = {r["field"]: r for r in
+               fellegi_sunter_em(df, ["x", "y", "z"], iters=3,
+                                 init_m=0.875, init_u=0.125,
+                                 init_p=0.25).collect()}
+        pats: dict[tuple, int] = {}
+        for g in rows:
+            pats[g] = pats.get(g, 0) + 1
+        m, u, p = self._reference_em(
+            sorted(pats.items()), 3, 3, 0.875, 0.125, 0.25)
+        for j, f in enumerate(("x", "y", "z")):
+            assert got[f]["m"] == pytest.approx(m[j], abs=5e-7)
+            assert got[f]["u"] == pytest.approx(u[j], abs=5e-7)
+            assert got[f]["w_agree"] == pytest.approx(
+                math.log2(m[j] / u[j]), abs=1e-5)
+        assert got["__prior__"]["m"] == pytest.approx(p, abs=5e-7)
+
+    def test_null_agreement_counts_as_disagreement(self, spark):
+        from outrank_spark.operators.dedup import fellegi_sunter_em
+
+        a = spark.createDataFrame(
+            [(True,), (None,), (False,)], "g boolean")
+        b = spark.createDataFrame(
+            [(True,), (False,), (False,)], "g boolean")
+        ra = fellegi_sunter_em(a, ["g"], iters=1).collect()
+        rb = fellegi_sunter_em(b, ["g"], iters=1).collect()
+        assert sorted(map(tuple, ra)) == sorted(map(tuple, rb))
+
+    def test_errors(self, spark):
+        from outrank_spark.operators.dedup import fellegi_sunter_em
+
+        df = spark.createDataFrame([(True,)], "g boolean")
+        with pytest.raises(ValueError, match="non-empty"):
+            fellegi_sunter_em(df, [])
+        with pytest.raises(ValueError, match="unknown column"):
+            fellegi_sunter_em(df, ["nope"])
+        with pytest.raises(ValueError, match="iters"):
+            fellegi_sunter_em(df, ["g"], iters=0)
+        empty = spark.createDataFrame([], "g boolean")
+        with pytest.raises(ValueError, match="empty"):
+            fellegi_sunter_em(empty, ["g"])
