@@ -506,20 +506,33 @@ def edit_distance_join(df: DataFrame, str_col: str,
 
     Scale shape: grams are one JVM array expression; candidate
     generation is an equi-join on gram hash — never a cross join.
-    Three exactness-preserving prunes keep the gram join off the
-    quadratic cliff: (1) singleton grams die in a count prefilter (a
-    gram seen once forms no pair — the q14 win); (2) each string
-    contributes DISTINCT grams only, so a repeated gram inside one
-    string never multiplies join rows; (3) the length filter
-    |len_a - len_b| <= d and the id order a < b apply before the
-    pair-distinct, which in turn runs before any verification.  Verification is JVM ``levenshtein``
-    (with the threshold arg — Spark's implementation early-exits at
-    the bound) on candidate pairs only.  Zipf caveat: a gram shared
-    by k strings contributes k^2/2 candidate rows; on natural-language
-    corpora route through a rarest-gram prefix filter (ED-Join) before
-    this operator, or raise ``q`` — for key-like columns (names, urls,
-    ids) the gram frequency spectrum is flat and this shape is the
-    published optimum.
+    The join is fed by an ED-Join style RAREST-GRAM PREFIX filter
+    (Xiao/Wang/Lin, VLDB 2008), which is what keeps a shared-prefix
+    key space (urls, ``Customer#0000...`` ids, path-like names) off
+    the quadratic cliff:
+
+    * grams are occurrence-NUMBERED ((gram, k-th copy)), turning the
+      multiset bound |G(s) ∩ G(t)| >= |G(s)| - q*d into a plain set
+      bound — one edit destroys at most ``q`` gram occurrences;
+    * under any global total order of numbered grams, two strings
+      within distance ``d`` must therefore share a gram among the
+      first ``q*d + 1`` of EACH string's ordered gram set (the
+      AllPairs/PPJoin prefix principle, same machinery as
+      dedup.jaccard_prefix_join);
+    * the order used is (global frequency asc, key), so each string
+      joins only on its ``q*d + 1`` RAREST grams — corpus-wide hot
+      grams (a constant prefix every key shares) never reach the
+      join.  Frequency-1 grams are dropped first: they can't match,
+      and removing unmatchable grams from the order only promotes
+      shared grams into the prefix, so completeness is preserved.
+
+    A gram with residual frequency k still contributes ~k^2/2
+    candidates, but after prefix selection k is bounded by how many
+    strings agree on a RARE substring — the discriminating tail, not
+    the shared head.  The length filter |len_a - len_b| <= d and id
+    order apply before the pair-distinct; verification is JVM
+    ``levenshtein`` with the threshold arg (early-exits at the
+    bound) on candidate pairs only.
 
     Returns ``(id_a, id_b, distance)`` with ``id_a < id_b``.
     """
@@ -528,40 +541,53 @@ def edit_distance_join(df: DataFrame, str_col: str,
         raise ValueError(f"max_distance must be >= 0, got {max_distance}")
     if q < 1:
         raise ValueError(f"q must be >= 1, got {q}")
+    from pyspark.sql import Window
+
     min_len = q * (d + 1)
+    prefix_k = q * d + 1
     s = (
         df.select(F.col(id_col).alias("_id"),
                   F.col(str_col).alias("_s"))
         .where(F.length("_s") >= min_len)
     )
+    # occurrence-numbered gram keys: k-th copy of a gram inside one
+    # string gets its own identity, making set-intersection equal
+    # multiset-intersection (needed for the q*d destruction bound)
     grams = s.select(
         "_id", "_s", F.length("_s").alias("_len"),
-        F.explode(
-            F.array_distinct(F.expr(
-                f"transform(sequence(1, length(_s) - {q - 1}), "
-                f"i -> xxhash64(substring(_s, i, {q})))",
-            )),
-        ).alias("_g"),
+        F.posexplode(F.expr(
+            f"transform(sequence(1, length(_s) - {q - 1}), "
+            f"i -> xxhash64(substring(_s, i, {q})))",
+        )).alias("_pos", "_g"),
+    ).withColumn(
+        "_occ",
+        F.row_number().over(
+            Window.partitionBy("_id", "_g").orderBy("_pos")),
+    ).select(
+        "_id", "_s", "_len",
+        F.xxhash64("_g", "_occ").alias("_gk"),
     )
-    shared = grams.join(
-        grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
-        .where(F.col("_n") >= 2).select("_g"),
-        "_g", "left_semi",
+    freq = (
+        grams.groupBy("_gk").agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= 2)          # freq-1 keys can't match
     )
-    a = shared.select(F.col("_id").alias("id_a"),
+    prefix = (
+        grams.join(freq, "_gk")
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("_id").orderBy("_n", "_gk")),
+        )
+        .where(F.col("_rk") <= prefix_k)
+    )
+    a = prefix.select(F.col("_id").alias("id_a"),
                       F.col("_s").alias("_sa"),
-                      F.col("_len").alias("_la"), "_g")
-    b = shared.select(F.col("_id").alias("id_b"),
+                      F.col("_len").alias("_la"), "_gk")
+    b = prefix.select(F.col("_id").alias("id_b"),
                       F.col("_s").alias("_sb"),
-                      F.col("_len").alias("_lb"), "_g")
-    # NOTE: Gravano's count filter (shared >= max(len) - q + 1 - q*d)
-    # bounds the gram MULTISET intersection; these are DISTINCT grams
-    # (cheaper join), where the bound fails on repeat-heavy strings
-    # ("aaaaaa" has ONE distinct gram) — so candidates are any-shared-
-    # gram only, which stays complete, and pruning is left to the
-    # length filter + the thresholded verifier
+                      F.col("_len").alias("_lb"), "_gk")
     cand = (
-        a.join(b, "_g")
+        a.join(b, "_gk")
         .where((F.col("id_a") < F.col("id_b"))
                & (F.abs(F.col("_la") - F.col("_lb")) <= d))
         .select("id_a", "id_b", "_sa", "_sb")

@@ -1,7 +1,8 @@
 """edit_distance_join (operators/similarity.py) vs a brute-force
 pure-Python DP Levenshtein over every in-contract pair, including the
-repeat-heavy strings that break Gravano's multiset count filter when
-applied to distinct grams (the operator deliberately omits it)."""
+repeat-heavy strings that stress the occurrence-numbered gram bound
+and the shared-constant-prefix key space that motivates the ED-Join
+rarest-gram prefix filter."""
 from __future__ import annotations
 
 import pytest
@@ -86,3 +87,18 @@ def test_validation(spark):
         edit_distance_join(df, "s", max_distance=-1)
     with pytest.raises(ValueError, match="q must"):
         edit_distance_join(df, "s", q=0)
+
+
+def test_shared_prefix_keyspace_complete_and_prunes(spark):
+    # every string shares the long constant head; the discriminating
+    # signal lives in the numeric tail — the regime where joining on
+    # ALL grams is quadratic in n (this exact shape wedged q86 at
+    # sf0.1 before the rarest-gram prefix filter)
+    rows = [(i, f"Customer#{i:09d}") for i in range(0, 400, 3)]
+    rows += [(1000 + i, f"Customer#{i:09d}") for i in (0, 3, 9)]  # dups
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {(r["id_a"], r["id_b"]): r["distance"]
+           for r in edit_distance_join(df, "s", id_col="id",
+                                       max_distance=1).collect()}
+    assert got == _brute(rows, 1, 2)
+    assert got[(0, 1000)] == 0                # planted exact dup
