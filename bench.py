@@ -923,6 +923,42 @@ def bootstrap_probe(spark, n_rows: int = 8_000_000,
     return dt
 
 
+def editdist_probe(spark, n_keys: int = 300_000,
+                   domain: int = 2_000_000) -> float:
+    """Edit-distance self-join scale probe in the SHARED-PREFIX key
+    regime that used to wedge q86 (every key is `Customer#%09d`, so
+    all corpus-hot grams are identical): n_keys names drawn
+    hash-uniformly from a `domain`-sized id space, joined at
+    max_distance=1.  Exercises the ED-Join rarest-gram prefix path:
+    occurrence-numbered gram explode, two windows, frequency join,
+    prefix join, thresholded levenshtein verify.  Sanity: the result
+    must contain at least every exact-duplicate pair (birthday
+    collisions of the draw), counted independently with one groupBy.
+    Returns wall seconds."""
+    from pyspark.sql import functions as F
+
+    from outrank_spark.operators.similarity import edit_distance_join
+
+    df = spark.range(n_keys).select(
+        F.col("id"),
+        F.format_string(
+            "Customer#%09d",
+            F.pmod(F.xxhash64("id"), F.lit(domain)),
+        ).alias("name"),
+    )
+    dup_pairs = int(
+        df.groupBy("name").agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2)).first()[0]
+        or 0)
+    t0 = time.time()
+    n = edit_distance_join(df, "name", id_col="id",
+                           max_distance=1).count()
+    dt = time.time() - t0
+    assert n >= dup_pairs > 0, (n, dup_pairs)
+    return dt
+
+
 def hits_probe(spark, n_edges: int = 8_000_000,
                n_nodes: int = 200_000) -> float:
     """HITS scale probe: 5 L2-normalized power-iteration rounds over
@@ -978,6 +1014,7 @@ SCALING_OP_PROBES = {
     "fdsketch": (fd_probe, "6M x 32-dim vectors"),
     "bootstrap": (bootstrap_probe, "8M rows x 32 replicates"),
     "hits": (hits_probe, "8M edges x 5 iters"),
+    "editdist": (editdist_probe, "300k shared-prefix keys"),
 }
 
 

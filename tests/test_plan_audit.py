@@ -368,6 +368,12 @@ class TestRound4LateAdditions:
         assert "CartesianProduct" not in plan
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
             or "BroadcastHashJoin" in plan
+        # the ED-Join prefix filter must gate BOTH gram-join inputs:
+        # each side joins on at most q*d+1 = 3 rarest gram keys per
+        # string (this bound is what keeps shared-prefix key spaces
+        # like Customer#0000… off the quadratic cliff)
+        assert plan.count("_rk#") >= 2 or plan.count("_rk <= 3") >= 2 \
+            or plan.count("(_rk") >= 2
 
     def test_duplicated_spans_no_cartesian_single_split(self, spark):
         """q85's gram stage must carry exactly one split() per doc (the
