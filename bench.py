@@ -923,8 +923,8 @@ def bootstrap_probe(spark, n_rows: int = 8_000_000,
     return dt
 
 
-def editdist_probe(spark, n_keys: int = 300_000,
-                   domain: int = 2_000_000) -> float:
+def editdist_probe(spark, n_keys: int = 40_000,
+                   domain: int = 1_000_000) -> float:
     """Edit-distance self-join scale probe in the SHARED-PREFIX key
     regime that used to wedge q86 (every key is `Customer#%09d`, so
     all corpus-hot grams are identical): n_keys names drawn
@@ -1014,7 +1014,7 @@ SCALING_OP_PROBES = {
     "fdsketch": (fd_probe, "6M x 32-dim vectors"),
     "bootstrap": (bootstrap_probe, "8M rows x 32 replicates"),
     "hits": (hits_probe, "8M edges x 5 iters"),
-    "editdist": (editdist_probe, "300k shared-prefix keys"),
+    "editdist": (editdist_probe, "40k shared-prefix keys"),
 }
 
 

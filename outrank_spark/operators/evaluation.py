@@ -37,7 +37,8 @@ from typing import Iterator
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["roc_auc", "calibration_report", "correlation_matrix",
-           "spearman_correlation", "cuped_adjust"]
+           "spearman_correlation", "cuped_adjust", "srm_check",
+           "bh_fdr"]
 
 
 def roc_auc(df: DataFrame, label_col: str, score_col: str,
@@ -347,3 +348,119 @@ def cuped_adjust(df: DataFrame, metric_col: str, covariate_col: str,
                   "var_raw", "var_adjusted", "var_reduction"):
             out = out.withColumn(c, F.round(c, round_to))
     return out
+
+
+def srm_check(df: DataFrame, arm_col: str, expected: dict,
+              round_to: int = 6) -> DataFrame:
+    """Sample-ratio-mismatch check — the first thing any experiment
+    readout must pass (Fabijan et al.: a skewed assignment split
+    invalidates every downstream metric, CUPED included): observed
+    per-arm counts vs the design's expected shares, reported as
+    Pearson chi-square terms.
+
+    ``expected``: {arm_value: weight}; weights are normalized
+    driver-side, so {c: 2, t1: 1, t2: 1} means 50/25/25.  Returns one
+    row per EXPECTED arm — ``(arm, n_obs, obs_frac, exp_frac,
+    chi2_term)`` (arms that drew zero units still get a row — that
+    IS the mismatch) — plus one row per UNEXPECTED arm found in the
+    data with null exp_frac/chi2_term: a value outside the design is
+    itself an assignment bug and must surface, not crash.
+    ``sum(chi2_term)`` vs the chi-square critical value at
+    ``len(expected) - 1`` df is the verdict (the statistic is
+    reported, not the p-value — no portable chi-square CDF exists
+    across engines, and SRM practice uses a fixed threshold anyway).
+    NULL arms are excluded (unassigned units are a different check).
+
+    Scale shape: ONE map-side-combinable groupBy on the arm column
+    (arm-count cells) + a broadcast of the arm-count-sized total; the
+    expected shares are literals.  Same audit discipline as
+    validation.benford_audit.
+    """
+    if not expected:
+        raise ValueError("expected must be non-empty")
+    if arm_col not in df.columns:
+        raise ValueError(f"unknown column {arm_col!r}")
+    total_w = float(sum(expected.values()))
+    if total_w <= 0:
+        raise ValueError("expected weights must sum to > 0")
+    shares = {str(k): float(v) / total_w for k, v in expected.items()}
+    counts = (
+        df.where(F.col(arm_col).isNotNull())
+        .select(F.col(arm_col).cast("string").alias("arm"))
+        .groupBy("arm").agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    spark = df.sparkSession
+    scaffold = spark.createDataFrame(
+        [(a, s) for a, s in sorted(shares.items())],
+        "arm string, exp_frac_raw double",
+    )
+    tot = counts.agg(F.sum("n_obs").alias("n_tot"))
+    joined = (
+        scaffold.join(counts, "arm", "full_outer")
+        .crossJoin(F.broadcast(tot))
+    )
+    n_obs = F.coalesce("n_obs", F.lit(0)).cast("long")
+    e = F.col("n_tot") * F.col("exp_frac_raw")
+    return joined.select(
+        "arm", n_obs.alias("n_obs"),
+        F.round(n_obs / F.col("n_tot"), round_to).alias("obs_frac"),
+        F.round("exp_frac_raw", round_to).alias("exp_frac"),
+        F.when(F.col("exp_frac_raw").isNotNull() & (e > 0),
+               F.round((n_obs - e) * (n_obs - e) / e, round_to))
+        .alias("chi2_term"),
+    ).orderBy("arm")
+
+
+def bh_fdr(df: DataFrame, p_col: str, id_col: str,
+           fdr_q: float = 0.05, round_to: int = 6) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR correction over a table of test
+    p-values — the guard against the many-metrics problem when an
+    experiment platform reads out hundreds of metrics per run:
+    ``(id, p_value, rank, p_adj, rejected)`` with
+    ``p_adj_i = min_{j >= i}(p_j * m / j)`` clamped to 1 and
+    ``rejected = p_adj <= fdr_q`` (equivalent to the classic step-up
+    rule because the running min makes p_adj monotone).
+
+    Ranks are deterministic: (p asc, id asc), so ties never make the
+    output engine-dependent.  NULL p-values are excluded from ranking
+    (they are failed tests, not evidence) and do not count toward m.
+
+    Scale shape: TWO windows over the TESTS table — which is
+    metric-count-sized (hundreds to thousands of rows), never
+    corpus-sized; the corpus-heavy work happened upstream in whatever
+    produced the p-values.  m crosses as a broadcast 1-row aggregate.
+    """
+    for c in (p_col, id_col):
+        if c not in df.columns:
+            raise ValueError(f"unknown column {c!r}")
+    if not (0.0 < fdr_q < 1.0):
+        raise ValueError(f"fdr_q must be in (0, 1), got {fdr_q}")
+    from pyspark.sql import Window
+
+    tests = df.select(
+        F.col(id_col).alias("id"),
+        F.col(p_col).cast("double").alias("p_value"),
+    ).where(F.col("p_value").isNotNull())
+    m = tests.agg(F.count(F.lit(1)).alias("m"))
+    ranked = (
+        tests.crossJoin(F.broadcast(m))
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy("p_value", "id")))
+        .withColumn("raw", F.col("p_value") * F.col("m")
+                    / F.col("rank"))
+    )
+    tail_min = Window.orderBy(F.desc("rank")) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ranked
+        .withColumn("p_adj", F.least(F.lit(1.0),
+                                     F.min("raw").over(tail_min)))
+        .select(
+            "id", F.round("p_value", round_to).alias("p_value"),
+            F.col("rank").cast("long").alias("rank"),
+            F.round("p_adj", round_to).alias("p_adj"),
+            (F.col("p_adj") <= F.lit(float(fdr_q))).alias("rejected"),
+        )
+        .orderBy("rank")
+    )

@@ -5763,6 +5763,113 @@ ORDER BY layout, "column"
 """
 
 
+def q138_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch audit (operators/evaluation.srm_check):
+    orders assigned to control/t1/t2 by the engine's md5 key (the
+    q09/q126 engine-portable uniform) against a 50/25/25 design;
+    per-arm chi2 terms report how far the realized split drifts.
+    Expected shares are exactly-representable binary fractions, so
+    the only cross-engine arithmetic is count math.  One groupBy over
+    the arm column — the cheapest audit in the book, and the one that
+    gates every other experiment readout (q128 CUPED included)."""
+    from outrank_spark.operators.evaluation import srm_check
+
+    orders = load(spark, sf_dir, "orders")
+    key = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+        16, 10).cast("long")
+    assigned = orders.select(
+        F.when(F.pmod(key, 4) <= 1, F.lit("control"))
+        .when(F.pmod(key, 4) == 2, F.lit("t1"))
+        .otherwise(F.lit("t2")).alias("arm"),
+    )
+    return srm_check(assigned, "arm",
+                     {"control": 2, "t1": 1, "t2": 1})
+
+
+ORACLE_Q138 = """
+WITH a AS (
+  SELECT CASE
+           WHEN k % 4 <= 1 THEN 'control'
+           WHEN k % 4 = 2 THEN 't1'
+           ELSE 't2'
+         END AS arm
+  FROM (SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                    1, 8)) AS BIGINT) AS k
+        FROM orders)
+), c AS (
+  SELECT arm, count(*) AS n_obs FROM a GROUP BY arm
+), t AS (SELECT sum(n_obs) AS n_tot FROM c),
+e AS (
+  SELECT * FROM (VALUES ('control', 0.5), ('t1', 0.25), ('t2', 0.25))
+       AS v(arm, exp_frac)
+)
+SELECT e.arm, CAST(coalesce(c.n_obs, 0) AS BIGINT) AS n_obs,
+       round(coalesce(c.n_obs, 0) / CAST(t.n_tot AS DOUBLE), 6)
+         AS obs_frac,
+       round(e.exp_frac, 6) AS exp_frac,
+       round(pow(coalesce(c.n_obs, 0) - t.n_tot * e.exp_frac, 2)
+             / (t.n_tot * e.exp_frac), 6) AS chi2_term
+FROM e LEFT JOIN c ON c.arm = e.arm CROSS JOIN t
+ORDER BY e.arm
+"""
+
+
+def q139_fdr_correction(spark, sf_dir):
+    """Benjamini-Hochberg FDR step-up (operators/evaluation.bh_fdr)
+    over one p-value per (lang, source) cell — p-values are the
+    md5-prefix uniform of the cell id, bit-identical across engines,
+    so the whole step-up chain (deterministic (p, id) ranks, m/rank
+    scaling, reverse running min, clamp, reject at q=0.10) is
+    exact-oracle-checked.  The windows run over the TESTS table
+    (cell-count-sized), never the corpus."""
+    from outrank_spark.operators.evaluation import bh_fdr
+
+    docs = load(spark, sf_dir, "documents")
+    tests = (
+        docs.where(F.col("lang").isNotNull()
+                   & F.col("source").isNotNull())
+        .select(F.concat_ws("|", "lang", "source").alias("test_id"))
+        .distinct()
+    )
+    p = (
+        F.conv(F.substring(F.md5(F.col("test_id")), 1, 8), 16, 10)
+        .cast("long") / F.lit(4294967296.0)
+    )
+    return bh_fdr(tests.withColumn("p_value", p),
+                  "p_value", "test_id", fdr_q=0.10)
+
+
+ORACLE_Q139 = """
+WITH t AS (
+  SELECT DISTINCT lang || '|' || source AS id
+  FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+), p AS (
+  SELECT id,
+         CAST(('0x' || substr(md5(id), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS p_value
+  FROM t
+), m AS (SELECT count(*) AS m FROM p),
+r AS (
+  SELECT id, p_value,
+         row_number() OVER (ORDER BY p_value, id) AS rank,
+         p_value * m.m
+           / row_number() OVER (ORDER BY p_value, id) AS raw
+  FROM p CROSS JOIN m
+), adj AS (
+  SELECT id, p_value, rank,
+         least(1.0, min(raw) OVER (ORDER BY rank DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           AS p_adj
+  FROM r
+)
+SELECT id, round(p_value, 6) AS p_value, CAST(rank AS BIGINT) AS rank,
+       round(p_adj, 6) AS p_adj, p_adj <= 0.10 AS rejected
+FROM adj ORDER BY rank
+"""
+
+
 ORACLE_Q122 = """
 WITH b AS (
   SELECT lang,
@@ -5898,6 +6005,8 @@ QUERIES = {
     "q135_key_skew_audit": q135_key_skew_audit,
     "q136_fellegi_sunter": q136_fellegi_sunter,
     "q137_zorder_audit": q137_zorder_audit,
+    "q138_srm_check": q138_srm_check,
+    "q139_fdr_correction": q139_fdr_correction,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -6043,4 +6152,6 @@ ORACLES = {
     "q135_key_skew_audit": ORACLE_Q135,
     "q136_fellegi_sunter": ORACLE_Q136,
     "q137_zorder_audit": ORACLE_Q137,
+    "q138_srm_check": ORACLE_Q138,
+    "q139_fdr_correction": ORACLE_Q139,
 }

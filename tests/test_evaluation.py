@@ -316,3 +316,113 @@ class TestCupedAdjust:
         df = spark.createDataFrame([], "arm int, x double, y double")
         with pytest.raises(ValueError, match="no rows"):
             cuped_adjust(df, "y", "x")
+
+
+class TestSrmCheck:
+    def test_hand_chi2_and_zero_count_arm(self, spark):
+        from outrank_spark.operators.evaluation import srm_check
+
+        df = spark.createDataFrame(
+            [("c",)] * 60 + [("t",)] * 40, "arm string")
+        got = {r["arm"]: r for r in
+               srm_check(df, "arm", {"c": 1, "t": 1, "x": 2}).collect()}
+        # shares: c 0.25, t 0.25, x 0.5 over n=100
+        assert got["c"]["n_obs"] == 60
+        assert got["c"]["exp_frac"] == 0.25
+        assert got["c"]["chi2_term"] == pytest.approx(
+            (60 - 25) ** 2 / 25, abs=5e-7)
+        assert got["x"]["n_obs"] == 0            # designed arm, no units
+        assert got["x"]["chi2_term"] == pytest.approx(50.0)
+
+    def test_unexpected_arm_surfaces_with_null_terms(self, spark):
+        from outrank_spark.operators.evaluation import srm_check
+
+        df = spark.createDataFrame(
+            [("c",), ("c",), ("ghost",)], "arm string")
+        got = {r["arm"]: r for r in
+               srm_check(df, "arm", {"c": 1}).collect()}
+        assert set(got) == {"c", "ghost"}
+        assert got["ghost"]["exp_frac"] is None
+        assert got["ghost"]["chi2_term"] is None
+        assert got["ghost"]["n_obs"] == 1
+
+    def test_balanced_split_near_zero_chi2(self, spark):
+        from outrank_spark.operators.evaluation import srm_check
+
+        df = spark.createDataFrame(
+            [("a",)] * 500 + [("b",)] * 500, "arm string")
+        rows = srm_check(df, "arm", {"a": 1, "b": 1}).collect()
+        assert sum(r["chi2_term"] for r in rows) == 0.0
+
+    def test_null_arms_excluded_and_errors(self, spark):
+        from outrank_spark.operators.evaluation import srm_check
+
+        df = spark.createDataFrame(
+            [("a",), (None,), ("a",)], "arm string")
+        got = srm_check(df, "arm", {"a": 1}).collect()
+        assert got[0]["n_obs"] == 2 and got[0]["obs_frac"] == 1.0
+        with pytest.raises(ValueError, match="non-empty"):
+            srm_check(df, "arm", {})
+        with pytest.raises(ValueError, match="unknown column"):
+            srm_check(df, "zzz", {"a": 1})
+        with pytest.raises(ValueError, match="sum to"):
+            srm_check(df, "arm", {"a": 0})
+
+
+class TestBhFdr:
+    def test_matches_textbook_bh(self, spark):
+        from outrank_spark.operators.evaluation import bh_fdr
+
+        # classic example: m=6 p-values, q=0.05
+        ps = [0.005, 0.009, 0.02, 0.04, 0.3, 0.9]
+        df = spark.createDataFrame(
+            [(f"t{i}", p) for i, p in enumerate(ps)],
+            "id string, p double")
+        got = {r["id"]: r for r in
+               bh_fdr(df, "p", "id", fdr_q=0.05).collect()}
+        # p_adj_i = min_{j>=i}(p_j * 6 / j)
+        import numpy as np
+
+        raw = [p * 6 / (i + 1) for i, p in enumerate(ps)]
+        adj = np.minimum.accumulate(raw[::-1])[::-1]
+        adj = np.minimum(adj, 1.0)
+        for i in range(6):
+            assert got[f"t{i}"]["p_adj"] == pytest.approx(
+                adj[i], abs=5e-7)
+            assert got[f"t{i}"]["rank"] == i + 1
+            assert got[f"t{i}"]["rejected"] == (adj[i] <= 0.05)
+        # step-up: largest i with p_i <= i*q/m is i=3 (0.02 <= 0.025);
+        # i=4 fails (0.04 > 0.0333), so exactly the first three reject
+        assert [got[f"t{i}"]["rejected"] for i in range(6)] == \
+            [True, True, True, False, False, False]
+
+    def test_monotone_adjusted_and_tie_determinism(self, spark):
+        from outrank_spark.operators.evaluation import bh_fdr
+
+        df = spark.createDataFrame(
+            [("b", 0.01), ("a", 0.01), ("c", 0.5)],
+            "id string, p double")
+        rows = bh_fdr(df, "p", "id").collect()
+        assert [r["id"] for r in rows] == ["a", "b", "c"]  # tie by id
+        adj = [r["p_adj"] for r in rows]
+        assert adj == sorted(adj)                # step-up monotone
+
+    def test_null_pvalues_excluded_from_m(self, spark):
+        from outrank_spark.operators.evaluation import bh_fdr
+
+        df = spark.createDataFrame(
+            [("a", 0.02), ("b", None), ("c", 0.04)],
+            "id string, p double")
+        rows = bh_fdr(df, "p", "id").collect()
+        assert len(rows) == 2
+        assert rows[0]["p_adj"] == pytest.approx(0.04)  # 0.02*2/1
+        # m=2, not 3: a null test must not inflate the correction
+
+    def test_errors(self, spark):
+        from outrank_spark.operators.evaluation import bh_fdr
+
+        df = spark.createDataFrame([("a", 0.1)], "id string, p double")
+        with pytest.raises(ValueError, match="unknown column"):
+            bh_fdr(df, "zzz", "id")
+        with pytest.raises(ValueError, match="fdr_q"):
+            bh_fdr(df, "p", "id", fdr_q=1.5)
