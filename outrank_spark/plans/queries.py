@@ -5870,6 +5870,168 @@ FROM adj ORDER BY rank
 """
 
 
+def q140_entity_resolution(spark, sf_dir):
+    """The full record-linkage pipeline as ONE composition — the ER
+    counterpart of q40 (corpus cleaning) and q67 (training pipeline):
+    nation-blocked candidate pairs -> Fellegi-Sunter EM weights
+    (q136's fit, ROUNDED to 6dp on both engines so the decision
+    boundary is bit-identical) -> per-pair total match weight ->
+    positive-evidence match edges -> connected components ->
+    golden-record survivors by account balance.  Every stage is an
+    already-oracle-proven operator; this query proves the WIRING.
+    Oracle: q136's unrolled EM + per-pair scoring + q39's recursive
+    min-label closure + the q134 survivor pick, end to end in SQL."""
+    from outrank_spark.operators.components import golden_records
+    from outrank_spark.operators.dedup import fellegi_sunter_em
+
+    cust = load(spark, sf_dir, "customer")
+
+    def side(tag):
+        return cust.select(
+            F.col("c_custkey").alias(f"id_{tag}"),
+            F.col("c_nationkey").alias("k"),
+            F.col("c_mktsegment").alias(f"seg_{tag}"),
+            F.floor(F.col("c_acctbal") / 1000).alias(f"bal_{tag}"),
+            F.substring(F.col("c_name"), -2, 2).alias(f"nm_{tag}"),
+        )
+
+    pairs = (
+        side("a").join(side("b"), "k")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            (F.col("seg_a") == F.col("seg_b")).alias("a_seg"),
+            (F.col("bal_a") == F.col("bal_b")).alias("a_bal"),
+            (F.col("nm_a") == F.col("nm_b")).alias("a_nm"),
+        )
+    )
+    fit = {r["field"]: r for r in fellegi_sunter_em(
+        pairs, ["a_seg", "a_bal", "a_nm"], iters=2,
+        init_m=0.875, init_u=0.125, init_p=0.25,
+    ).collect()}
+    score = F.lit(0.0)
+    for f in ("a_seg", "a_bal", "a_nm"):
+        score = score + F.when(
+            F.col(f), F.lit(fit[f]["w_agree"])
+        ).otherwise(F.lit(fit[f]["w_disagree"]))
+    matches = pairs.where(score > 0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return (
+        golden_records(cust, matches, quality_col="c_acctbal",
+                       id_col="c_custkey")
+        .withColumn("survivor_quality",
+                    F.round("survivor_quality", 2))
+        .orderBy("cluster_id")
+    )
+
+
+ORACLE_Q140 = """
+WITH RECURSIVE pr AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         CASE WHEN a.c_mktsegment = b.c_mktsegment
+              THEN 1 ELSE 0 END AS g0,
+         CASE WHEN floor(a.c_acctbal/1000) = floor(b.c_acctbal/1000)
+              THEN 1 ELSE 0 END AS g1,
+         CASE WHEN substr(a.c_name, length(a.c_name)-1, 2)
+                   = substr(b.c_name, length(b.c_name)-1, 2)
+              THEN 1 ELSE 0 END AS g2
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+), pat AS (
+  SELECT g0, g1, g2, CAST(count(*) AS DOUBLE) AS c
+  FROM pr GROUP BY 1, 2, 3
+), tot AS (SELECT sum(c) AS t FROM pat),
+e1 AS (
+  SELECT g0, g1, g2, c,
+    (((0.25 * (CASE WHEN g0=1 THEN 0.875 ELSE 1.0-0.875 END))
+            * (CASE WHEN g1=1 THEN 0.875 ELSE 1.0-0.875 END))
+            * (CASE WHEN g2=1 THEN 0.875 ELSE 1.0-0.875 END)) AS wm,
+    ((((1.0-0.25) * (CASE WHEN g0=1 THEN 0.125 ELSE 1.0-0.125 END))
+            * (CASE WHEN g1=1 THEN 0.125 ELSE 1.0-0.125 END))
+            * (CASE WHEN g2=1 THEN 0.125 ELSE 1.0-0.125 END)) AS wu
+  FROM pat
+), i1 AS (
+  SELECT sum(c * wm/(wm+wu)) AS sp,
+         sum(c * wm/(wm+wu) * g0) AS mg0,
+         sum(c * wm/(wm+wu) * g1) AS mg1,
+         sum(c * wm/(wm+wu) * g2) AS mg2,
+         sum(c * (1.0 - wm/(wm+wu)) * g0) AS ug0,
+         sum(c * (1.0 - wm/(wm+wu)) * g1) AS ug1,
+         sum(c * (1.0 - wm/(wm+wu)) * g2) AS ug2
+  FROM e1
+), p1 AS (
+  SELECT sp/t AS p, mg0/sp AS m0, mg1/sp AS m1, mg2/sp AS m2,
+         ug0/(t-sp) AS u0, ug1/(t-sp) AS u1, ug2/(t-sp) AS u2
+  FROM i1 CROSS JOIN tot
+), e2 AS (
+  SELECT g0, g1, g2, c,
+    (((p1.p * (CASE WHEN g0=1 THEN p1.m0 ELSE 1.0-p1.m0 END))
+            * (CASE WHEN g1=1 THEN p1.m1 ELSE 1.0-p1.m1 END))
+            * (CASE WHEN g2=1 THEN p1.m2 ELSE 1.0-p1.m2 END)) AS wm,
+    ((((1.0-p1.p) * (CASE WHEN g0=1 THEN p1.u0 ELSE 1.0-p1.u0 END))
+            * (CASE WHEN g1=1 THEN p1.u1 ELSE 1.0-p1.u1 END))
+            * (CASE WHEN g2=1 THEN p1.u2 ELSE 1.0-p1.u2 END)) AS wu
+  FROM pat CROSS JOIN p1
+), i2 AS (
+  SELECT sum(c * wm/(wm+wu)) AS sp,
+         sum(c * wm/(wm+wu) * g0) AS mg0,
+         sum(c * wm/(wm+wu) * g1) AS mg1,
+         sum(c * wm/(wm+wu) * g2) AS mg2,
+         sum(c * (1.0 - wm/(wm+wu)) * g0) AS ug0,
+         sum(c * (1.0 - wm/(wm+wu)) * g1) AS ug1,
+         sum(c * (1.0 - wm/(wm+wu)) * g2) AS ug2
+  FROM e2
+), w AS (
+  SELECT round(log2(least(greatest(mg0/sp, 1e-9), 1.0-1e-9)
+               / least(greatest(ug0/(t-sp), 1e-9), 1.0-1e-9)), 6)
+           AS w0a,
+         round(log2((1.0 - least(greatest(mg0/sp, 1e-9), 1.0-1e-9))
+               / (1.0 - least(greatest(ug0/(t-sp), 1e-9), 1.0-1e-9))),
+               6) AS w0d,
+         round(log2(least(greatest(mg1/sp, 1e-9), 1.0-1e-9)
+               / least(greatest(ug1/(t-sp), 1e-9), 1.0-1e-9)), 6)
+           AS w1a,
+         round(log2((1.0 - least(greatest(mg1/sp, 1e-9), 1.0-1e-9))
+               / (1.0 - least(greatest(ug1/(t-sp), 1e-9), 1.0-1e-9))),
+               6) AS w1d,
+         round(log2(least(greatest(mg2/sp, 1e-9), 1.0-1e-9)
+               / least(greatest(ug2/(t-sp), 1e-9), 1.0-1e-9)), 6)
+           AS w2a,
+         round(log2((1.0 - least(greatest(mg2/sp, 1e-9), 1.0-1e-9))
+               / (1.0 - least(greatest(ug2/(t-sp), 1e-9), 1.0-1e-9))),
+               6) AS w2d
+  FROM i2 CROSS JOIN tot
+), edges0 AS (
+  SELECT id_a AS src, id_b AS dst
+  FROM pr CROSS JOIN w
+  WHERE (CASE WHEN g0=1 THEN w.w0a ELSE w.w0d END
+         + CASE WHEN g1=1 THEN w.w1a ELSE w.w1d END
+         + CASE WHEN g2=1 THEN w.w2a ELSE w.w2d END) > 0
+), edges AS (
+  SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0
+), nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst AS id, w2.lbl AS lbl
+  FROM walk w2 JOIN edges e ON e.src = w2.id
+),
+comp AS (SELECT id, MIN(lbl) AS cluster_id FROM walk GROUP BY id),
+m AS (
+  SELECT c.cluster_id, d.c_custkey, d.c_acctbal,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.c_acctbal DESC, d.c_custkey)
+           AS rn,
+         count(*) OVER (PARTITION BY c.cluster_id) AS n
+  FROM comp c JOIN customer d ON d.c_custkey = c.id
+)
+SELECT cluster_id, CAST(c_custkey AS BIGINT) AS survivor_id,
+       CAST(n AS BIGINT) AS n_members,
+       round(c_acctbal, 2) AS survivor_quality
+FROM m WHERE rn = 1 AND n >= 2 ORDER BY cluster_id
+"""
+
+
 ORACLE_Q122 = """
 WITH b AS (
   SELECT lang,
@@ -6007,6 +6169,7 @@ QUERIES = {
     "q137_zorder_audit": q137_zorder_audit,
     "q138_srm_check": q138_srm_check,
     "q139_fdr_correction": q139_fdr_correction,
+    "q140_entity_resolution": q140_entity_resolution,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -6154,4 +6317,5 @@ ORACLES = {
     "q137_zorder_audit": ORACLE_Q137,
     "q138_srm_check": ORACLE_Q138,
     "q139_fdr_correction": ORACLE_Q139,
+    "q140_entity_resolution": ORACLE_Q140,
 }
