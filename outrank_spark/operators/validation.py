@@ -224,6 +224,9 @@ def benford_audit(df: DataFrame, cols: list[str],
     ``floor(v / 10^floor(log10 v))`` can flip buckets on 1-ulp libm
     differences.  Values with ``|v| < 1/(2*scale)`` (incl. 0) and
     nulls are excluded, and n_obs counts per column reflect that.
+    A column with ZERO admissible values is absent from the report
+    (its fractions would be 0/0) — pair with :func:`profile_table`'s
+    null counts when auditing possibly-empty columns.
 
     Scale shape: ONE scan — all columns unpivot through ``stack``
     into (column, value), one map-side-combinable groupBy on
@@ -289,7 +292,10 @@ def fd_violations(df: DataFrame, fds: list[tuple],
     names.  One row per FD: ``(fd_id, lhs, rhs, n_rows, n_groups,
     n_violating_groups, g3_violations, g3_error, holds)``.  Rows with
     a NULL anywhere in lhs+rhs are excluded (SQL grouping would
-    otherwise treat NULL as a value and understate violations).
+    otherwise treat NULL as a value and understate violations); an FD
+    whose admissible row set is EMPTY reports ``holds = true`` with
+    ``n_rows = 0`` and a null ``g3_error`` — vacuous truth, visibly
+    flagged by the zero count.
 
     Scale shape, per FD: groupBy(lhs, rhs).count — fully map-side
     combinable — then a second vocabulary-sized groupBy(lhs) taking
