@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["roc_auc", "calibration_report", "correlation_matrix",
            "spearman_correlation", "cuped_adjust", "srm_check",
-           "bh_fdr"]
+           "bh_fdr", "retrieval_metrics"]
 
 
 def roc_auc(df: DataFrame, label_col: str, score_col: str,
@@ -463,4 +463,87 @@ def bh_fdr(df: DataFrame, p_col: str, id_col: str,
             (F.col("p_adj") <= F.lit(float(fdr_q))).alias("rejected"),
         )
         .orderBy("rank")
+    )
+
+
+def retrieval_metrics(df: DataFrame, query_col: str, doc_col: str,
+                      score_col: str, rel_col: str, k: int = 10,
+                      round_to: int = 6) -> DataFrame:
+    """Per-query retrieval quality — the eval layer for the engine's
+    BM25 (q81) and ANN (q15/q31/q115) retrieval paths: ``(query,
+    n_docs, n_rel, ndcg_k, mrr_k, recall_k)`` from a candidate run of
+    ``(query, doc, score, graded relevance)`` rows.
+
+    * ``ndcg_k``: DCG@k with the (2^rel - 1)/log2(rank+1) gain over
+      the (score desc, doc asc) ranking, normalized by the ideal
+      (rel desc, doc asc) ordering; null when the query has no
+      positive gain in its ideal top-k (0/0 — macro averages via
+      ``avg`` skip those queries, the standard convention).
+    * ``mrr_k``: 1/rank of the first relevant hit if it lands in the
+      top k, else 0.
+    * ``recall_k``: relevant-in-top-k / total relevant; null when the
+      query has no relevant candidates at all.
+
+    Ranks are fully deterministic ((score desc, doc asc) — callers
+    that round scores before ranking, like q15's 4-dp cosine, get
+    engine-stable ranks even under score ties).
+
+    Scale shape: two windows partitioned BY QUERY (a query's
+    candidate list is bounded — the retrieval run already cut it to
+    a shortlist) + one map-side-combinable groupBy(query).  A
+    10^9-query eval shards by query hash like any aggregate; nothing
+    global ever sorts.
+    """
+    for c in (query_col, doc_col, score_col, rel_col):
+        if c not in df.columns:
+            raise ValueError(f"unknown column {c!r}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    rel = F.col("__rel")
+    base = df.select(
+        F.col(query_col).alias("query"),
+        F.col(doc_col).alias("__doc"),
+        F.col(score_col).cast("double").alias("__s"),
+        F.coalesce(F.col(rel_col).cast("double"), F.lit(0.0))
+        .alias("__rel"),
+    ).where(F.col("__s").isNotNull())
+    w_run = Window.partitionBy("query").orderBy(
+        F.desc("__s"), F.col("__doc"))
+    w_ideal = Window.partitionBy("query").orderBy(
+        F.desc("__rel"), F.col("__doc"))
+    gain = F.pow(F.lit(2.0), rel) - F.lit(1.0)
+    ranked = base.select(
+        "query", "__rel",
+        F.row_number().over(w_run).alias("__r"),
+        F.row_number().over(w_ideal).alias("__ir"),
+        gain.alias("__g"),
+    )
+    disc = lambda r: F.log2(r + F.lit(1.0))  # noqa: E731
+    agg = ranked.groupBy("query").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(rel > 0, 1).otherwise(0)).cast("long")
+        .alias("n_rel"),
+        F.sum(F.when(F.col("__r") <= k, F.col("__g") / disc(F.col("__r")))
+              .otherwise(0.0)).alias("__dcg"),
+        F.sum(F.when(F.col("__ir") <= k,
+                     F.col("__g") / disc(F.col("__ir")))
+              .otherwise(0.0)).alias("__idcg"),
+        F.min(F.when(rel > 0, F.col("__r"))).alias("__fr"),
+        F.sum(F.when((F.col("__r") <= k) & (rel > 0), 1).otherwise(0))
+        .cast("long").alias("__hit"),
+    )
+    return agg.select(
+        "query", F.col("n_docs").cast("long"), "n_rel",
+        F.when(F.col("__idcg") > 0,
+               F.round(F.col("__dcg") / F.col("__idcg"), round_to))
+        .alias("ndcg_k"),
+        F.round(
+            F.when(F.col("__fr").isNotNull() & (F.col("__fr") <= k),
+                   F.lit(1.0) / F.col("__fr")).otherwise(F.lit(0.0)),
+            round_to).alias("mrr_k"),
+        F.when(F.col("n_rel") > 0,
+               F.round(F.col("__hit") / F.col("n_rel"), round_to))
+        .alias("recall_k"),
     )

@@ -6032,6 +6032,109 @@ FROM m WHERE rn = 1 AND n >= 2 ORDER BY cluster_id
 """
 
 
+def q141_retrieval_quality(spark, sf_dir):
+    """Retrieval-quality metrics (operators/evaluation.
+    retrieval_metrics) over the q15 cosine run: 5 embedding probes,
+    20-candidate shortlist by 4-dp-rounded cosine (q15's
+    rank-stability convention), relevance = label match, nDCG@10 /
+    MRR@10 / recall@10 per query.  The eval layer that closes the
+    retrieval loop: q81 BM25 and q15/q31/q115 ANN produce runs, this
+    grades them.  Oracle replays gains, discounts, ideal ranking and
+    the recall denominator window-for-window."""
+    from outrank_spark.operators.evaluation import retrieval_metrics
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"),
+    )
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("embedding"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x),
+    )
+    scored = (
+        F.broadcast(probes).crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            F.round(dot / (norm(F.col("qv"))
+                           * norm(F.col("embedding"))), 4)
+            .alias("cosine"),
+            (F.col("label") == F.col("qlabel")).cast("int")
+            .alias("rel"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("vec_id"))
+    shortlist = (
+        scored.withColumn("__sr", F.row_number().over(w))
+        .where(F.col("__sr") <= 20)
+        .drop("__sr")
+    )
+    return retrieval_metrics(
+        shortlist, "query_id", "vec_id", "cosine", "rel", k=10,
+    ).orderBy("query")
+
+
+ORACLE_Q141 = """
+WITH probes AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT query_id, e.vec_id,
+         round(list_dot_product(qv::DOUBLE[], e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]))),
+               4) AS cosine,
+         CASE WHEN e.label = qlabel THEN 1 ELSE 0 END AS rel
+  FROM probes, embeddings e
+  WHERE e.vec_id != query_id
+), shortlist AS (
+  SELECT query_id, vec_id, cosine, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS sr
+    FROM scored
+  ) WHERE sr <= 20
+), ranked AS (
+  SELECT query_id, rel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY CAST(rel AS DOUBLE) DESC, vec_id)
+           AS ir,
+         pow(2.0, CAST(rel AS DOUBLE)) - 1.0 AS g
+  FROM shortlist
+), agg AS (
+  SELECT query_id AS query,
+         count(*) AS n_docs,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_rel,
+         sum(CASE WHEN r <= 10 THEN g / log2(r + 1.0) ELSE 0.0 END)
+           AS dcg,
+         sum(CASE WHEN ir <= 10 THEN g / log2(ir + 1.0) ELSE 0.0 END)
+           AS idcg,
+         min(CASE WHEN rel > 0 THEN r END) AS fr,
+         sum(CASE WHEN r <= 10 AND rel > 0 THEN 1 ELSE 0 END) AS hit
+  FROM ranked GROUP BY query_id
+)
+SELECT query, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_rel AS BIGINT) AS n_rel,
+       CASE WHEN idcg > 0 THEN round(dcg / idcg, 6) END AS ndcg_k,
+       round(CASE WHEN fr IS NOT NULL AND fr <= 10
+                  THEN 1.0 / fr ELSE 0.0 END, 6) AS mrr_k,
+       CASE WHEN n_rel > 0
+            THEN round(hit / CAST(n_rel AS DOUBLE), 6) END AS recall_k
+FROM agg ORDER BY query
+"""
+
+
 ORACLE_Q122 = """
 WITH b AS (
   SELECT lang,
@@ -6170,6 +6273,7 @@ QUERIES = {
     "q138_srm_check": q138_srm_check,
     "q139_fdr_correction": q139_fdr_correction,
     "q140_entity_resolution": q140_entity_resolution,
+    "q141_retrieval_quality": q141_retrieval_quality,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -6318,4 +6422,5 @@ ORACLES = {
     "q138_srm_check": ORACLE_Q138,
     "q139_fdr_correction": ORACLE_Q139,
     "q140_entity_resolution": ORACLE_Q140,
+    "q141_retrieval_quality": ORACLE_Q141,
 }

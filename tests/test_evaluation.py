@@ -426,3 +426,75 @@ class TestBhFdr:
             bh_fdr(df, "zzz", "id")
         with pytest.raises(ValueError, match="fdr_q"):
             bh_fdr(df, "p", "id", fdr_q=1.5)
+
+
+class TestRetrievalMetrics:
+    def test_hand_computed_ndcg_mrr_recall(self, spark):
+        import math
+
+        from outrank_spark.operators.evaluation import retrieval_metrics
+
+        # query A: run order (by score desc) rel = [0, 1, 0, 1];
+        # 3 relevant total (one below the shortlist? no — all 4 rows
+        # ARE the run; n_rel counts within the run)
+        rows = [
+            ("A", "d1", 0.9, 0), ("A", "d2", 0.8, 1),
+            ("A", "d3", 0.7, 0), ("A", "d4", 0.6, 1),
+            ("B", "d1", 0.9, 0), ("B", "d2", 0.8, 0),
+        ]
+        df = spark.createDataFrame(
+            rows, "q string, d string, s double, rel int")
+        got = {r["query"]: r for r in
+               retrieval_metrics(df, "q", "d", "s", "rel",
+                                 k=3).collect()}
+        a = got["A"]
+        dcg = 1 / math.log2(3) + 0  # rel at ranks 2 (and 4 > k)
+        idcg = 1 / math.log2(2) + 1 / math.log2(3)
+        assert a["ndcg_k"] == pytest.approx(dcg / idcg, abs=5e-7)
+        assert a["mrr_k"] == pytest.approx(0.5)      # first rel at 2
+        assert a["recall_k"] == pytest.approx(0.5)   # 1 of 2 in top-3
+        assert (a["n_docs"], a["n_rel"]) == (4, 2)
+        b = got["B"]                                  # no relevant
+        assert b["ndcg_k"] is None and b["recall_k"] is None
+        assert b["mrr_k"] == 0.0
+
+    def test_perfect_ranking_is_one(self, spark):
+        from outrank_spark.operators.evaluation import retrieval_metrics
+
+        rows = [("q", f"d{i}", 1.0 - i / 10, 1 if i < 3 else 0)
+                for i in range(8)]
+        df = spark.createDataFrame(
+            rows, "q string, d string, s double, rel int")
+        r = retrieval_metrics(df, "q", "d", "s", "rel", k=5).collect()[0]
+        assert r["ndcg_k"] == 1.0
+        assert r["mrr_k"] == 1.0
+        assert r["recall_k"] == 1.0
+
+    def test_graded_relevance_and_tie_determinism(self, spark):
+        import math
+
+        from outrank_spark.operators.evaluation import retrieval_metrics
+
+        # equal scores everywhere -> rank by doc asc; graded rel 2
+        # uses gain 2^2 - 1 = 3
+        rows = [("q", "a", 0.5, 0), ("q", "b", 0.5, 2), ("q", "c", 0.5, 1)]
+        df = spark.createDataFrame(
+            rows, "q string, d string, s double, rel int")
+        r = retrieval_metrics(df, "q", "d", "s", "rel", k=3).collect()[0]
+        dcg = 3 / math.log2(3) + 1 / math.log2(4)     # b at 2, c at 3
+        idcg = 3 / math.log2(2) + 1 / math.log2(3)
+        assert r["ndcg_k"] == pytest.approx(dcg / idcg, abs=5e-7)
+        assert r["mrr_k"] == pytest.approx(0.5)
+
+    def test_null_scores_dropped_and_errors(self, spark):
+        from outrank_spark.operators.evaluation import retrieval_metrics
+
+        df = spark.createDataFrame(
+            [("q", "a", None, 1), ("q", "b", 0.5, 1)],
+            "q string, d string, s double, rel int")
+        r = retrieval_metrics(df, "q", "d", "s", "rel", k=1).collect()[0]
+        assert r["n_docs"] == 1 and r["recall_k"] == 1.0
+        with pytest.raises(ValueError, match="unknown column"):
+            retrieval_metrics(df, "q", "d", "zzz", "rel")
+        with pytest.raises(ValueError, match="k must"):
+            retrieval_metrics(df, "q", "d", "s", "rel", k=0)
