@@ -512,3 +512,87 @@ class TestScoringBatchSpread:
         plan = plan_of(out)
         assert "REPARTITION_BY_NUM" in plan
         assert str(64 * shuf) in plan[plan.index("Exchange"):]
+
+
+class TestSessionThreeOps:
+    def test_benford_single_scan_shape(self, spark):
+        from outrank_spark.operators.validation import benford_audit
+
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        plan = plan_of(benford_audit(orders, ["o_totalprice",
+                                              "o_custkey"]))
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_key_skew_windows_are_histogram_sized(self, spark):
+        """key_skew_audit's two windows must run AFTER the
+        count-of-counts aggregation — the window input is the
+        distinct-count histogram, never per-key (let alone per-row)
+        data.  Both HashAggregates appear below the Window nodes in
+        the plan tree."""
+        from outrank_spark.operators.validation import key_skew_audit
+
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        plan = plan_of(key_skew_audit(li, "l_suppkey"))
+        first_window = plan.index("Window")
+        # both the per-key count and the histogram groupBy hash-
+        # aggregate below (later in the string = deeper in the tree)
+        assert plan.count("HashAggregate", first_window) >= 4
+
+    def test_bh_fdr_windows_over_tests_table_only(self, spark):
+        """bh_fdr's global windows are the documented metric-count-
+        sized exception; the m denominator must arrive as a broadcast
+        1-row aggregate, not a shuffle."""
+        from pyspark.sql import functions as F
+
+        from outrank_spark.operators.evaluation import bh_fdr
+
+        tests = spark.range(200).select(
+            F.col("id").cast("string").alias("t"),
+            (F.pmod(F.xxhash64("id"), 1000) / 1000.0).alias("p"),
+        )
+        plan = plan_of(bh_fdr(tests, "p", "t"))
+        assert "BroadcastNestedLoopJoin" in plan or \
+            "BroadcastExchange" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_retrieval_metrics_windows_partition_by_query(self, spark):
+        """retrieval_metrics must never fall into the single-
+        partition-window trap: every Window node carries the query
+        column in its partition spec."""
+        from outrank_spark.operators.evaluation import retrieval_metrics
+
+        df = spark.createDataFrame(
+            [(q, d, float(d), d % 2) for q in range(4)
+             for d in range(20)],
+            "q int, d int, s double, rel int")
+        plan = plan_of(retrieval_metrics(df, "q", "d", "s", "rel"))
+        for chunk in plan.split("Window")[1:]:
+            head = chunk[:200]
+            if "partition" in head.lower() or "q#" in head:
+                assert "q#" in head  # partitioned by the query col
+
+    def test_fellegi_sunter_ships_only_pattern_table(self, spark):
+        """The EM's distributed stage is ONE groupBy to <=2^k rows:
+        the plan of the pattern aggregation has no join, no window,
+        no Python."""
+        from pyspark.sql import functions as F
+
+        from outrank_spark.operators.dedup import fellegi_sunter_em
+
+        pairs = spark.range(5000).select(
+            (F.col("id") % 2 == 0).alias("a"),
+            (F.col("id") % 3 == 0).alias("b"),
+        )
+        # the operator collects internally; audit the same shape it
+        # aggregates (select + groupBy + count)
+        shaped = pairs.select(
+            F.coalesce(F.col("a").cast("int"), F.lit(0)).alias("g0"),
+            F.coalesce(F.col("b").cast("int"), F.lit(0)).alias("g1"),
+        ).groupBy("g0", "g1").agg(F.count(F.lit(1)).alias("c"))
+        plan = plan_of(shaped)
+        assert "Join" not in plan and "Window" not in plan
+        assert "HashAggregate" in plan
+        # and the real operator returns the fitted table
+        out = fellegi_sunter_em(pairs, ["a", "b"], iters=1)
+        assert out.count() == 3  # 2 fields + prior row
