@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["roc_auc", "calibration_report", "correlation_matrix",
            "spearman_correlation", "cuped_adjust", "srm_check",
-           "bh_fdr", "retrieval_metrics"]
+           "bh_fdr", "retrieval_metrics", "isotonic_calibrate"]
 
 
 def roc_auc(df: DataFrame, label_col: str, score_col: str,
@@ -546,4 +546,91 @@ def retrieval_metrics(df: DataFrame, query_col: str, doc_col: str,
         F.when(F.col("n_rel") > 0,
                F.round(F.col("__hit") / F.col("n_rel"), round_to))
         .alias("recall_k"),
+    )
+
+
+def isotonic_calibrate(df: DataFrame, label_col: str, prob_col: str,
+                       n_bins: int = 100,
+                       round_to: int = 6) -> DataFrame:
+    """Isotonic (PAV) score calibration map — what turns a quality
+    classifier's raw scores into usable sampling weights when
+    :func:`calibration_report` shows they don't mean what they say:
+    ``(bin, lo, hi, n, mean_prob, frac_pos, calibrated)`` with
+    ``calibrated`` the pool-adjacent-violators fit, monotone
+    non-decreasing in the score by construction.
+
+    Distributed shape (the standard large-scale isotonic recipe):
+    the corpus reduces to ``n_bins`` fixed-width score bins in ONE
+    map-side-combinable aggregate; PAV then runs driver-side over the
+    <= n_bins (rate, weight) sequence — a 10^12-row fit costs the
+    same PAV as a 10^5-row one, and binned PAV converges to the exact
+    isotonic fit as bins refine (the classic sufficient-statistics
+    argument: PAV depends on the data only through cumulative
+    (weight, positives) at cut points).  Apply the map with a
+    broadcast join on the bin id.
+
+    Rows-only verification (no SQL oracle: PAV's pooling sequence is
+    data-dependent and not expressible as fixed SQL): a pure-numpy
+    PAV reference, monotonicity and weighted-mean invariants, and
+    sklearn's textbook examples pinned in pytest.
+    """
+    if not (2 <= n_bins <= 100_000):
+        raise ValueError(f"n_bins must be in [2, 1e5], got {n_bins}")
+    p = F.col(prob_col).cast("double")
+    y = F.col(label_col).cast("double")
+    binned = (
+        df.where(p.isNotNull() & y.isNotNull())
+        .select(
+            F.when((p < 0) | (p > 1), F.raise_error(
+                F.concat(F.lit(f"{prob_col} outside [0, 1]: "),
+                         p.cast("string"))))
+            .otherwise(
+                F.least(F.floor(p * n_bins).cast("int"),
+                        F.lit(n_bins - 1)),
+            ).alias("bin"),
+            p.alias("__p"),
+            F.when(y != 0, F.lit(1.0)).otherwise(F.lit(0.0))
+            .alias("__y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("__p").alias("mean_prob"),
+            F.avg("__y").alias("frac_pos"),
+        )
+        .orderBy("bin")
+    )
+    rows = binned.collect()
+    if not rows:
+        raise ValueError("no non-null (label, prob) rows to calibrate")
+    # PAV over the bin sequence: pool adjacent violators, each block
+    # carrying (weighted rate, total weight); a new block merges left
+    # while it undercuts its predecessor
+    blocks: list[list[float]] = []   # [rate, weight, first_idx]
+    for i, r in enumerate(rows):
+        blocks.append([float(r["frac_pos"]), float(r["n"]), i])
+        while len(blocks) > 1 and blocks[-1][0] < blocks[-2][0]:
+            rate2, w2, _ = blocks.pop()
+            rate1, w1, j = blocks.pop()
+            blocks.append(
+                [(rate1 * w1 + rate2 * w2) / (w1 + w2), w1 + w2, j])
+    # expand block rates back to per-bin values
+    out_rates = [0.0] * len(rows)
+    b = 0
+    for i in range(len(rows)):
+        if b + 1 < len(blocks) and i >= blocks[b + 1][2]:
+            b += 1
+        out_rates[i] = blocks[b][0]
+    width = 1.0 / n_bins
+    data = [
+        (int(r["bin"]), round(int(r["bin"]) * width, round_to),
+         round((int(r["bin"]) + 1) * width, round_to), int(r["n"]),
+         round(float(r["mean_prob"]), round_to),
+         round(float(r["frac_pos"]), round_to),
+         round(out_rates[i], round_to))
+        for i, r in enumerate(rows)
+    ]
+    return df.sparkSession.createDataFrame(
+        data, "bin int, lo double, hi double, n long, "
+              "mean_prob double, frac_pos double, calibrated double",
     )

@@ -6135,6 +6135,32 @@ FROM agg ORDER BY query
 """
 
 
+def q142_isotonic_calibration(spark, sf_dir):
+    """Isotonic (PAV) calibration map (operators/evaluation.
+    isotonic_calibrate) over a deterministic miscalibrated scorer:
+    score = md5-uniform of doc_id, label drawn by comparing a second
+    md5 lane against a non-monotone true rate — the corpus reduces
+    to 20 fixed-width bins in one aggregate, PAV pools driver-side.
+    Rows-only: PAV's pooling sequence is data-dependent and not
+    expressible as fixed SQL; correctness is pinned by the numpy-PAV
+    parity, monotonicity, and mean-preservation pytest suite."""
+    from outrank_spark.operators.evaluation import isotonic_calibrate
+
+    docs = load(spark, sf_dir, "documents")
+    u1 = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                             1, 8), 16, 10).cast("long")
+          / F.lit(4294967296.0))
+    u2 = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("lbl|"), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long") / F.lit(4294967296.0))
+    # true positive rate dips mid-range: raw score is miscalibrated
+    truth = 0.15 + 0.7 * F.pow(F.sin(u1 * 3.0), 2)
+    scored = docs.select(
+        u1.alias("p"), (u2 < truth).cast("int").alias("label"),
+    )
+    return isotonic_calibrate(scored, "label", "p", n_bins=20)
+
+
 ORACLE_Q122 = """
 WITH b AS (
   SELECT lang,
@@ -6306,6 +6332,7 @@ QUERIES = {
     "q110_sql_sketch_surface": q110_sql_sketch_surface,
     "q119_minhash_delta_dedup": q119_minhash_delta_dedup,
     "q127_join_size_estimate": q127_join_size_estimate,
+    "q142_isotonic_calibration": q142_isotonic_calibration,
 }
 
 ORACLES = {

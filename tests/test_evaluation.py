@@ -498,3 +498,83 @@ class TestRetrievalMetrics:
             retrieval_metrics(df, "q", "d", "zzz", "rel")
         with pytest.raises(ValueError, match="k must"):
             retrieval_metrics(df, "q", "d", "s", "rel", k=0)
+
+
+class TestIsotonicCalibrate:
+    @staticmethod
+    def _numpy_pav(rates, weights):
+        import numpy as np
+
+        r = np.asarray(rates, dtype=float).copy()
+        w = np.asarray(weights, dtype=float).copy()
+        blocks = [[r[i], w[i], i] for i in range(len(r))]
+        out = []
+        for blk in blocks:
+            out.append(blk)
+            while len(out) > 1 and out[-1][0] < out[-2][0]:
+                r2, w2, _ = out.pop()
+                r1, w1, j = out.pop()
+                out.append([(r1 * w1 + r2 * w2) / (w1 + w2),
+                            w1 + w2, j])
+        vals = np.empty(len(r))
+        for k, (rate, _, j) in enumerate(out):
+            end = out[k + 1][2] if k + 1 < len(out) else len(r)
+            vals[j:end] = rate
+        return vals
+
+    def test_matches_numpy_pav_and_monotone(self, spark):
+        import numpy as np
+
+        from outrank_spark.operators.evaluation import isotonic_calibrate
+
+        rng = np.random.default_rng(3)
+        n = 5000
+        probs = rng.random(n)
+        # miscalibrated non-monotone-ish truth
+        truth = np.clip(0.2 + 0.5 * np.sin(3 * probs) ** 2, 0, 1)
+        labels = (rng.random(n) < truth).astype(int)
+        df = spark.createDataFrame(
+            [(int(y), float(p)) for y, p in zip(labels, probs)],
+            "label int, p double")
+        got = isotonic_calibrate(df, "label", "p", n_bins=25).collect()
+        cal = [r["calibrated"] for r in got]
+        assert cal == sorted(cal)                 # monotone
+        rates = [r["frac_pos"] for r in got]
+        weights = [r["n"] for r in got]
+        want = self._numpy_pav(rates, weights)
+        # 6-dp rounding on both frac_pos inputs and outputs
+        for g, w in zip(cal, want):
+            assert g == pytest.approx(w, abs=2e-6)
+        # PAV preserves the global weighted mean
+        tot = sum(weights)
+        assert sum(c * w for c, w in zip(cal, weights)) / tot == \
+            pytest.approx(labels.mean(), abs=2e-6)
+
+    def test_textbook_pooling(self, spark):
+        from outrank_spark.operators.evaluation import isotonic_calibrate
+
+        # bins engineered so bin1 rate (1.0) > bin2 rate (0.0):
+        # PAV pools them to 0.5 (equal weights)
+        rows = ([(1, 0.05)] * 0 + [(0, 0.05)] * 2      # bin 0: rate 0
+                + [(1, 0.35)] * 2                       # bin 1: rate 1
+                + [(0, 0.65)] * 2                       # bin 2: rate 0
+                + [(1, 0.95)] * 2)                      # bin 3: rate 1
+        df = spark.createDataFrame(rows, "label int, p double")
+        got = {r["bin"]: r["calibrated"] for r in
+               isotonic_calibrate(df, "label", "p", n_bins=4).collect()}
+        assert got[0] == 0.0
+        assert got[1] == pytest.approx(0.5) and got[2] == pytest.approx(0.5)
+        assert got[3] == 1.0
+
+    def test_errors(self, spark):
+        from outrank_spark.operators.evaluation import isotonic_calibrate
+
+        df = spark.createDataFrame([(1, 0.5)], "label int, p double")
+        with pytest.raises(ValueError, match="n_bins"):
+            isotonic_calibrate(df, "label", "p", n_bins=1)
+        empty = spark.createDataFrame([], "label int, p double")
+        with pytest.raises(ValueError, match="no non-null"):
+            isotonic_calibrate(empty, "label", "p")
+        bad = spark.createDataFrame([(1, 1.5)], "label int, p double")
+        with pytest.raises(Exception, match="outside"):
+            isotonic_calibrate(bad, "label", "p")
