@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 __all__ = ["stratified_sample", "weighted_sample", "reservoir_sample",
            "temperature_rebalance", "dsir_logratio", "mixture_sample",
            "hash_split", "bootstrap_replicate_stats",
-           "bootstrap_mean_ci", "POISSON1_CDF"]
+           "bootstrap_mean_ci", "negative_samples", "POISSON1_CDF"]
 
 _KEY_SPACE = 1 << 32  # md5-prefix keys are uniform in [0, 2^32)
 
@@ -553,3 +553,69 @@ def bootstrap_mean_ci(df: DataFrame, value_col: str, id_col: str,
         "hi": float(np.quantile(means, 1 - alpha / 2)),
         "B": int(means.size),
     }
+
+
+def negative_samples(positives: DataFrame, items: DataFrame,
+                     user_col: str, item_col: str,
+                     k: int = 5, seed: str = "neg") -> DataFrame:
+    """Deterministic uniform negative sampling for implicit-feedback
+    ranking training: for every distinct user in ``positives``, draw
+    ``k`` candidate items from the ``items`` catalog by the engine's
+    md5 key (draw j of user u hits catalog INDEX
+    ``md5(seed|u|j) mod n_items``) and drop draws that collide with
+    the user's own positives.  Returns ``(user, draw, item)`` — up to
+    ``k`` rows per user; collisions are DROPPED, not resampled
+    (the standard uniform-then-filter scheme: resampling loops are
+    data-dependent, this stays one-shot deterministic and
+    engine-replayable; with catalogs >> per-user positives the loss
+    is a few draws per thousand).
+
+    Scale shape: distinct-users x k explode (a projection), catalog
+    indexed once by a dimension-sized window (row_number over the
+    item id — items tables are the SMALL side by definition),
+    broadcast join draws->items on the dense index, one anti-join
+    against positives on (user, item).  Nothing corpus-sized shuffles
+    except the positives anti-join, which is the join any trainer
+    performs anyway.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    for c, d in ((user_col, positives), (item_col, positives)):
+        if c not in d.columns:
+            raise ValueError(f"unknown column {c!r} in positives")
+    if item_col not in items.columns:
+        raise ValueError(f"unknown column {item_col!r} in items")
+    from pyspark.sql import Window
+
+    n_items = items.count()
+    if n_items == 0:
+        raise ValueError("items catalog is empty")
+    indexed = items.select(
+        F.col(item_col).alias("__item"),
+        (F.row_number().over(Window.orderBy(item_col)) - 1)
+        .alias("__idx"),
+    )
+    users = positives.select(
+        F.col(user_col).alias("__user")).distinct()
+    draws = users.select(
+        "__user",
+        F.explode(F.array(*[F.lit(j) for j in range(1, k + 1)]))
+        .alias("draw"),
+    )
+    key = F.conv(
+        F.substring(F.md5(F.concat_ws(
+            "|", F.lit(seed), F.col("__user").cast("string"),
+            F.col("draw").cast("string"))), 1, 8), 16, 10,
+    ).cast("long")
+    cand = draws.select(
+        "__user", "draw", F.pmod(key, F.lit(n_items)).alias("__idx"))
+    resolved = cand.join(F.broadcast(indexed), "__idx")
+    pos = positives.select(
+        F.col(user_col).alias("__user"),
+        F.col(item_col).alias("__item"),
+    ).distinct()
+    return (
+        resolved.join(pos, ["__user", "__item"], "left_anti")
+        .select(F.col("__user").alias(user_col), "draw",
+                F.col("__item").alias(item_col))
+    )

@@ -6161,6 +6161,60 @@ def q142_isotonic_calibration(spark, sf_dir):
     return isotonic_calibrate(scored, "label", "p", n_bins=20)
 
 
+def q143_negative_sampling(spark, sf_dir):
+    """Deterministic uniform negative sampling (operators/sampling.
+    negative_samples): per customer, 5 md5-keyed draws from the part
+    catalog with the customer's own purchased parts anti-joined away
+    — the implicit-feedback training-set builder.  One-shot
+    uniform-then-filter (collisions dropped, never resampled) keeps
+    the draw engine-replayable: the oracle rebuilds every draw from
+    the same md5 arithmetic and the same dense catalog index."""
+    from outrank_spark.operators.sampling import negative_samples
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    positives = (
+        orders.join(lineitem,
+                    orders.o_orderkey == lineitem.l_orderkey)
+        .select("o_custkey", "l_partkey")
+    )
+    return negative_samples(
+        positives, part.withColumnRenamed("p_partkey", "l_partkey"),
+        "o_custkey", "l_partkey", k=5, seed="q143",
+    ).orderBy("o_custkey", "draw")
+
+
+ORACLE_Q143 = """
+WITH pos AS (
+  SELECT DISTINCT o_custkey AS u, l_partkey AS it
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), n AS (SELECT count(*) AS n FROM part),
+idx AS (
+  SELECT p_partkey AS it,
+         row_number() OVER (ORDER BY p_partkey) - 1 AS i
+  FROM part
+), users AS (SELECT DISTINCT u FROM pos),
+draws AS (
+  SELECT u, g.j AS draw
+  FROM users CROSS JOIN generate_series(1, 5) AS g(j)
+), cand AS (
+  SELECT u, draw,
+         CAST(('0x' || substr(md5('q143' || '|' || CAST(u AS VARCHAR)
+                                  || '|' || CAST(draw AS VARCHAR)),
+                              1, 8)) AS BIGINT) % n.n AS i
+  FROM draws CROSS JOIN n
+), res AS (
+  SELECT u, draw, it FROM cand JOIN idx USING (i)
+)
+SELECT u AS o_custkey, CAST(draw AS INT) AS draw, it AS l_partkey
+FROM res r
+WHERE NOT EXISTS (SELECT 1 FROM pos p
+                  WHERE p.u = r.u AND p.it = r.it)
+ORDER BY o_custkey, draw
+"""
+
+
 ORACLE_Q122 = """
 WITH b AS (
   SELECT lang,
@@ -6300,6 +6354,7 @@ QUERIES = {
     "q139_fdr_correction": q139_fdr_correction,
     "q140_entity_resolution": q140_entity_resolution,
     "q141_retrieval_quality": q141_retrieval_quality,
+    "q143_negative_sampling": q143_negative_sampling,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -6450,4 +6505,5 @@ ORACLES = {
     "q139_fdr_correction": ORACLE_Q139,
     "q140_entity_resolution": ORACLE_Q140,
     "q141_retrieval_quality": ORACLE_Q141,
+    "q143_negative_sampling": ORACLE_Q143,
 }

@@ -738,3 +738,69 @@ class TestBootstrap:
             bootstrap_replicate_stats)
         with pytest.raises(ValueError, match="B must be"):
             bootstrap_replicate_stats(df, "v", "doc_id", B=0)
+
+
+class TestNegativeSamples:
+    def test_deterministic_and_positive_free(self, spark):
+        import hashlib
+
+        from outrank_spark.operators.sampling import negative_samples
+
+        pos = spark.createDataFrame(
+            [(u, i) for u in range(20) for i in (u % 7, (u + 1) % 7)],
+            "user long, item long")
+        items = spark.createDataFrame(
+            [(i,) for i in range(7)], "item long")
+        got = negative_samples(pos, items, "user", "item",
+                               k=4, seed="s").collect()
+        got2 = negative_samples(pos, items, "user", "item",
+                                k=4, seed="s").collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
+        pos_set = {(u, i) for u in range(20)
+                   for i in (u % 7, (u + 1) % 7)}
+        for r in got:
+            assert (r["user"], r["item"]) not in pos_set
+            # replay the md5 draw: index -> item is identity here
+            key = int(hashlib.md5(
+                f"s|{r['user']}|{r['draw']}".encode(),
+            ).hexdigest()[:8], 16)
+            assert r["item"] == key % 7
+
+    def test_at_most_k_per_user_and_collision_drop(self, spark):
+        from outrank_spark.operators.sampling import negative_samples
+
+        # catalog of 2: with positives covering item 0, roughly half
+        # the draws collide and are dropped, never resampled
+        pos = spark.createDataFrame(
+            [(u, 0) for u in range(50)], "user long, item long")
+        items = spark.createDataFrame([(0,), (1,)], "item long")
+        got = negative_samples(pos, items, "user", "item", k=6)
+        per_user = {r["user"]: 0 for r in got.collect()}
+        rows = got.collect()
+        for r in rows:
+            per_user[r["user"]] += 1
+            assert r["item"] == 1          # only non-positive item
+        assert all(c <= 6 for c in per_user.values())
+        assert 0 < len(rows) < 50 * 6      # some draws collided
+
+    def test_non_contiguous_catalog_ids(self, spark):
+        from outrank_spark.operators.sampling import negative_samples
+
+        pos = spark.createDataFrame([(1, 100)], "user long, item long")
+        items = spark.createDataFrame(
+            [(100,), (555,), (9000,)], "item long")
+        got = negative_samples(pos, items, "user", "item", k=8)
+        assert set(r["item"] for r in got.collect()) <= {555, 9000}
+
+    def test_errors(self, spark):
+        from outrank_spark.operators.sampling import negative_samples
+
+        pos = spark.createDataFrame([(1, 2)], "user long, item long")
+        items = spark.createDataFrame([(2,)], "item long")
+        with pytest.raises(ValueError, match="k must"):
+            negative_samples(pos, items, "user", "item", k=0)
+        with pytest.raises(ValueError, match="unknown column"):
+            negative_samples(pos, items, "zz", "item")
+        empty = spark.createDataFrame([], "item long")
+        with pytest.raises(ValueError, match="catalog is empty"):
+            negative_samples(pos, empty, "user", "item")
