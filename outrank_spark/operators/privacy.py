@@ -32,7 +32,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["k_anonymity_audit", "k_anonymity_summary"]
+__all__ = ["k_anonymity_audit", "k_anonymity_summary",
+           "pseudonymize"]
 
 
 def k_anonymity_audit(df: DataFrame, quasi_cols: list[str], k: int = 5,
@@ -106,3 +107,46 @@ def k_anonymity_summary(df: DataFrame, quasi_cols: list[str], k: int = 5,
     return out.withColumn(
         "k_anonymous", F.col("violating_classes") == F.lit(0),
     )
+
+
+def pseudonymize(df: DataFrame, cols: list[str],
+                 secret: str, prefix: str = "tok_",
+                 keep_null: bool = True) -> DataFrame:
+    """Deterministic keyed pseudonymization: replace each value in
+    ``cols`` with ``prefix + md5(secret|value)[:16]`` — the standard
+    GDPR-pipeline trade: identifiers become opaque tokens, but
+    REFERENTIAL INTEGRITY survives (equal values map to equal tokens
+    across every table pseudonymized with the same secret, so joins,
+    groupBys, and dedup keys still work).  Nulls stay null by default
+    (``keep_null=False`` tokenizes them too, hiding WHICH rows lacked
+    the field).
+
+    Where :func:`redact_pii <outrank_spark.operators.text.redact_pii>`
+    scrubs free text and :func:`k_anonymity_audit` measures
+    disclosure, this transforms the KEY columns a release must keep
+    joinable.  Reversal requires the secret plus a rainbow table over
+    the value domain — rotate the secret per release to prevent
+    cross-release linkage.
+
+    Pure-JVM projection (md5 + substring, WholeStageCodegen, zero
+    shuffle); md5 is bit-identical across engines so downstream
+    equality semantics are engine-portable.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    for c in cols:
+        if c not in df.columns:
+            raise ValueError(f"unknown column {c!r}")
+    if not secret:
+        raise ValueError("secret must be non-empty")
+    out = df
+    for c in cols:
+        tok = F.concat(
+            F.lit(prefix),
+            F.substring(F.md5(F.concat_ws(
+                "|", F.lit(secret), F.col(c).cast("string"))), 1, 16),
+        )
+        if keep_null:
+            tok = F.when(F.col(c).isNotNull(), tok)
+        out = out.withColumn(c, tok)
+    return out

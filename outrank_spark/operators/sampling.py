@@ -18,7 +18,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 __all__ = ["stratified_sample", "weighted_sample", "reservoir_sample",
            "temperature_rebalance", "dsir_logratio", "mixture_sample",
            "hash_split", "bootstrap_replicate_stats",
-           "bootstrap_mean_ci", "negative_samples", "POISSON1_CDF"]
+           "bootstrap_mean_ci", "negative_samples", "temporal_split",
+           "POISSON1_CDF"]
 
 _KEY_SPACE = 1 << 32  # md5-prefix keys are uniform in [0, 2^32)
 
@@ -618,4 +619,73 @@ def negative_samples(positives: DataFrame, items: DataFrame,
         resolved.join(pos, ["__user", "__item"], "left_anti")
         .select(F.col("__user").alias(user_col), "draw",
                 F.col("__item").alias(item_col))
+    )
+
+
+def temporal_split(df: DataFrame, ts_col: str,
+                   test_frac: float = 0.2,
+                   embargo_seconds: float = 0.0,
+                   out: str = "split") -> DataFrame:
+    """Leakage-safe TIME-based train/test split with an optional
+    embargo gap — the split rule for anything with temporal
+    structure (event models, forecasts, crawl-freshness features),
+    where :func:`hash_split`'s random assignment would leak the
+    future into training:
+
+    * ``cutoff`` = the exact interpolated ``1 - test_frac`` quantile
+      of the timestamp (the engine's two-pass distributed selection —
+      no group ever buffers in one task);
+    * ``test``   = rows at/after the cutoff;
+    * ``train``  = rows strictly before ``cutoff - embargo_seconds``;
+    * ``embargo``= rows in between — DROPPED from both sides by
+      time-series-CV practice (a trailing-window feature computed
+      just before the cutoff still contains test-period signal;
+      the gap purges it).  Rows with null timestamps get a null
+      split (they belong to neither side).
+
+    The assignment is one broadcast-literal comparison per row (the
+    cutoff is metadata), so the split column costs a projection.
+    Oracle-exact: the cutoff replays as ``quantile_cont(epoch(ts))``
+    and the boundaries are plain comparisons (q122's quantile-replay
+    convention).
+    """
+    if not (0.0 < test_frac < 1.0):
+        raise ValueError(f"test_frac must be in (0, 1), got {test_frac}")
+    if embargo_seconds < 0:
+        raise ValueError(
+            f"embargo_seconds must be >= 0, got {embargo_seconds}")
+    if ts_col not in df.columns:
+        raise ValueError(f"unknown column {ts_col!r}")
+    from outrank_spark.operators.quantiles import exact_grouped_quantiles
+
+    # timezone-free epoch seconds for BOTH timestamp types (the
+    # sessionize() NTZ idiom: unix_micros rejects TIMESTAMP_NTZ, and
+    # casting NTZ->LTZ would bind the cutoff to the session timezone)
+    if dict(df.dtypes)[ts_col] == "timestamp_ntz":
+        secs = F.expr(
+            f"timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ'1970-01-01 00:00:00', {ts_col})",
+        ) / F.lit(1_000_000.0)
+    elif dict(df.dtypes)[ts_col] in ("double", "float", "bigint",
+                                     "int", "long"):
+        secs = F.col(ts_col).cast("double")
+    else:
+        secs = F.unix_micros(F.col(ts_col)) / F.lit(1_000_000.0)
+
+    p = 1.0 - float(test_frac)
+    q = exact_grouped_quantiles(
+        df.select(F.lit("all").alias("__g"), secs.alias("__v")),
+        "__g", "__v", [p],
+    )
+    if q.empty:
+        raise ValueError("no non-null timestamps to split on")
+    cutoff = float(q.iloc[0, 1])
+    lo = cutoff - float(embargo_seconds)
+    ts = secs
+    return df.withColumn(
+        out,
+        F.when(ts.isNull(), F.lit(None).cast("string"))
+        .when(ts >= cutoff, F.lit("test"))
+        .when(ts < lo, F.lit("train"))
+        .otherwise(F.lit("embargo")),
     )

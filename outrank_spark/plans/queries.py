@@ -6215,6 +6215,92 @@ ORDER BY o_custkey, draw
 """
 
 
+def q144_pseudonymized_join(spark, sf_dir):
+    """Keyed pseudonymization with referential integrity (operators/
+    privacy.pseudonymize): customer and orders keys tokenized with
+    the SAME secret, then joined ON THE TOKENS — proving the GDPR
+    trade the operator sells: identifiers are opaque, joins still
+    work.  Per-segment order counts + distinct token counts must
+    equal what the raw-key join would give; min(token) pins the
+    token format itself into the compare.  md5 is bit-identical
+    across engines, so the oracle rebuilds every token."""
+    from outrank_spark.operators.privacy import pseudonymize
+
+    cust = pseudonymize(load(spark, sf_dir, "customer"),
+                        ["c_custkey"], secret="q144")
+    orders = pseudonymize(load(spark, sf_dir, "orders"),
+                          ["o_custkey"], secret="q144")
+    return (
+        orders.join(cust,
+                    orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_distinct("c_custkey").alias("n_customers"),
+            F.min("c_custkey").alias("sample_token"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_Q144 = """
+WITH pc AS (
+  SELECT 'tok_' || substr(md5('q144' || '|'
+                              || CAST(c_custkey AS VARCHAR)), 1, 16)
+           AS tok, c_mktsegment
+  FROM customer
+), po AS (
+  SELECT 'tok_' || substr(md5('q144' || '|'
+                              || CAST(o_custkey AS VARCHAR)), 1, 16)
+           AS tok
+  FROM orders
+)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT pc.tok) AS BIGINT) AS n_customers,
+       min(pc.tok) AS sample_token
+FROM po JOIN pc ON po.tok = pc.tok
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q145_temporal_split(spark, sf_dir):
+    """Leakage-safe time split with embargo (operators/sampling.
+    temporal_split): events split at the exact interpolated 0.75
+    timestamp quantile (two-pass distributed selection, q122's
+    quantile_cont replay convention), a 1-hour embargo band purged
+    between train and test.  Per-split counts and time ranges — the
+    report a time-series CV harness checks before training."""
+    from outrank_spark.operators.sampling import temporal_split
+
+    events = load(spark, sf_dir, "events")
+    return (
+        temporal_split(events, "ts", test_frac=0.25,
+                       embargo_seconds=3600)
+        .where(F.col("split").isNotNull())
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("ts").alias("min_ts"),
+             F.max("ts").alias("max_ts"))
+        .orderBy("split")
+    )
+
+
+ORACLE_Q145 = """
+WITH c AS (
+  SELECT quantile_cont(epoch(ts), 0.75) AS cut
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT CASE WHEN epoch(ts) >= cut THEN 'test'
+            WHEN epoch(ts) < cut - 3600 THEN 'train'
+            ELSE 'embargo' END AS split,
+       CAST(count(*) AS BIGINT) AS n,
+       min(ts) AS min_ts, max(ts) AS max_ts
+FROM events CROSS JOIN c
+WHERE ts IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLE_Q122 = """
 WITH b AS (
   SELECT lang,
@@ -6355,6 +6441,8 @@ QUERIES = {
     "q140_entity_resolution": q140_entity_resolution,
     "q141_retrieval_quality": q141_retrieval_quality,
     "q143_negative_sampling": q143_negative_sampling,
+    "q144_pseudonymized_join": q144_pseudonymized_join,
+    "q145_temporal_split": q145_temporal_split,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -6506,4 +6594,6 @@ ORACLES = {
     "q140_entity_resolution": ORACLE_Q140,
     "q141_retrieval_quality": ORACLE_Q141,
     "q143_negative_sampling": ORACLE_Q143,
+    "q144_pseudonymized_join": ORACLE_Q144,
+    "q145_temporal_split": ORACLE_Q145,
 }

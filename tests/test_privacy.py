@@ -5,6 +5,7 @@ Hand-computed class tables on a tiny roster; error paths; plan shape
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from outrank_spark.operators.privacy import (
     k_anonymity_audit,
@@ -107,3 +108,56 @@ class TestSummary:
         ).filter("zip = '94001' AND age = '20-30'").collect()[0]
         # HLL at rsd 0.02 is exact for 2 distinct values
         assert row["sensitive_distinct"] == 2
+
+
+class TestPseudonymize:
+    def test_referential_integrity_and_format(self, spark):
+        import hashlib
+
+        from outrank_spark.operators.privacy import pseudonymize
+
+        left = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (None, "c")], "k int, v string")
+        right = spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "k int, x double")
+        pl = pseudonymize(left, ["k"], secret="s1")
+        pr = pseudonymize(right, ["k"], secret="s1")
+        joined = pl.join(pr, "k").collect()
+        assert {(r["v"], r["x"]) for r in joined} == \
+            {("a", 10.0), ("b", 20.0)}
+        tok = pl.where(F.col("v") == "a").collect()[0]["k"]
+        want = "tok_" + hashlib.md5(b"s1|1").hexdigest()[:16]
+        assert tok == want
+        # nulls stay null by default
+        assert pl.where(F.col("v") == "c").collect()[0]["k"] is None
+
+    def test_secret_rotation_breaks_linkage(self, spark):
+        from outrank_spark.operators.privacy import pseudonymize
+
+        df = spark.createDataFrame([(7,)], "k int")
+        t1 = pseudonymize(df, ["k"], secret="rel1").collect()[0]["k"]
+        t2 = pseudonymize(df, ["k"], secret="rel2").collect()[0]["k"]
+        assert t1 != t2
+
+    def test_tokenize_nulls_option_and_errors(self, spark):
+        from outrank_spark.operators.privacy import pseudonymize
+
+        df = spark.createDataFrame([(None,), (1,)], "k int")
+        toks = [r["k"] for r in
+                pseudonymize(df, ["k"], secret="s",
+                             keep_null=False).collect()]
+        assert all(t is not None and t.startswith("tok_") for t in toks)
+        with pytest.raises(ValueError, match="non-empty"):
+            pseudonymize(df, [], secret="s")
+        with pytest.raises(ValueError, match="unknown column"):
+            pseudonymize(df, ["zz"], secret="s")
+        with pytest.raises(ValueError, match="secret"):
+            pseudonymize(df, ["k"], secret="")
+
+    def test_pure_projection_no_shuffle(self, spark):
+        from outrank_spark.operators.privacy import pseudonymize
+
+        df = spark.range(100).select(F.col("id").alias("k"))
+        plan = pseudonymize(df, ["k"], secret="s") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan

@@ -804,3 +804,53 @@ class TestNegativeSamples:
         empty = spark.createDataFrame([], "item long")
         with pytest.raises(ValueError, match="catalog is empty"):
             negative_samples(pos, empty, "user", "item")
+
+
+class TestTemporalSplit:
+    def test_split_counts_and_embargo_band(self, spark):
+        import datetime as dt
+
+        from outrank_spark.operators.sampling import temporal_split
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [(i, base + dt.timedelta(seconds=100 * i))
+                for i in range(101)]                    # 0..10000 s
+        df = spark.createDataFrame(rows, "id long, ts timestamp")
+        got = temporal_split(df, "ts", test_frac=0.25,
+                             embargo_seconds=500).collect()
+        by = {}
+        for r in got:
+            by.setdefault(r["split"], []).append(r["id"])
+        # cutoff = exact 0.75 quantile of 0..10000 = 7500 s -> id 75
+        assert sorted(by["test"]) == list(range(75, 101))
+        assert sorted(by["train"]) == list(range(0, 70))
+        assert sorted(by["embargo"]) == list(range(70, 75))
+
+    def test_null_ts_gets_null_split(self, spark):
+        import datetime as dt
+
+        from outrank_spark.operators.sampling import temporal_split
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [(i, base + dt.timedelta(hours=i)) for i in range(10)]
+        df = spark.createDataFrame(
+            rows + [(99, None)], "id long, ts timestamp")
+        got = {r["id"]: r["split"]
+               for r in temporal_split(df, "ts").collect()}
+        assert got[99] is None
+        assert set(got.values()) <= {"train", "test", "embargo", None}
+
+    def test_numeric_ts_and_errors(self, spark):
+        from outrank_spark.operators.sampling import temporal_split
+
+        df = spark.createDataFrame(
+            [(float(i),) for i in range(10)], "ts double")
+        got = temporal_split(df, "ts", test_frac=0.2).collect()
+        # cutoff = interpolated 0.8 quantile of 0..9 = 7.2 -> {8, 9}
+        assert sum(1 for r in got if r["split"] == "test") == 2
+        with pytest.raises(ValueError, match="test_frac"):
+            temporal_split(df, "ts", test_frac=1.5)
+        with pytest.raises(ValueError, match="embargo"):
+            temporal_split(df, "ts", embargo_seconds=-1)
+        with pytest.raises(ValueError, match="unknown column"):
+            temporal_split(df, "zz")
