@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 __all__ = ["profile_table", "check_constraints", "benford_audit",
-           "fd_violations", "key_skew_audit"]
+           "fd_violations", "key_skew_audit", "profile_diff"]
 
 _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
             T.FloatType, T.DoubleType, T.DecimalType)
@@ -424,4 +424,77 @@ def key_skew_audit(df: DataFrame, key_col: str,
             2.0 * F.col("__rs") / (F.col("n_keys") * F.col("n_rows"))
             - (F.col("n_keys") + 1.0) / F.col("n_keys"), round_to)
         .alias("gini"),
+    )
+
+
+def profile_diff(before: DataFrame, after: DataFrame,
+                 cols: list[str] | None = None,
+                 null_frac_tol: float = 0.02,
+                 distinct_ratio_tol: float = 0.5,
+                 round_to: int = 6) -> DataFrame:
+    """Snapshot-over-snapshot profile drift — the check a scheduled
+    ingest runs between yesterday's table and today's: both sides
+    profiled with :func:`profile_table` (two scans each, width-
+    independent), joined per column, deltas reported and flagged.
+
+    One row per profiled column: ``(column, n_before, n_after,
+    null_frac_before, null_frac_after, null_frac_delta,
+    distinct_before, distinct_after, distinct_ratio, mean_delta,
+    drifted)`` where ``drifted`` is true when the null-fraction moved
+    more than ``null_frac_tol`` (absolute) or the distinct count
+    changed by more than ``distinct_ratio_tol`` RELATIVE to before
+    (ratio outside [1-tol, 1+tol]; a 0-before column with new
+    distinct values always flags).  ``mean_delta`` is null for
+    non-numeric columns.  Thresholds are report inputs, not policy —
+    the caller decides what blocks the pipeline (pair with the
+    distribution-level drift operators PSI/KS/JSD when flags fire;
+    this catches the cheap structural breaks first).
+
+    Column sets must match on the compared subset: a column missing
+    from either side raises — schema drift is a louder failure than
+    content drift and deserves an exception, not a row.
+    """
+    cols = cols or [c for c in before.columns if c in after.columns]
+    for name, d in (("before", before), ("after", after)):
+        missing = [c for c in cols if c not in d.columns]
+        if missing:
+            raise ValueError(f"{name} side lacks column(s): {missing}")
+    pa = profile_table(before, cols).select(
+        "column",
+        F.col("n_rows").alias("n_before"),
+        F.col("null_frac").alias("null_frac_before"),
+        F.col("n_distinct").alias("distinct_before"),
+        F.col("mean_num").alias("mean_before"),
+    )
+    pb = profile_table(after, cols).select(
+        "column",
+        F.col("n_rows").alias("n_after"),
+        F.col("null_frac").alias("null_frac_after"),
+        F.col("n_distinct").alias("distinct_after"),
+        F.col("mean_num").alias("mean_after"),
+    )
+    ratio = F.when(F.col("distinct_before") > 0,
+                   F.col("distinct_after")
+                   / F.col("distinct_before").cast("double"))
+    nf_delta = F.col("null_frac_after") - F.col("null_frac_before")
+    drift = (
+        (F.abs(nf_delta) > null_frac_tol)
+        | F.when(F.col("distinct_before") > 0,
+                 (ratio < 1.0 - distinct_ratio_tol)
+                 | (ratio > 1.0 + distinct_ratio_tol))
+        .otherwise(F.col("distinct_after") > 0)
+    )
+    return (
+        pa.join(pb, "column")
+        .select(
+            "column", "n_before", "n_after",
+            "null_frac_before", "null_frac_after",
+            F.round(nf_delta, round_to).alias("null_frac_delta"),
+            "distinct_before", "distinct_after",
+            F.round(ratio, round_to).alias("distinct_ratio"),
+            F.round(F.col("mean_after") - F.col("mean_before"),
+                    round_to).alias("mean_delta"),
+            drift.alias("drifted"),
+        )
+        .orderBy("column")
     )

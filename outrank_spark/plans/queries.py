@@ -6301,6 +6301,86 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q146_profile_drift(spark, sf_dir):
+    """Snapshot profile drift (operators/validation.profile_diff):
+    "yesterday" = documents with n_chars <= 350, "today" = the full
+    table — the short-doc-only outage a broken extractor produces.
+    Per column: null-fraction delta, distinct ratio, mean shift, and
+    the drifted flag (|null_frac delta| > 0.02 or distinct ratio
+    outside [0.5, 1.5]).  Four scans total regardless of width (two
+    per profile_table side); the oracle replays both profiles and
+    the flag algebra."""
+    from outrank_spark.operators.validation import profile_diff
+
+    docs = load(spark, sf_dir, "documents")
+    before = docs.where(F.col("n_chars") <= 350)
+    return profile_diff(before, docs,
+                        cols=["lang", "n_chars", "source"])
+
+
+ORACLE_Q146 = """
+WITH b AS (SELECT * FROM documents WHERE n_chars <= 350),
+pb AS (
+  SELECT 'lang' AS col, CAST(count(*) AS BIGINT) AS n,
+         round((count(*) - count(lang)) / CAST(count(*) AS DOUBLE), 6)
+           AS nf,
+         CAST(count(DISTINCT lang) AS BIGINT) AS nd,
+         CAST(NULL AS DOUBLE) AS mean_v
+  FROM b
+  UNION ALL
+  SELECT 'n_chars', CAST(count(*) AS BIGINT),
+         round((count(*) - count(n_chars))
+               / CAST(count(*) AS DOUBLE), 6),
+         CAST(count(DISTINCT n_chars) AS BIGINT),
+         round(avg(CAST(n_chars AS DOUBLE)), 6)
+  FROM b
+  UNION ALL
+  SELECT 'source', CAST(count(*) AS BIGINT),
+         round((count(*) - count(source))
+               / CAST(count(*) AS DOUBLE), 6),
+         CAST(count(DISTINCT source) AS BIGINT),
+         CAST(NULL AS DOUBLE)
+  FROM b
+), pa AS (
+  SELECT 'lang' AS col, CAST(count(*) AS BIGINT) AS n,
+         round((count(*) - count(lang)) / CAST(count(*) AS DOUBLE), 6)
+           AS nf,
+         CAST(count(DISTINCT lang) AS BIGINT) AS nd,
+         CAST(NULL AS DOUBLE) AS mean_v
+  FROM documents
+  UNION ALL
+  SELECT 'n_chars', CAST(count(*) AS BIGINT),
+         round((count(*) - count(n_chars))
+               / CAST(count(*) AS DOUBLE), 6),
+         CAST(count(DISTINCT n_chars) AS BIGINT),
+         round(avg(CAST(n_chars AS DOUBLE)), 6)
+  FROM documents
+  UNION ALL
+  SELECT 'source', CAST(count(*) AS BIGINT),
+         round((count(*) - count(source))
+               / CAST(count(*) AS DOUBLE), 6),
+         CAST(count(DISTINCT source) AS BIGINT),
+         CAST(NULL AS DOUBLE)
+  FROM documents
+)
+SELECT pb.col AS "column", pb.n AS n_before, pa.n AS n_after,
+       pb.nf AS null_frac_before, pa.nf AS null_frac_after,
+       round(pa.nf - pb.nf, 6) AS null_frac_delta,
+       pb.nd AS distinct_before, pa.nd AS distinct_after,
+       round(CASE WHEN pb.nd > 0
+                  THEN pa.nd / CAST(pb.nd AS DOUBLE) END, 6)
+         AS distinct_ratio,
+       round(pa.mean_v - pb.mean_v, 6) AS mean_delta,
+       (abs(pa.nf - pb.nf) > 0.02)
+       OR (CASE WHEN pb.nd > 0
+                THEN pa.nd / CAST(pb.nd AS DOUBLE) < 0.5
+                     OR pa.nd / CAST(pb.nd AS DOUBLE) > 1.5
+                ELSE pa.nd > 0 END) AS drifted
+FROM pb JOIN pa ON pa.col = pb.col
+ORDER BY pb.col
+"""
+
+
 ORACLE_Q122 = """
 WITH b AS (
   SELECT lang,
@@ -6443,6 +6523,7 @@ QUERIES = {
     "q143_negative_sampling": q143_negative_sampling,
     "q144_pseudonymized_join": q144_pseudonymized_join,
     "q145_temporal_split": q145_temporal_split,
+    "q146_profile_drift": q146_profile_drift,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -6596,4 +6677,5 @@ ORACLES = {
     "q143_negative_sampling": ORACLE_Q143,
     "q144_pseudonymized_join": ORACLE_Q144,
     "q145_temporal_split": ORACLE_Q145,
+    "q146_profile_drift": ORACLE_Q146,
 }

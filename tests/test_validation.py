@@ -354,3 +354,54 @@ class TestDataQualityJob:
         doc = json.loads(out_f.read_text())
         assert doc["passed"] is False
         assert doc["profile"] and doc["constraints"]
+
+
+class TestProfileDiff:
+    def test_flags_and_deltas_hand_computed(self, spark):
+        from outrank_spark.operators.validation import profile_diff
+
+        before = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (4, None)],
+            "x int, s string")
+        after = spark.createDataFrame(
+            [(10, "a"), (None, "a"), (None, "a"), (13, "a")],
+            "x int, s string")
+        got = {r["column"]: r for r in
+               profile_diff(before, after).collect()}
+        x = got["x"]
+        assert (x["n_before"], x["n_after"]) == (4, 4)
+        assert x["null_frac_delta"] == pytest.approx(0.5)
+        assert x["distinct_ratio"] == pytest.approx(2 / 4)  # {10,13}
+        assert x["mean_delta"] == pytest.approx(
+            (10 + 13) / 2 - (1 + 2 + 3 + 4) / 4)
+        assert x["drifted"] is True                # null_frac jumped
+        s = got["s"]
+        assert s["distinct_ratio"] == pytest.approx(1 / 3)
+        assert s["drifted"] is True                # collapse to 1 value
+        assert s["mean_delta"] is None
+
+    def test_stable_snapshot_not_flagged(self, spark):
+        from outrank_spark.operators.validation import profile_diff
+
+        df = spark.createDataFrame(
+            [(i, f"v{i % 5}") for i in range(100)], "x int, s string")
+        got = profile_diff(df, df).collect()
+        assert all(r["drifted"] is False for r in got)
+        assert all(r["null_frac_delta"] == 0.0 for r in got)
+
+    def test_zero_before_distinct_flags_new_values(self, spark):
+        from outrank_spark.operators.validation import profile_diff
+
+        before = spark.createDataFrame(
+            [(None,), (None,)], "s string")
+        after = spark.createDataFrame([("new",)], "s string")
+        r = profile_diff(before, after).collect()[0]
+        assert r["distinct_ratio"] is None and r["drifted"] is True
+
+    def test_schema_mismatch_raises(self, spark):
+        from outrank_spark.operators.validation import profile_diff
+
+        a = spark.createDataFrame([(1,)], "x int")
+        b = spark.createDataFrame([(1,)], "y int")
+        with pytest.raises(ValueError, match="lacks column"):
+            profile_diff(a, b, cols=["x"])
