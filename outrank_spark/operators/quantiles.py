@@ -43,7 +43,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["exact_grouped_quantiles", "winsorize",
-           "robust_outlier_stats"]
+           "robust_outlier_stats",
+           "weighted_grouped_quantiles"]
 
 
 def _partition_group_counts(df: DataFrame, group_col: str) -> pd.DataFrame:
@@ -360,4 +361,66 @@ def robust_outlier_stats(df: DataFrame, value_col: str, by: str,
                     F.lit(0)),
             ).alias("n_outliers"),
         )
+    )
+
+
+def weighted_grouped_quantiles(df: DataFrame, group_col: str,
+                               value_col: str, weight_col: str,
+                               probs: Sequence[float]) -> DataFrame:
+    """Exact WEIGHTED quantiles per group — the percentile that
+    matters after importance weighting (DSIR log-ratios, temperature
+    rebalance factors, dedup survivor weights): quantile p is the
+    smallest value whose cumulative weight reaches ``p * W`` (the
+    lower-edge / inverse-CDF convention — a real data value, no
+    interpolation, so cross-engine comparison is exact by
+    construction, not by rounding).
+
+    Returns long-form ``(group, prob, value)``.  Null values, null
+    groups, and null/non-positive weights are excluded (a weight of
+    zero must not shift a boundary).
+
+    Scale shape (the distinct-value discipline of q117/q120): rows
+    collapse to a per-(group, value) weight HISTOGRAM in one
+    map-side-combinable aggregate; the only window runs over that
+    histogram (vocabulary-sized per group), and each prob is one
+    conditional-min aggregate over it — a 10^12-row group with 10^5
+    distinct values costs a 10^5-row window.
+    """
+    probs = [float(p) for p in probs]
+    if not probs or any(not (0.0 < p <= 1.0) for p in probs):
+        raise ValueError("probs must be within (0, 1]")
+    for c in (group_col, value_col, weight_col):
+        if c not in df.columns:
+            raise ValueError(f"unknown column {c!r}")
+    from pyspark.sql import Window
+
+    hist = (
+        df.select(F.col(group_col).alias("g"),
+                  F.col(value_col).cast("double").alias("v"),
+                  F.col(weight_col).cast("double").alias("w"))
+        .where(F.col("v").isNotNull() & F.col("g").isNotNull()
+               & F.col("w").isNotNull() & (F.col("w") > 0))
+        .groupBy("g", "v").agg(F.sum("w").alias("w"))
+    )
+    cum = Window.partitionBy("g").orderBy("v") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy("g")
+    marked = hist.select(
+        "g", "v",
+        F.sum("w").over(cum).alias("cw"),
+        F.sum("w").over(tot).alias("tw"),
+    )
+    aggs = []
+    for i, p in enumerate(probs):
+        aggs.append(
+            F.min(F.when(F.col("cw") >= F.lit(p) * F.col("tw"),
+                         F.col("v"))).alias(f"q{i}"))
+    wide = marked.groupBy("g").agg(*aggs)
+    cells = ", ".join(
+        f"CAST({p} AS DOUBLE), q{i}" for i, p in enumerate(probs))
+    return (
+        wide.selectExpr(
+            "g", f"stack({len(probs)}, {cells}) AS (prob, value)")
+        .select(F.col("g").alias(group_col), "prob", "value")
+        .orderBy(group_col, "prob")
     )

@@ -6381,6 +6381,56 @@ ORDER BY pb.col
 """
 
 
+def q147_weighted_quantiles(spark, sf_dir):
+    """Exact weighted quantiles (operators/quantiles.
+    weighted_grouped_quantiles): l_extendedprice percentiles per
+    return flag WEIGHTED by l_quantity — the "value distribution of
+    the units actually shipped" question, and the percentile shape
+    every importance-weighted corpus needs.  Lower-edge inverse-CDF
+    convention: results are real data values, so the oracle compares
+    exactly with zero interpolation arithmetic."""
+    from outrank_spark.operators.quantiles import (
+        weighted_grouped_quantiles,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    return weighted_grouped_quantiles(
+        li, "l_returnflag", "l_extendedprice", "l_quantity",
+        [0.5, 0.9, 0.99],
+    )
+
+
+ORACLE_Q147 = """
+WITH hist AS (
+  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v,
+         sum(CAST(l_quantity AS DOUBLE)) AS w
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+    AND l_quantity IS NOT NULL AND l_quantity > 0
+  GROUP BY 1, 2
+), marked AS (
+  SELECT g, v,
+         sum(w) OVER (PARTITION BY g ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cw,
+         sum(w) OVER (PARTITION BY g) AS tw
+  FROM hist
+), wide AS (
+  SELECT g,
+         min(CASE WHEN cw >= 0.5 * tw THEN v END) AS q0,
+         min(CASE WHEN cw >= 0.9 * tw THEN v END) AS q1,
+         min(CASE WHEN cw >= 0.99 * tw THEN v END) AS q2
+  FROM marked GROUP BY g
+)
+SELECT g AS l_returnflag, prob, value FROM (
+  SELECT g, 0.5 AS prob, q0 AS value FROM wide
+  UNION ALL SELECT g, 0.9, q1 FROM wide
+  UNION ALL SELECT g, 0.99, q2 FROM wide
+)
+ORDER BY l_returnflag, prob
+"""
+
+
 ORACLE_Q122 = """
 WITH b AS (
   SELECT lang,
@@ -6524,6 +6574,7 @@ QUERIES = {
     "q144_pseudonymized_join": q144_pseudonymized_join,
     "q145_temporal_split": q145_temporal_split,
     "q146_profile_drift": q146_profile_drift,
+    "q147_weighted_quantiles": q147_weighted_quantiles,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -6678,4 +6729,5 @@ ORACLES = {
     "q144_pseudonymized_join": ORACLE_Q144,
     "q145_temporal_split": ORACLE_Q145,
     "q146_profile_drift": ORACLE_Q146,
+    "q147_weighted_quantiles": ORACLE_Q147,
 }

@@ -249,3 +249,77 @@ class TestRobustOutlierStats:
         df = spark.createDataFrame([("a", 1.0)], "grp string, v double")
         with pytest.raises(ValueError, match="z_thresh"):
             robust_outlier_stats(df, "v", "grp", z_thresh=0)
+
+
+class TestWeightedGroupedQuantiles:
+    def test_matches_numpy_weighted_inverse_cdf(self, spark):
+        import numpy as np
+
+        from outrank_spark.operators.quantiles import (
+            weighted_grouped_quantiles,
+        )
+
+        rng = np.random.default_rng(9)
+        vals = rng.integers(0, 500, 3000).astype(float)
+        wts = rng.integers(1, 10, 3000).astype(float)
+        grp = rng.integers(0, 3, 3000)
+        df = spark.createDataFrame(
+            [(int(g), float(v), float(w))
+             for g, v, w in zip(grp, vals, wts)],
+            "g int, v double, w double")
+        probs = [0.25, 0.5, 0.95]
+        got = {(r["g"], r["prob"]): r["value"] for r in
+               weighted_grouped_quantiles(df, "g", "v", "w",
+                                          probs).collect()}
+        for g in range(3):
+            m = grp == g
+            order = np.argsort(vals[m], kind="stable")
+            v_s, w_s = vals[m][order], wts[m][order]
+            # collapse ties like the histogram does
+            uv, inv = np.unique(v_s, return_inverse=True)
+            uw = np.bincount(inv, weights=w_s)
+            cw = np.cumsum(uw)
+            for p in probs:
+                want = uv[np.searchsorted(cw, p * cw[-1])]
+                assert got[(g, p)] == want, (g, p)
+
+    def test_weight_one_matches_lower_edge_unweighted(self, spark):
+        from outrank_spark.operators.quantiles import (
+            weighted_grouped_quantiles,
+        )
+
+        df = spark.createDataFrame(
+            [("a", float(v), 1.0) for v in range(1, 11)],
+            "g string, v double, w double")
+        got = {r["prob"]: r["value"] for r in
+               weighted_grouped_quantiles(df, "g", "v", "w",
+                                          [0.5, 1.0]).collect()}
+        assert got[0.5] == 5.0      # smallest v with cumw >= 5
+        assert got[1.0] == 10.0
+
+    def test_heavy_weight_dominates_and_zero_weight_ignored(self, spark):
+        from outrank_spark.operators.quantiles import (
+            weighted_grouped_quantiles,
+        )
+
+        df = spark.createDataFrame(
+            [("g", 1.0, 1.0), ("g", 2.0, 98.0), ("g", 3.0, 1.0),
+             ("g", 999.0, 0.0), ("g", None, 5.0)],
+            "g string, v double, w double")
+        got = {r["prob"]: r["value"] for r in
+               weighted_grouped_quantiles(df, "g", "v", "w",
+                                          [0.5, 0.99]).collect()}
+        assert got[0.5] == 2.0
+        assert got[0.99] == 2.0     # 99% of mass still inside v=2
+
+    def test_validation(self, spark):
+        from outrank_spark.operators.quantiles import (
+            weighted_grouped_quantiles,
+        )
+
+        df = spark.createDataFrame(
+            [("g", 1.0, 1.0)], "g string, v double, w double")
+        with pytest.raises(ValueError, match="probs"):
+            weighted_grouped_quantiles(df, "g", "v", "w", [0.0])
+        with pytest.raises(ValueError, match="unknown column"):
+            weighted_grouped_quantiles(df, "g", "zz", "w", [0.5])
