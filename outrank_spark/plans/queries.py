@@ -6431,6 +6431,53 @@ ORDER BY l_returnflag, prob
 """
 
 
+def q148_dataset_card(spark, sf_dir):
+    """The release datasheet in one plan — per language AND overall
+    (ROLLUP): document counts, token totals, mean length, exact-dup
+    rate (1 - distinct texts / docs), short-doc share.  What a
+    dataset card publishes next to a corpus drop; every number is a
+    mergeable aggregate under one grouping-sets scan (the q43 CUBE
+    discipline), so the card costs one pass at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    base = docs.select(
+        "lang", "text", "n_chars", toks.alias("n_tok"),
+        (F.col("n_chars") < 100).cast("int").alias("short"),
+    )
+    return (
+        base.rollup("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.round(F.avg("n_chars"), 2).alias("mean_chars"),
+            F.round(1 - F.count_distinct("text")
+                    / F.count(F.lit(1)).cast("double"), 6)
+            .alias("dup_rate"),
+            F.round(F.avg("short"), 6).alias("short_frac"),
+        )
+        .select(F.coalesce("lang", F.lit("ALL")).alias("lang"),
+                "n_docs", "total_tokens", "mean_chars", "dup_rate",
+                "short_frac")
+        .orderBy("lang")
+    )
+
+
+ORACLE_Q148 = """
+SELECT coalesce(lang, 'ALL') AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+         AS total_tokens,
+       round(avg(CAST(n_chars AS DOUBLE)), 2) AS mean_chars,
+       round(1 - count(DISTINCT text) / CAST(count(*) AS DOUBLE), 6)
+         AS dup_rate,
+       round(avg(CASE WHEN n_chars < 100 THEN 1.0 ELSE 0.0 END), 6)
+         AS short_frac
+FROM documents
+GROUP BY ROLLUP (lang)
+ORDER BY lang
+"""
+
+
 ORACLE_Q122 = """
 WITH b AS (
   SELECT lang,
@@ -6575,6 +6622,7 @@ QUERIES = {
     "q145_temporal_split": q145_temporal_split,
     "q146_profile_drift": q146_profile_drift,
     "q147_weighted_quantiles": q147_weighted_quantiles,
+    "q148_dataset_card": q148_dataset_card,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -6730,4 +6778,5 @@ ORACLES = {
     "q145_temporal_split": ORACLE_Q145,
     "q146_profile_drift": ORACLE_Q146,
     "q147_weighted_quantiles": ORACLE_Q147,
+    "q148_dataset_card": ORACLE_Q148,
 }
