@@ -33,8 +33,24 @@ def qcol(name: str):
     return F.col("`" + name.replace("`", "``") + "`")
 
 
+def sql_ident(name: str) -> str:
+    """Backtick-quote an identifier for splicing into a SQL/DDL
+    string (``selectExpr``, ``stack`` cells): backticks inside the
+    name are doubled, everything else is literal."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def sql_str(value: str) -> str:
+    """Single-quote a string literal for splicing into a Spark SQL
+    expression.  Backslashes and single quotes are escaped (Spark's
+    default parser treats ``\\`` as an escape character)."""
+    return "'" + value.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 __all__ = [
     "qcol",
+    "sql_ident",
+    "sql_str",
     "splitmix64",
     "hash_values",
     "hash_with_seed",
@@ -84,6 +100,28 @@ def hash_values(values) -> np.ndarray:
     if arr.dtype.kind in ("i", "u"):
         # Fast pure-numpy path for integer keys.
         return splitmix64(arr.astype(np.uint64, copy=False))
+    if arr.dtype.kind == "f":
+        # Arrow->pandas converts a NULLABLE integral Spark column to
+        # float64 (NaN for nulls), so the same bigint key column can
+        # arrive as int64 in one batch and float64 in another.  Hash
+        # int64-representable integral floats through the SAME
+        # splitmix64 path as int64 so the hash of a key never depends
+        # on whether its batch happened to contain a null — otherwise
+        # a Bloom/HLL/CMS built from mixed batches is internally
+        # inconsistent (Bloom false NEGATIVES on the probe side).
+        ivals = np.zeros(arr.shape, dtype=np.int64)
+        in_range = np.isfinite(arr) & (np.abs(arr) < float(2 ** 63))
+        ivals[in_range] = arr[in_range].astype(np.int64)
+        with np.errstate(invalid="ignore"):
+            integral = in_range & (ivals == arr)
+        if integral.all():
+            return splitmix64(ivals.astype(np.uint64, copy=False))
+        out = pd.util.hash_array(arr).astype(np.uint64, copy=False)
+        if integral.any():
+            out = out.copy()
+            out[integral] = splitmix64(
+                ivals[integral].astype(np.uint64, copy=False))
+        return out
     if arr.dtype.kind in ("U", "S"):
         arr = arr.astype(object)
     return pd.util.hash_array(arr).astype(np.uint64, copy=False)

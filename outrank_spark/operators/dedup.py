@@ -1019,7 +1019,15 @@ def minhash_delta_candidates(new_df: DataFrame, index_sig: DataFrame,
         ).select(out_id, F.col("bb.band").alias("band"),
                  F.col("bb.bh").alias("bh"))
 
-    sig_new = minhash_signatures(new_df, text_col, id_col, n, k).cache()
+    # localCheckpoint (NOT .cache()): the batch signatures are read
+    # twice (banding + the slot-match join), but a CacheManager entry
+    # would outlive this call — for an operator designed to run every
+    # crawl batch that is a permanent executor-storage leak.  Local-
+    # checkpoint blocks are released by the ContextCleaner once the
+    # returned DataFrame is dropped, so each batch cleans up after
+    # itself without the caller owning an unpersist.
+    sig_new = minhash_signatures(new_df, text_col, id_col, n, k) \
+        .localCheckpoint(eager=True)
     cand = (
         banded(sig_new, "id_new")
         .join(banded(index_sig, "id_index"), ["band", "bh"])
@@ -1207,9 +1215,11 @@ def fellegi_sunter_em(pairs: DataFrame, agreement_cols: Sequence[str],
     )
     if not patterns:
         raise ValueError("pairs is empty — nothing to fit")
-    m = [float(init_m)] * k
-    u = [float(init_u)] * k
-    p = float(init_p)
+    eps = 1e-9
+    clamp = lambda x: min(max(x, eps), 1.0 - eps)  # noqa: E731
+    m = [clamp(float(init_m))] * k
+    u = [clamp(float(init_u))] * k
+    p = clamp(float(init_p))
     total = float(sum(c for _, c in patterns))
     for _ in range(iters):
         s_post = 0.0
@@ -1221,17 +1231,24 @@ def fellegi_sunter_em(pairs: DataFrame, agreement_cols: Sequence[str],
             for j in range(k):
                 wm *= m[j] if g[j] else (1.0 - m[j])
                 wu *= u[j] if g[j] else (1.0 - u[j])
-            post = wm / (wm + wu)
+            den = wm + wu
+            # clamped parameters keep wm, wu > 0, but the k-fold
+            # product can underflow to exactly 0.0 for large k —
+            # fall back to the prior rather than divide by zero
+            post = wm / den if den > 0.0 else p
             s_post += c * post
             for j in range(k):
                 if g[j]:
                     s_mg[j] += c * post
                     s_ug[j] += c * (1.0 - post)
-        p = s_post / total
-        m = [s_mg[j] / s_post for j in range(k)]
-        u = [s_ug[j] / (total - s_post) for j in range(k)]
-    eps = 1e-9
-    clamp = lambda x: min(max(x, eps), 1.0 - eps)  # noqa: E731
+        # clamp EVERY iteration, not just before output: a degenerate
+        # agreement pattern can drive p or m[j]/u[j] to exactly 0/1,
+        # which would make wm + wu == 0 on the NEXT iteration
+        p = clamp(s_post / total)
+        m = [clamp(s_mg[j] / s_post) if s_post > 0.0 else m[j]
+             for j in range(k)]
+        u = [clamp(s_ug[j] / (total - s_post))
+             if total > s_post else u[j] for j in range(k)]
     rows = []
     for j, c in enumerate(agreement_cols):
         mj, uj = clamp(m[j]), clamp(u[j])

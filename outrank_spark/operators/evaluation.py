@@ -36,6 +36,8 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame, functions as F
 
+from outrank_spark.hashing import qcol, sql_ident, sql_str
+
 __all__ = ["roc_auc", "calibration_report", "correlation_matrix",
            "spearman_correlation", "cuped_adjust", "srm_check",
            "bh_fdr", "retrieval_metrics", "isotonic_calibrate"]
@@ -198,14 +200,14 @@ def correlation_matrix(df: DataFrame, cols: list[str],
              for b in cols[i + 1:]]
     pairs = [tuple(sorted(p)) for p in pairs]
     mean_row = df.agg(
-        *[F.avg(c).alias(c) for c in cols]).first().asDict()
+        *[F.avg(qcol(c)).alias(c) for c in cols]).first().asDict()
     shift = {c: (mean_row[c] if mean_row[c] is not None else 0.0)
              for c in cols}
     aggs = []
     for a, b in pairs:
-        both = F.col(a).isNotNull() & F.col(b).isNotNull()
-        ca = F.when(both, F.col(a) - F.lit(shift[a]))
-        cb = F.when(both, F.col(b) - F.lit(shift[b]))
+        both = qcol(a).isNotNull() & qcol(b).isNotNull()
+        ca = F.when(both, qcol(a) - F.lit(shift[a]))
+        cb = F.when(both, qcol(b) - F.lit(shift[b]))
         tag = f"__{a}__{b}"
         aggs += [
             F.count(F.when(both, 1)).alias(f"n{tag}"),
@@ -219,14 +221,17 @@ def correlation_matrix(df: DataFrame, cols: list[str],
     corr_cells = []
     for a, b in pairs:
         t = f"__{a}__{b}"
-        n, sa, sb = f"`n{t}`", f"`sa{t}`", f"`sb{t}`"
-        saa, sbb, sab = f"`saa{t}`", f"`sbb{t}`", f"`sab{t}`"
+        n, sa, sb = (sql_ident(f"n{t}"), sql_ident(f"sa{t}"),
+                     sql_ident(f"sb{t}"))
+        saa, sbb, sab = (sql_ident(f"saa{t}"), sql_ident(f"sbb{t}"),
+                         sql_ident(f"sab{t}"))
         va = f"({saa} - {sa} * {sa} / {n})"
         vb = f"({sbb} - {sb} * {sb} / {n})"
         cov = f"({sab} - {sa} * {sb} / {n})"
         corr_cells.append(
-            f"'{a}', '{b}', CASE WHEN {n} >= 2 AND {va} > 0 "
-            f"AND {vb} > 0 THEN {cov} / sqrt({va} * {vb}) "
+            f"{sql_str(a)}, {sql_str(b)}, CASE WHEN {n} >= 2 "
+            f"AND {va} > 0 AND {vb} > 0 "
+            f"THEN {cov} / sqrt({va} * {vb}) "
             f"ELSE NULL END, {n}")
     long = wide.selectExpr(
         f"stack({len(pairs)}, {', '.join(corr_cells)}) "

@@ -42,6 +42,8 @@ import math
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
+from outrank_spark.hashing import qcol, sql_ident, sql_str
+
 __all__ = ["profile_table", "check_constraints", "benford_audit",
            "fd_violations", "key_skew_audit", "profile_diff"]
 
@@ -68,20 +70,20 @@ def profile_table(df: DataFrame, cols: list[str] | None = None,
 
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
-        aggs.append(F.count(F.col(c)).alias(f"nn__{c}"))
+        aggs.append(F.count(qcol(c)).alias(f"nn__{c}"))
         if isinstance(fields[c], _NUMERIC):
-            v = F.col(c).cast("double")
+            v = qcol(c).cast("double")
             aggs += [F.min(v).alias(f"mn__{c}"),
                      F.max(v).alias(f"mx__{c}"),
                      F.avg(v).alias(f"av__{c}")]
         elif isinstance(fields[c], T.StringType):
-            aggs += [F.min(c).alias(f"smn__{c}"),
-                     F.max(c).alias(f"smx__{c}")]
+            aggs += [F.min(qcol(c)).alias(f"smn__{c}"),
+                     F.max(qcol(c)).alias(f"smx__{c}")]
     wide = df.agg(*aggs)
 
     daggs = [
-        (F.approx_count_distinct(c, 0.02) if approx_distinct
-         else F.count_distinct(F.col(c))).alias(f"nd__{c}")
+        (F.approx_count_distinct(qcol(c), 0.02) if approx_distinct
+         else F.count_distinct(qcol(c))).alias(f"nd__{c}")
         for c in cols
     ]
     dwide = df.agg(*daggs)
@@ -90,18 +92,23 @@ def profile_table(df: DataFrame, cols: list[str] | None = None,
     for c in cols:
         num = isinstance(fields[c], _NUMERIC)
         s = isinstance(fields[c], T.StringType)
-        mn = (f"round(`mn__{c}`, {round_to})" if num
+        # names are spliced into SQL text -> escape both the literal
+        # ('it''s') and the backticked identifier (`a``b`) forms
+        cq, cid = sql_str(c), sql_ident
+        mn = (f"round({cid(f'mn__{c}')}, {round_to})" if num
               else "CAST(NULL AS DOUBLE)")
-        mx = (f"round(`mx__{c}`, {round_to})" if num
+        mx = (f"round({cid(f'mx__{c}')}, {round_to})" if num
               else "CAST(NULL AS DOUBLE)")
-        av = (f"round(`av__{c}`, {round_to})" if num
+        av = (f"round({cid(f'av__{c}')}, {round_to})" if num
               else "CAST(NULL AS DOUBLE)")
-        smn = f"`smn__{c}`" if s else "CAST(NULL AS STRING)"
-        smx = f"`smx__{c}`" if s else "CAST(NULL AS STRING)"
+        smn = cid(f"smn__{c}") if s else "CAST(NULL AS STRING)"
+        smx = cid(f"smx__{c}") if s else "CAST(NULL AS STRING)"
         cells.append(
-            f"'{c}', '{dtypes[c]}', __n, __n - `nn__{c}`, "
-            f"round((__n - `nn__{c}`) / CAST(__n AS DOUBLE), "
-            f"{round_to}), `nd__{c}`, {mn}, {mx}, {av}, {smn}, {smx}")
+            f"{cq}, {sql_str(dtypes[c])}, __n, "
+            f"__n - {cid(f'nn__{c}')}, "
+            f"round((__n - {cid(f'nn__{c}')}) / CAST(__n AS DOUBLE), "
+            f"{round_to}), {cid(f'nd__{c}')}, "
+            f"{mn}, {mx}, {av}, {smn}, {smx}")
     return (
         wide.crossJoin(F.broadcast(dwide))
         .selectExpr(
@@ -237,7 +244,8 @@ def benford_audit(df: DataFrame, cols: list[str],
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"unknown column(s): {missing}")
-    cells = ", ".join(f"'{c}', CAST(`{c}` AS DOUBLE)" for c in cols)
+    cells = ", ".join(
+        f"{sql_str(c)}, CAST({sql_ident(c)} AS DOUBLE)" for c in cols)
     long = df.selectExpr(
         f"stack({len(cols)}, {cells}) AS (column, v)")
     scaled = F.floor(F.abs(F.col("v")) * F.lit(float(scale)) + 0.5) \
@@ -396,8 +404,14 @@ def key_skew_audit(df: DataFrame, key_col: str,
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wk = F.sum("w").over(asc)
     wk_prev = wk - F.col("w")
-    # sorted-rank sum contribution of this count-value block
-    rank_sum = F.col("c") * (wk * (wk + 1) - wk_prev * (wk_prev + 1)) / 2
+    # sorted-rank sum contribution of this count-value block.
+    # Wk(Wk+1) - Wk-1(Wk-1+1) = w*(Wk + Wk-1 + 1), and the left form
+    # is a difference of two even products, so the block term is
+    # provably even: halve it with an INTEGER shift, never a double
+    # division — Spark's `/` yields double and would silently round
+    # once the intermediate exceeds 2^53 at extreme key counts.
+    rank_sum = F.col("c") * F.shiftright(
+        F.col("w") * (wk + wk_prev + F.lit(1)), 1)
     dk = F.sum("w").over(desc)          # cum keys, hottest first
     dk_prev = dk - F.col("w")
     topk_take = F.greatest(

@@ -1273,9 +1273,11 @@ class TestMinHashDelta:
         # the index side feeds from the stored signature parquet
         # (ReadSchema carries mh columns); it has no text column at
         # all, so a re-sign is impossible by construction, and the
-        # batch signature is cached (served to both its consumers)
+        # batch signature is locally checkpointed (computed once,
+        # served to both its consumers as an RDD scan — NOT a
+        # CacheManager entry, which would leak across batches)
         assert "mh0:bigint" in phys
-        assert "InMemoryTableScan" in phys
+        assert "ExistingRDD" in phys or "LogicalRDD" in phys
         live = minhash_delta_candidates(
             batch, minhash_signatures(index, k=64), k=64, bands=16)
         assert (sorted(map(tuple, est.collect()))
@@ -1458,3 +1460,40 @@ class TestFellegiSunterEM:
         empty = spark.createDataFrame([], "g boolean")
         with pytest.raises(ValueError, match="empty"):
             fellegi_sunter_em(empty, ["g"])
+
+
+def test_fellegi_sunter_em_degenerate_patterns_no_zerodiv(spark):
+    """A perfectly-separating agreement column drives m -> 1 / u -> 0;
+    without per-iteration clamping the next E-step divides by
+    wm + wu == 0 (ADVICE r4).  Many iterations over degenerate
+    patterns must converge, not raise."""
+    from outrank_spark.operators.dedup import fellegi_sunter_em
+    rows = ([(1, 1, 1)] * 50        # perfect matches
+            + [(0, 0, 0)] * 500)    # perfect non-matches
+    pairs = spark.createDataFrame(rows, "a int, b int, c int")
+    out = fellegi_sunter_em(pairs, ["a", "b", "c"], iters=50)
+    pdf = out.toPandas().set_index("field")
+    for f in ("a", "b", "c"):
+        m, u = pdf.loc[f, "m"], pdf.loc[f, "u"]
+        assert 0.0 < m <= 1.0 and 0.0 <= u < 1.0
+        assert m > 0.99 and u < 0.01      # converged to the planted truth
+        assert np.isfinite(pdf.loc[f, "w_agree"])
+        assert np.isfinite(pdf.loc[f, "w_disagree"])
+
+
+def test_minhash_delta_leaves_no_cachemanager_entry(spark):
+    """minhash_delta_candidates runs once per crawl batch — it must
+    not leave a CacheManager entry behind (ADVICE r4 storage leak)."""
+    from outrank_spark.operators.dedup import (minhash_delta_candidates,
+                                               minhash_signatures)
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox jumps over dog number {i % 5}")
+         for i in range(40)], "doc_id long, text string")
+    idx = minhash_signatures(docs.where("doc_id < 30"),
+                             "text", "doc_id", 3, 64)
+    spark.catalog.clearCache()
+    out = minhash_delta_candidates(docs.where("doc_id >= 30"), idx,
+                                   k=64, bands=16)
+    out.collect()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "operator leaked a CacheManager entry"

@@ -286,3 +286,57 @@ class TestNulBytes:
             assert int(got32[i]) == scalar_xxh32(b, 7), v
         # the regression this pins: "a\x00" must differ from "a"
         assert got64[0] != got64[1]
+
+
+class TestHashValuesDtypeCanonical:
+    """hash_values must be batch-dtype-independent: the same key hashes
+    identically whether its Arrow batch arrived as int64 or as float64
+    (which is what a nullable bigint column becomes in pandas)."""
+
+    def test_integral_float_matches_int64(self):
+        from outrank_spark.hashing import hash_values
+        ints = np.array([0, 1, -5, 2**40, -(2**40), 123456789],
+                        dtype=np.int64)
+        assert (hash_values(ints.astype(np.float64))
+                == hash_values(ints)).all()
+
+    def test_mixed_batch_with_nan_matches_on_integral_slots(self):
+        from outrank_spark.hashing import hash_values
+        ints = np.array([7, 14, 21], dtype=np.int64)
+        mixed = np.array([7.0, np.nan, 14.0, 2.5, 21.0])
+        h_mixed = hash_values(mixed)
+        h_int = hash_values(ints)
+        assert h_mixed[0] == h_int[0]
+        assert h_mixed[2] == h_int[1]
+        assert h_mixed[4] == h_int[2]
+
+    def test_true_floats_and_nan_deterministic(self):
+        from outrank_spark.hashing import hash_values
+        import pandas as pd
+        arr = np.array([1.5, np.nan, np.inf, -np.inf, 2.5])
+        a, b = hash_values(arr), hash_values(arr.copy())
+        assert (a == b).all()
+        # non-integral floats keep the pandas hash path
+        assert a[0] == pd.util.hash_array(arr).astype(np.uint64)[0]
+
+    def test_float32_matches_int(self):
+        from outrank_spark.hashing import hash_values
+        ints = np.array([3, 9, 27], dtype=np.int64)
+        assert (hash_values(ints.astype(np.float32))
+                == hash_values(ints)).all()
+
+    def test_out_of_int64_range_no_crash(self):
+        from outrank_spark.hashing import hash_values
+        arr = np.array([1e300, -1e300, float(2**63), 42.0])
+        h = hash_values(arr)
+        ref = hash_values(np.array([42], dtype=np.int64))
+        assert h[3] == ref[0]
+        assert len(set(h.tolist())) == 4
+
+
+def test_sql_ident_and_sql_str_escaping():
+    from outrank_spark.hashing import sql_ident, sql_str
+    assert sql_ident("a`b") == "`a``b`"
+    assert sql_ident("plain") == "`plain`"
+    assert sql_str("it's") == r"'it\'s'"
+    assert sql_str("back\\slash") == r"'back\\slash'"

@@ -99,3 +99,30 @@ def test_how_validation(tables):
     probe, build = tables
     with pytest.raises(ValueError):
         bloom_semijoin(probe, build, key="k", build_key="bk", how="inner")
+
+
+def test_nullable_long_keys_no_false_negatives(spark):
+    """Arrow hands a long column containing ANY null to pandas as
+    float64 — the hash path must still match the (int64) build side,
+    or true members get dropped (Bloom false negatives, ADVICE r4).
+    One partition of the probe is all-null-free (int64 batch), one
+    contains nulls (float64 batch); both must agree with the build."""
+    import pandas as pd
+    build = spark.createDataFrame(
+        pd.DataFrame({"k": np.arange(0, 5000, 7, dtype=np.int64)}))
+    rows = [(int(v), int(v)) for v in range(0, 5000, 7)]
+    rows += [(None, -1), (None, -2)]
+    rows += [(int(v), 10_000 + v) for v in range(1, 5000, 97)]
+    probe = spark.createDataFrame(rows, "k long, payload long") \
+        .repartition(7)
+    blob = build_key_bloom(build, "k")
+    kept = bloom_prefilter(probe, "k", blob, keep_members=True)
+    kept_ids = {r["payload"] for r in kept.collect()}
+    member_ids = {int(v) for v in range(0, 5000, 7)}
+    # NO false negatives: every true member survives the prefilter
+    assert member_ids <= kept_ids
+    # null keys are never members (semi drops them)
+    assert -1 not in kept_ids and -2 not in kept_ids
+    got = bloom_semijoin(probe, build, key="k", how="semi", exact=True)
+    want = probe.join(build.distinct(), on="k", how="left_semi")
+    assert _ids(got) == _ids(want)

@@ -405,3 +405,43 @@ class TestProfileDiff:
         b = spark.createDataFrame([(1,)], "y int")
         with pytest.raises(ValueError, match="lacks column"):
             profile_diff(a, b, cols=["x"])
+
+
+class TestHostileColumnNames:
+    """Column names containing quotes/backticks are spliced into
+    selectExpr/stack SQL (ADVICE r4) — they must profile, audit, and
+    correlate without parse errors or mis-parsed expressions."""
+
+    @pytest.fixture(scope="class")
+    def hostile(self, spark):
+        df = spark.createDataFrame(
+            [(1.0, 11.0, "x"), (2.0, 12.0, None), (3.0, 13.0, "y")],
+            "a double, b double, c string")
+        return (df.withColumnRenamed("a", "it's")
+                  .withColumnRenamed("b", "a`b")
+                  .withColumnRenamed("c", "we\"ird"))
+
+    def test_profile_table(self, hostile):
+        prof = {r["column"]: r for r in profile_table(hostile).collect()}
+        assert set(prof) == {"it's", "a`b", 'we"ird'}
+        assert prof["it's"]["n_null"] == 0
+        assert prof["it's"]["min_num"] == 1.0
+        assert prof["a`b"]["max_num"] == 13.0
+        assert prof['we"ird']["n_null"] == 1
+        assert prof['we"ird']["min_str"] == "x"
+
+    def test_benford_audit(self, hostile):
+        from outrank_spark.operators.validation import benford_audit
+        out = benford_audit(hostile, ["it's", "a`b"]).collect()
+        cols = {r["column"] for r in out}
+        assert cols == {"it's", "a`b"}
+        n1 = {r["digit"]: r["n_obs"] for r in out
+              if r["column"] == "a`b"}
+        assert n1[1] == 3          # 11, 12, 13 all lead with 1
+
+    def test_correlation_matrix(self, hostile):
+        from outrank_spark.operators.evaluation import correlation_matrix
+        out = correlation_matrix(hostile, ["it's", "a`b"]).collect()
+        assert len(out) == 1
+        assert abs(out[0]["corr"] - 1.0) < 1e-9
+        assert out[0]["n"] == 3
