@@ -29,16 +29,31 @@ __all__ = ["pack_sequences", "chunk_documents"]
 
 def pack_sequences(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", seq_len: int = 2048,
-                   buckets: int = 16) -> DataFrame:
+                   buckets: int = 16,
+                   rows_per_bucket: int | None = 4_000_000) -> DataFrame:
     """Packing manifest: ``(id, n_tokens, bucket, start_offset,
     pack_id)`` where ``start_offset`` is the document's first-token
     position in its bucket's concatenated stream and ``pack_id =
     floor(start_offset / seq_len)``.
 
     Scale: one shuffle+sort keyed by bucket; skew-free because the
-    bucket key is a hash.  Raise ``buckets`` with corpus size — each
-    bucket's window sorts ~N/buckets manifest rows (id + counts, no
-    text)."""
+    bucket key is a hash.  The bucket count AUTOSCALES from one
+    count(): ``buckets = max(buckets, ceil(n / rows_per_bucket))``
+    (the semantic_dedup k-autoscale recipe), so each bucket's window
+    sorts at most ~``rows_per_bucket`` manifest rows (id + counts,
+    no text) at ANY corpus size — a 10^12-doc corpus gets ~250k
+    shard streams instead of 16 corpus-sized single-task sorts.
+    ``rows_per_bucket=None`` disables the count and pins ``buckets``
+    exactly (callers that need a reproducible shard count across
+    differently-sized inputs)."""
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    if rows_per_bucket is not None:
+        if rows_per_bucket < 1:
+            raise ValueError(
+                f"rows_per_bucket must be >= 1, got {rows_per_bucket}")
+        n = df.count()
+        buckets = max(int(buckets), -(-n // int(rows_per_bucket)))
     key = _md5_key(id_col)
     # null or empty/whitespace-only text packs as ZERO tokens (matches
     # quality_model._flat_buckets): a bare size(split(...)) would emit

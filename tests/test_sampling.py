@@ -360,6 +360,35 @@ class TestSequencePacking:
         # stream is gapless: max end == total tokens
         assert int((m["start_offset"] + m["n_tokens"]).max()) == 5
 
+    def test_buckets_autoscale_from_count(self, spark):
+        """buckets = max(buckets, ceil(n / rows_per_bucket)) — a
+        corpus larger than buckets * rows_per_bucket must fan out to
+        more shard streams WITHOUT the caller hand-raising buckets
+        (r4 verdict: the fixed 16-bucket default is a 10^12-doc
+        single-task sort footgun).  Invariants still hold per
+        bucket, and no bucket exceeds ~rows_per_bucket by more than
+        hash-skew noise."""
+        from outrank_spark.operators.packing import pack_sequences
+
+        n = 4000
+        df = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.lit("tok tok tok").alias("text"))
+        m = pack_sequences(df, seq_len=10, buckets=4,
+                           rows_per_bucket=250).toPandas()
+        assert len(m) == n
+        n_buckets = m["bucket"].nunique()
+        assert n_buckets == 16  # ceil(4000/250), not the pinned 4
+        assert m.groupby("bucket").size().max() < 2.5 * 250
+        for _, grp in m.groupby("bucket"):
+            g = grp.sort_values("start_offset")
+            ends = (g["start_offset"] + g["n_tokens"]).to_numpy()
+            assert (g["start_offset"].to_numpy()[1:] == ends[:-1]).all()
+        # opting out pins the bucket count exactly
+        pinned = pack_sequences(df, seq_len=10, buckets=4,
+                                rows_per_bucket=None).toPandas()
+        assert pinned["bucket"].nunique() == 4
+
 
 class TestCorpusPipeline:
     def test_stage_attrition_and_manifest_consistency(self, spark):
@@ -545,6 +574,31 @@ class TestInvertedIndex:
         toks = {r["token"] for r in
                 inverted_index(df, min_df=2).collect()}
         assert toks == {"the"}
+
+    def test_planted_stopword_salted_no_raw_token_window(self, spark):
+        """A stopword appearing in EVERY doc must not land its whole
+        distinct (token, doc) set in one task's window sort (r4
+        verdict): every Window in the plan partitions by (token,
+        _salt), and the salted result is exact vs salt_buckets=1."""
+        from outrank_spark.operators.text import inverted_index
+
+        df = spark.createDataFrame(
+            [(i, f"the unique{i}") for i in range(500)],
+            "doc_id long, text string").repartition(8)
+        out = inverted_index(df, posting_cap=5)
+        phys = out._jdf.queryExecution().executedPlan().toString()
+        win = [ln for ln in phys.splitlines()
+               if "windowspecdefinition" in ln]
+        assert win, "expected the salted posting window in the plan"
+        assert all("_salt" in ln for ln in win), \
+            "found a Window over the raw token stream"
+        rows = {r["token"]: r for r in out.collect()}
+        assert rows["the"]["df"] == 500
+        assert rows["the"]["posting"] == "0,1,2,3,4"
+        unsalted = {r["token"]: r["posting"] for r in
+                    inverted_index(df, posting_cap=5,
+                                   salt_buckets=1).collect()}
+        assert {t: r["posting"] for t, r in rows.items()} == unsalted
 
 class TestChunkDocumentsProperty:
     def test_randomized_vs_python_reference(self, spark):
