@@ -38,7 +38,15 @@ HEADLINE = [
     "q18_user_sessions",
     "q21_sketch_cardinalities",
     "q23_ranking_flagship",
+    # r5: q08's documented scale path — two-pass exact selection with
+    # no group-in-one-task — carries a measured number next to the
+    # oracle-shape percentile() (r4 verdict #7).  Suite totals before
+    # r5 exclude it; see suite_r4_comparable_sec.
+    "q68_exact_quantiles_distributed",
 ]
+
+# the r1-r4 suite composition, for round-over-round comparability
+HEADLINE_R4 = HEADLINE[:10]
 
 N_PAGES = int(os.environ.get("BENCH_PAGES", "300000"))
 
@@ -576,6 +584,38 @@ def bpe_probe(spark, n_docs: int = 1_200_000) -> float:
     return dt
 
 
+def bm25_probe(spark, n_docs: int = 1_500_000) -> float:
+    """BM25 retrieval scale probe (r4 verdict #8): bm25_topk over
+    n_docs x 30-token synthetic Zipf-ish corpus generated JVM-side —
+    quadratic head skew over a 50k-type vocab (P(t) ~ 1/sqrt(t)), so
+    the head query term matches ~12% of all docs: the stopword-ish
+    worst case for the pre-shuffle query-term collapse.  Measures the
+    tokenize+explode scan, the query-term semi-collapse, the
+    doc-length join, and the top-k.  Query terms span head / mid /
+    tail frequency.  Returns wall seconds."""
+    from pyspark.sql import functions as F
+
+    from outrank_spark.operators.text import bm25_topk
+
+    df = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', transform(sequence(1, 30), i -> "
+            "conv(cast(cast(pow(((id * 2654435761 + i * 40503) "
+            "% 1000003) / 1000003.0, 2) * 50000 as long) as string), "
+            "10, 36)))",
+        ).alias("text"),
+    )
+    import numpy as np
+
+    terms = [np.base_repr(t, 36).lower() for t in (0, 1000, 49000)]
+    t0 = time.time()
+    rows = bm25_topk(df, terms, k=10).collect()
+    dt = time.time() - t0
+    assert len(rows) == 10 and rows[0]["score"] > 0
+    return dt
+
+
 def funnel_probe(spark, n_events: int = 40_000_000,
                  n_users: int = 2_000_000) -> float:
     """Funnel scale probe: funnel_counts over n_events synthetic
@@ -1003,6 +1043,7 @@ SCALING_OP_PROBES = {
     "warc": (warc_probe, "192k records"),
     "discretize": (discretize_probe, "60M rows"),
     "bpe": (bpe_probe, "1.2M docs"),
+    "bm25": (bm25_probe, "1.5M docs x 30 tokens"),
     "funnel": (funnel_probe, "40M events"),
     "pagerank": (pagerank_probe, "8M edges x 5 iters"),
     "dsir": (dsir_probe, "1.5M docs"),
@@ -1074,6 +1115,9 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
             "metric": "headline suite wall time",
             "value": round(sum(times.values()), 3),
             "unit": "sec",
+            "suite_r4_comparable_sec": round(
+                sum(times[n] for n in HEADLINE_R4)
+                + times["ranking_pages_job"], 3),
             "queries": times,
             "sf": sf,
             "cpus": cpus,
@@ -1224,25 +1268,39 @@ def main() -> None:
             raise SystemExit(f"unknown probe(s) {bad}; "
                              f"known: {list(SCALING_OP_PROBES)}")
         lo, hi = SCALING_N, 4 * SCALING_N
-        out = {}
-        for n in (lo, hi):
-            r = subprocess.run(
-                [sys.executable, __file__, "--scaling-ops-child",
-                 str(n), ",".join(sel)],
-                capture_output=True, text=True, check=True,
-            )
-            out[n] = [float(v)
-                      for v in r.stdout.strip().splitlines()[-1].split()]
+        # INTERLEAVE the two parallelism levels round by round
+        # (lo, hi, lo, hi, ...) so a slow host hour biases both sides
+        # equally instead of whichever level ran second — r3/r4 read
+        # 0.86 vs 0.71 on identical code because the levels ran in
+        # separate blocks.  Min-of-rounds per level, spread reported.
+        rounds: dict[int, list[list[float]]] = {lo: [], hi: []}
+        for _ in range(max(SCALING_REPS, 3)):
+            for n in (lo, hi):
+                r = subprocess.run(
+                    [sys.executable, __file__, "--scaling-ops-child",
+                     str(n), ",".join(sel), "1"],
+                    capture_output=True, text=True, check=True,
+                )
+                rounds[n].append(
+                    [float(v)
+                     for v in r.stdout.strip().splitlines()[-1].split()])
+        out = {n: [min(col) for col in zip(*rounds[n])]
+               for n in (lo, hi)}
         res = {
             "metric": (f"{'/'.join(sel)} scaling "
                        f"local[{lo}]->local[{hi}]"),
             "unit": "efficiency",
+            "interleaved_rounds": max(SCALING_REPS, 3),
         }
         for name in sel:
             res[f"{name}_size"] = SCALING_OP_PROBES[name][1]
         for i, name in enumerate(sel):
             res[f"{name}_t{lo}_sec"] = round(out[lo][i], 2)
             res[f"{name}_t{hi}_sec"] = round(out[hi][i], 2)
+            res[f"{name}_t{lo}_all"] = [round(r[i], 2)
+                                        for r in rounds[lo]]
+            res[f"{name}_t{hi}_all"] = [round(r[i], 2)
+                                        for r in rounds[hi]]
             res[f"{name}_efficiency"] = round(
                 (out[lo][i] / out[hi][i]) / 4.0, 3)
         print(json.dumps(res))
@@ -1253,6 +1311,8 @@ def main() -> None:
         n = int(sys.argv[i + 1])
         sel = (sys.argv[i + 2].split(",") if len(sys.argv) > i + 2
                else list(SCALING_OP_PROBES))
+        n_reps = (int(sys.argv[i + 3]) if len(sys.argv) > i + 3
+                  else SCALING_REPS)
         probes = tuple(SCALING_OP_PROBES[s][0] for s in sel)
         spark = make_spark(n)
         try:
@@ -1263,7 +1323,7 @@ def main() -> None:
             for probe in probes:
                 probe(spark)
                 best.append(min(probe(spark)
-                                for _ in range(SCALING_REPS)))
+                                for _ in range(n_reps)))
         finally:
             spark.stop()
         print(*best)

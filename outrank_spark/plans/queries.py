@@ -6780,3 +6780,28 @@ ORACLES = {
     "q147_weighted_quantiles": ORACLE_Q147,
     "q148_dataset_card": ORACLE_Q148,
 }
+
+
+def _rotate_registry(queries: dict, oracles: dict,
+                     start_key: str) -> dict:
+    """Rotate the exact-oracle block of the registry so it BEGINS at
+    ``start_key``, keeping every exact-oracle query ahead of every
+    rows-only query (the driver-window invariant).
+
+    Why: the correctness driver records only the FIRST 50 registry
+    entries per round.  Rounds 1-4 witnessed the same first-50 exact
+    block (q01-q69); rotating the start each round brings the
+    never-driver-witnessed exact queries (q70+) into the recorded
+    window while tools/check_oracles.py keeps sweeping all of them.
+    """
+    keys = list(queries)
+    exact = [k for k in keys if k in oracles]
+    rows_only = [k for k in keys if k not in oracles]
+    i = exact.index(start_key)
+    return {k: queries[k] for k in exact[i:] + exact[:i] + rows_only}
+
+
+# round-5 window: q70_pmi_collocations .. q130_table_profile — the 50
+# exact queries that have never appeared in a CORRECTNESS_r* artifact
+WINDOW_ROTATION_START = "q70_pmi_collocations"
+QUERIES = _rotate_registry(QUERIES, ORACLES, WINDOW_ROTATION_START)

@@ -37,3 +37,34 @@ class TestDriverContract:
         qs, oracles = e.queries(), e.oracle_sql()
         assert len(qs) >= 44
         assert set(oracles) <= set(qs)
+
+
+class TestDriverWindowInvariant:
+    """The correctness driver records only the FIRST 50 registry
+    entries — these invariants stop a future edit from silently
+    pushing exact-oracle queries out of the recorded window
+    (r4 verdict #9)."""
+
+    def test_every_exact_precedes_every_rows_only(self):
+        from outrank_spark.plans.queries import ORACLES, QUERIES
+
+        keys = list(QUERIES)
+        last_exact = max(i for i, k in enumerate(keys) if k in ORACLES)
+        first_rows = min((i for i, k in enumerate(keys)
+                          if k not in ORACLES), default=len(keys))
+        assert last_exact < first_rows, (
+            f"exact query {keys[last_exact]} ordered after rows-only "
+            f"{keys[first_rows]} — it would fall outside the driver's "
+            "correctness window")
+
+    def test_rotation_marker_heads_the_registry(self):
+        from outrank_spark.plans.queries import (QUERIES,
+                                                 WINDOW_ROTATION_START)
+
+        assert next(iter(QUERIES)) == WINDOW_ROTATION_START
+
+    def test_window_is_all_exact(self):
+        from outrank_spark.plans.queries import ORACLES, QUERIES
+
+        window = list(QUERIES)[:50]
+        assert all(k in ORACLES for k in window)
