@@ -26,7 +26,87 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["psi_drift", "ks_drift", "jsd_categorical"]
+__all__ = ["psi_drift", "psi_bin_edges", "psi_bin_counts",
+           "psi_from_counts", "ks_drift", "jsd_categorical"]
+
+
+def psi_bin_edges(ref: DataFrame, value_col: str, bins: int = 10,
+                  boundary_scale: int = 6) -> list[float]:
+    """The ``bins - 1`` reference quantile edges psi_drift bins
+    against: exact two-pass selection, HALF_UP-rounded to
+    ``boundary_scale`` dp (the cross-engine parity convention — see
+    the module docstring).  Factored out so a streaming monitor can
+    freeze the reference edges once and bin every micro-batch with
+    the IDENTICAL expression."""
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    from outrank_spark.operators.discretize import _round_half_up
+    from outrank_spark.operators.quantiles import exact_grouped_quantiles
+
+    probs = [i / bins for i in range(1, bins)]
+    bnd = exact_grouped_quantiles(
+        ref.select(F.lit("*").alias("__g"),
+                   F.col(value_col).alias("__v")),
+        "__g", "__v", probs,
+    )
+    if bnd.empty:
+        raise ValueError("reference snapshot has no non-null values")
+    return [_round_half_up(float(v), boundary_scale)
+            for v in bnd.iloc[0, 1:].tolist()]
+
+
+def psi_bin_counts(df: DataFrame, value_col: str,
+                   edges: list[float]) -> dict[int, int]:
+    """Per-bin non-null counts of ``df[value_col]`` against frozen
+    ``edges`` — the same strict ``v > b`` JVM filter expression
+    psi_drift uses, collected as a <= bins-row metadata dict."""
+    arr = F.array(*[F.lit(e) for e in edges])
+    rows = (
+        df.select(F.col(value_col).cast("double").alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .select((F.size(F.filter(arr, lambda b: F.col("__v") > b)) + 1)
+                .alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    return {int(r["bin"]): int(r["__n"]) for r in rows}
+
+
+def psi_from_counts(spark, ref_counts: dict[int, int],
+                    cur_counts: dict[int, int], bins: int,
+                    eps: float = 1e-6) -> DataFrame:
+    """PSI report from two per-bin count dicts — the SAME output
+    schema, shares, and psi_term arithmetic as :func:`psi_drift`
+    (shares and terms are computed as Spark double expressions, so a
+    streaming monitor's report is bitwise-equal to the batch run
+    over the identical rows)."""
+    rt = sum(ref_counts.values())
+    ct = sum(cur_counts.values())
+    if ct == 0:
+        raise ValueError("current snapshot has no non-null values — "
+                         "an all-empty cur would read as maximal "
+                         "drift instead of a data bug")
+    out = spark.createDataFrame(
+        [(b, int(ref_counts.get(b, 0)), int(cur_counts.get(b, 0)))
+         for b in range(1, bins + 1)],
+        "bin int, __rn long, __cn long",
+    ).select(
+        "bin",
+        (F.col("__rn") / F.lit(float(rt))).alias("ref_share"),
+        (F.col("__cn") / F.lit(float(ct))).alias("cur_share"),
+    )
+    return _psi_finalize(out, eps)
+
+
+def _psi_finalize(out: DataFrame, eps: float) -> DataFrame:
+    lg = F.log(F.greatest(F.col("cur_share"), F.lit(eps))
+               / F.greatest(F.col("ref_share"), F.lit(eps)))
+    return out.select(
+        "bin", "ref_share", "cur_share",
+        ((F.col("cur_share") - F.col("ref_share")) * lg)
+        .alias("psi_term"),
+    )
 
 
 def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
@@ -42,30 +122,15 @@ def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
     log, the standard PSI smoothing.  Nulls are ignored on both
     sides (the quantile convention).
     """
-    if bins < 2:
-        raise ValueError(f"bins must be >= 2, got {bins}")
-    from outrank_spark.operators.discretize import _round_half_up
-    from outrank_spark.operators.quantiles import exact_grouped_quantiles
-
-    probs = [i / bins for i in range(1, bins)]
-    bnd = exact_grouped_quantiles(
-        ref.select(F.lit("*").alias("__g"),
-                   F.col(value_col).alias("__v")),
-        "__g", "__v", probs,
-    )
-    if bnd.empty:
-        raise ValueError("reference snapshot has no non-null values")
+    # HALF_UP-rounded exact-quantile edges (psi_bin_edges): DuckDB
+    # rounds half AWAY from zero, and a builtin-round edge on a 6-dp
+    # half-tie (e.g. 5.65e-05) would differ by 1e-6 cross-engine,
+    # re-binning every value in the gap (the q69 parity convention)
+    edges = psi_bin_edges(ref, value_col, bins, boundary_scale)
     if cur.select(value_col).where(F.col(value_col).isNotNull()).isEmpty():
         raise ValueError("current snapshot has no non-null values — "
                          "an all-empty cur would read as maximal "
                          "drift instead of a data bug")
-    # HALF_UP (discretize._round_half_up), NOT Python's banker's
-    # round: DuckDB rounds half AWAY from zero, and a builtin-round
-    # edge on a 6-dp half-tie (e.g. 5.65e-05) would differ by 1e-6
-    # cross-engine, re-binning every value in the gap (the q69
-    # parity convention)
-    edges = [_round_half_up(float(v), boundary_scale)
-             for v in bnd.iloc[0, 1:].tolist()]
     arr = F.array(*[F.lit(e) for e in edges])
     spark = ref.sparkSession
 
@@ -99,13 +164,7 @@ def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
             F.coalesce("cur_share", F.lit(0.0)).alias("cur_share"),
         )
     )
-    lg = F.log(F.greatest(F.col("cur_share"), F.lit(eps))
-               / F.greatest(F.col("ref_share"), F.lit(eps)))
-    return out.select(
-        "bin", "ref_share", "cur_share",
-        ((F.col("cur_share") - F.col("ref_share")) * lg)
-        .alias("psi_term"),
-    )
+    return _psi_finalize(out, eps)
 
 
 def ks_drift(ref: DataFrame, cur: DataFrame, value_col: str,
