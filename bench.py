@@ -143,12 +143,14 @@ def sketch_error_probe(spark, sf_dir: str) -> dict:
             "hll": {"p": 14},
             "cms": {},                      # depth 6 x width 2^15
             "kll": {"k": 200},
+            "ddsketch": {"alpha": 0.01},
             "bloom": {"capacity": 2_000_000, "fpr": 0.01},
         },
         kind_columns={
             "hll": ["l_extendedprice"],     # 583k distinct at sf0.1
             "cms": ["l_suppkey"],           # heavy-hitter counts
             "kll": ["l_extendedprice"],
+            "ddsketch": ["l_extendedprice"],
             "bloom": ["l_orderkey"],
         },
     )
@@ -196,6 +198,32 @@ def sketch_error_probe(spark, sf_dir: str) -> dict:
         "rank_err": round(abs(rank - 0.5), 5),
         "published_bound": kll.rank_error,
         "within_bound": bool(abs(rank - 0.5) <= kll.rank_error),
+    }
+
+    # DDSketch: RELATIVE error of tail-quantile VALUES vs the alpha
+    # guarantee (Masson, Rim, Lee VLDB 2019) — the exact quantile
+    # values come from one Spark percentile() aggregate.
+    dd = skc[("l_extendedprice", "ddsketch")]
+    qs = (0.5, 0.99)
+    exact_q = li.agg(*[
+        F.expr(f"percentile(l_extendedprice, {q})").alias(f"q{i}")
+        for i, q in enumerate(qs)
+    ]).first()
+    dd_rows = {}
+    for i, q in enumerate(qs):
+        est_q = float(dd.quantile(q))
+        truth = float(exact_q[f"q{i}"])
+        # percentile() interpolates between neighbors; alpha binds on
+        # the item value, so allow the interpolation epsilon on top
+        rel_q = abs(est_q - truth) / abs(truth)
+        dd_rows[f"q{q}"] = {
+            "estimate": round(est_q, 3), "exact": round(truth, 3),
+            "rel_err": round(rel_q, 6),
+        }
+    out["ddsketch_a01"] = {
+        **dd_rows, "published_alpha": dd.alpha,
+        "within_bound": bool(all(
+            v["rel_err"] <= dd.alpha * 1.05 for v in dd_rows.values())),
     }
 
     # Bloom: measured FPR over 20k guaranteed-absent keys vs the

@@ -44,7 +44,7 @@ __all__ = ["SketchPlan", "SketchCollection", "build_sketches",
            "finalize_cardinalities", "grouped_quantiles", "probe_bloom",
            "exact_heavy_hitters", "theta_group_overlap"]
 
-_NUMERIC_ONLY = {"kll", "tdigest"}
+_NUMERIC_ONLY = {"kll", "tdigest", "ddsketch"}
 _BLOB_SCHEMA = "column string, kind string, blob binary"
 
 
@@ -94,7 +94,7 @@ class SketchCollection(dict):
                 row["estimate"] = sk.total
             elif kind == "bloom":
                 row["estimate"] = sk.estimated_fpr()
-            elif kind in ("kll", "tdigest"):
+            elif kind in ("kll", "tdigest", "ddsketch"):
                 row["estimate"] = sk.quantile(0.5)
             elif kind == "counter":
                 row["estimate"] = len(sk)
@@ -418,11 +418,13 @@ def grouped_quantiles(df, key_col: str, value_col: str,
     tests/test_spark_sketch_build.py against exact percentiles).
     """
     if kind not in _NUMERIC_ONLY:
-        raise ValueError(f"grouped_quantiles needs kll or tdigest, got {kind}")
+        raise ValueError(
+            f"grouped_quantiles needs kll, tdigest or ddsketch, got {kind}")
+    _defaults = {"kll": {"k": 200}, "tdigest": {"delta": 200},
+                 "ddsketch": {"alpha": 0.01}}
     blobs = build_grouped_sketches(
         df, key_col, value_col, kind=kind,
-        params=params or ({"k": 200} if kind == "kll" else {"delta": 200}),
-        salt=salt,
+        params=params or _defaults[kind], salt=salt,
     )
     qs_list = [float(q) for q in qs]
 

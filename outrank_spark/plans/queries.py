@@ -6501,6 +6501,59 @@ FROM w GROUP BY lang ORDER BY lang
 """
 
 
+def q149_ddsketch_tail_quantiles(spark, sf_dir):
+    """Per-source n_chars tail quantiles via grouped DDSketch
+    (sketches/ddsketch.py): the RELATIVE-error quantile sketch — the
+    returned value is within alpha=1% of the true quantile VALUE
+    (Masson et al., VLDB 2019), the bound that matters for size/
+    latency tails spanning orders of magnitude, where KLL's rank
+    bound can still be off by x2 in value.  Same salted grouped
+    build + executor-side finalize as q54; merges are pure counter
+    addition, so (unlike KLL/t-digest) ANY merge order gives a
+    bitwise-identical blob (tests/test_ddsketch.py).  Approximate ->
+    rows-only; the alpha bound vs exact percentile_cont is asserted
+    in tests/test_spark_sketch_build.py and measured per-round in
+    bench.py's sketch_error block."""
+    from outrank_spark.operators.sketch_build import grouped_quantiles
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        grouped_quantiles(docs, "source", "n_chars",
+                          qs=(0.5, 0.9, 0.99), kind="ddsketch",
+                          params={"alpha": 0.01})
+        .withColumnRenamed("key", "source")
+        .orderBy("source", "q")
+    )
+
+
+def q150_sparse_grouped_cardinality(spark, sf_dir):
+    """Per-(lang, source) distinct-text cardinalities via SPARSE
+    grouped HLL (sketches/hll.py sparse=True): identical estimates to
+    dense HLL (same logical registers), but a near-empty key costs
+    ~5 bytes/distinct on the wire instead of the fixed 2^p-byte
+    register array — at 10^12 pages with tens of millions of
+    Zipf-tailed hosts, per-key dense blobs are a 100+ GB shuffle,
+    sparse blobs are ~the data's distinct count.  Rows-only
+    (estimates); estimate==dense and the blob-size win are pinned in
+    tests/test_sketches.py::TestSparseHLL and
+    tests/test_spark_sketch_build.py."""
+    from outrank_spark.operators.sketch_build import (
+        build_grouped_sketches, finalize_cardinalities,
+    )
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "grp", F.concat_ws("|", "lang", "source"),
+    )
+    blobs = build_grouped_sketches(
+        docs, "grp", "text", kind="hll", params={"p": 14, "sparse": True},
+    )
+    return (
+        finalize_cardinalities(blobs)
+        .withColumnRenamed("key", "grp")
+        .orderBy("grp")
+    )
+
+
 QUERIES = {
     # --- exact DuckDB oracles (102; the driver's gate window covers
     # the first 50 — everything after is exact-checked per round by
@@ -6656,6 +6709,8 @@ QUERIES = {
     "q119_minhash_delta_dedup": q119_minhash_delta_dedup,
     "q127_join_size_estimate": q127_join_size_estimate,
     "q142_isotonic_calibration": q142_isotonic_calibration,
+    "q149_ddsketch_tail_quantiles": q149_ddsketch_tail_quantiles,
+    "q150_sparse_grouped_cardinality": q150_sparse_grouped_cardinality,
 }
 
 ORACLES = {

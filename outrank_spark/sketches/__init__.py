@@ -30,6 +30,7 @@ from outrank_spark.sketches.frequent import FrequentItems
 from outrank_spark.sketches.theta import ThetaSketch
 from outrank_spark.sketches.countsketch import CountSketch
 from outrank_spark.sketches.fd import FrequentDirections
+from outrank_spark.sketches.ddsketch import DDSketch
 
 SKETCH_REGISTRY = {
     "hll": HyperLogLog,
@@ -45,6 +46,7 @@ SKETCH_REGISTRY = {
     "theta": ThetaSketch,
     "countsketch": CountSketch,
     "fd": FrequentDirections,
+    "ddsketch": DDSketch,
 }
 
 
@@ -55,5 +57,6 @@ __all__ = [
     "HyperLogLog", "ParityHyperLogLog", "CountMinSketch", "BloomFilter",
     "KLLSketch", "TDigest", "BoundedCounter", "CoverageCounter",
     "RareValueCounter", "FrequentItems", "ThetaSketch", "CountSketch",
-    "FrequentDirections", "SKETCH_REGISTRY", "sketch_from_bytes",
+    "FrequentDirections", "DDSketch", "SKETCH_REGISTRY",
+    "sketch_from_bytes",
 ]

@@ -48,33 +48,72 @@ class HyperLogLog:
     m = 2^14 registers -> sigma ~= 1.04/sqrt(16384) = 0.81% relative
     standard error; 16 KiB per column, cheap to shuffle even for
     hundreds of derived features.
+
+    ``sparse=True`` opts into a SPARSE representation for the grouped/
+    per-key path (build_grouped_sketches): registers are kept as
+    {index: rho} pairs until the nonzero count crosses m/5 (the wire
+    break-even: 5 bytes/entry vs 1 byte/register), then densified.
+    The logical register array — and therefore the estimate — is
+    IDENTICAL to the dense mode at every point (pinned in
+    tests/test_sketches.py::TestSparseHLL); only memory and blob size
+    change.  Why it matters at 10^12 rows: per-host HLLs over tens of
+    millions of Zipf-tailed hosts are almost all near-empty — dense
+    blobs shuffle 16 KiB per host (160 GB for 10M hosts at p=14),
+    sparse blobs shuffle ~5 bytes per distinct value.  The wire format
+    is canonical for the family (sparse iff count <= m/5, entries in
+    sorted index order), so bitwise merge order-independence is
+    preserved.  The flag is part of the family contract (like p):
+    mixed-mode merges raise, and the flag survives serialization.
     """
 
     kind = "hll"
 
-    def __init__(self, p: int = 14, registers: np.ndarray | None = None):
+    def __init__(self, p: int = 14, registers: np.ndarray | None = None,
+                 sparse: bool = False):
         if not 4 <= p <= 18:
             raise ValueError(f"p must be in [4,18], got {p}")
         self.p = p
         self.m = 1 << p
-        self.registers = (
-            registers if registers is not None
-            else np.zeros(self.m, dtype=np.uint8)
-        )
+        self.sparse = bool(sparse)
+        self._entries: dict[int, int] | None = {} if sparse else None
+        if sparse:
+            self.registers = None
+            if registers is not None:
+                raise ValueError("sparse HLL starts empty")
+        else:
+            self.registers = (
+                registers if registers is not None
+                else np.zeros(self.m, dtype=np.uint8)
+            )
+
+    @property
+    def _wire_threshold(self) -> int:
+        return self.m // 5
+
+    def _densify(self) -> None:
+        """Promote the sparse dict to the dense register array (one
+        way; the wire stays canonical-by-count either way)."""
+        if self._entries is None:
+            return
+        regs = np.zeros(self.m, dtype=np.uint8)
+        if self._entries:
+            idx = np.fromiter(self._entries.keys(), dtype=np.int64)
+            rho = np.fromiter(self._entries.values(), dtype=np.uint8)
+            regs[idx] = rho
+        self.registers = regs
+        self._entries = None
 
     # -- build ---------------------------------------------------------
     def update(self, values) -> "HyperLogLog":
         return self.update_hashes(hash_values(values))
 
-    def update_hashes(self, h: np.ndarray) -> "HyperLogLog":
-        """Vectorized register update from pre-hashed uint64 values."""
-        if h.size == 0:
-            return self
-        p = np.uint64(self.p)
-        j = (h >> np.uint64(64 - self.p)).astype(np.int64)
+    @staticmethod
+    def _j_rho(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+        """(register index, rho) for pre-hashed uint64 values."""
+        j = (h >> np.uint64(64 - p)).astype(np.int64)
         # Remaining 64-p bits; sentinel bit bounds rho at 64-p+1 so a
         # zero remainder is well-defined.
-        w = (h << p) | np.uint64(1 << (self.p - 1) if self.p >= 1 else 1)
+        w = (h << np.uint64(p)) | np.uint64(1 << (p - 1) if p >= 1 else 1)
         # rho = 1 + count of leading zeros of w. The lowest set bit of
         # bit-reversed w would work too; we use exact float log2 on the
         # isolated *highest* set bit (powers of two are exact in f64).
@@ -85,6 +124,25 @@ class HyperLogLog:
         v = (v >> np.uint64(1)) + np.uint64(1)  # highest power of two <= w
         msb = np.log2(v.astype(np.float64)).astype(np.int64)  # exact
         rho = (64 - msb).astype(np.uint8)  # leading zeros + 1
+        return j, rho
+
+    def update_hashes(self, h: np.ndarray) -> "HyperLogLog":
+        """Vectorized register update from pre-hashed uint64 values."""
+        if h.size == 0:
+            return self
+        j, rho = self._j_rho(h, self.p)
+        if self._entries is not None:
+            # max-per-index: sort by (j, rho), keep last rho per j
+            order = np.lexsort((rho, j))
+            js, rs = j[order], rho[order]
+            last = np.r_[js[1:] != js[:-1], True]
+            d = self._entries
+            for ji, ri in zip(js[last].tolist(), rs[last].tolist()):
+                if ri > d.get(ji, 0):
+                    d[ji] = ri
+            if len(d) > self._wire_threshold:
+                self._densify()
+            return self
         np.maximum.at(self.registers, j, rho)
         return self
 
@@ -92,18 +150,41 @@ class HyperLogLog:
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
         if other.p != self.p:
             raise ValueError("cannot merge HLLs with different precision")
-        np.maximum(self.registers, other.registers, out=self.registers)
+        if other.sparse != self.sparse:
+            raise ValueError("cannot merge sparse and dense HLL families")
+        if self._entries is not None and other._entries is not None:
+            d = self._entries
+            for ji, ri in other._entries.items():
+                if ri > d.get(ji, 0):
+                    d[ji] = ri
+            if len(d) > self._wire_threshold:
+                self._densify()
+            return self
+        self._densify()
+        if other._entries is not None:
+            if other._entries:
+                idx = np.fromiter(other._entries.keys(), dtype=np.int64)
+                rho = np.fromiter(other._entries.values(), dtype=np.uint8)
+                np.maximum.at(self.registers, idx, rho)
+        else:
+            np.maximum(self.registers, other.registers,
+                       out=self.registers)
         return self
 
     # -- finalize ------------------------------------------------------
     def estimate(self) -> int:
         m = self.m
-        inv = np.ldexp(1.0, -self.registers.astype(np.int64))
-        raw = _alpha(m) * m * m / inv.sum()
-        if raw <= 2.5 * m:
+        if self._entries is not None:
+            rho = np.fromiter(self._entries.values(), dtype=np.int64) \
+                if self._entries else np.empty(0, dtype=np.int64)
+            zeros = m - rho.size
+            inv_sum = np.ldexp(1.0, -rho).sum() + zeros
+        else:
+            inv_sum = np.ldexp(1.0, -self.registers.astype(np.int64)).sum()
             zeros = int(np.count_nonzero(self.registers == 0))
-            if zeros:
-                return int(round(m * np.log(m / zeros)))
+        raw = _alpha(m) * m * m / inv_sum
+        if raw <= 2.5 * m and zeros:
+            return int(round(m * np.log(m / zeros)))
         return int(round(raw))
 
     def __len__(self) -> int:
@@ -115,13 +196,46 @@ class HyperLogLog:
 
     # -- wire ----------------------------------------------------------
     def to_bytes(self) -> bytes:
-        return struct.pack("<BB", 1, self.p) + self.registers.tobytes()
+        if not self.sparse:
+            return struct.pack("<BB", 1, self.p) + self.registers.tobytes()
+        # canonical for the sparse family: entry format iff the count
+        # is at/below the wire threshold, else dense-with-sparse-flag
+        if self._entries is not None:
+            nz = len(self._entries)
+        else:
+            nz = int(np.count_nonzero(self.registers))
+        if nz <= self._wire_threshold:
+            if self._entries is not None:
+                idx = np.array(sorted(self._entries), dtype=np.uint32)
+                rho = np.array([self._entries[i] for i in idx],
+                               dtype=np.uint8)
+            else:
+                idx64 = np.flatnonzero(self.registers)
+                idx = idx64.astype(np.uint32)
+                rho = self.registers[idx64]
+            return (struct.pack("<BBI", 2, self.p, idx.size)
+                    + idx.tobytes() + rho.tobytes())
+        self._densify()
+        return struct.pack("<BB", 3, self.p) + self.registers.tobytes()
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "HyperLogLog":
         ver, p = struct.unpack_from("<BB", blob)
-        regs = np.frombuffer(blob, dtype=np.uint8, offset=2).copy()
-        return cls(p=p, registers=regs)
+        if ver == 1:
+            regs = np.frombuffer(blob, dtype=np.uint8, offset=2).copy()
+            return cls(p=p, registers=regs)
+        if ver == 3:
+            regs = np.frombuffer(blob, dtype=np.uint8, offset=2).copy()
+            out = cls(p=p, sparse=True)
+            out._entries = None
+            out.registers = regs
+            return out
+        (k,) = struct.unpack_from("<I", blob, 2)
+        idx = np.frombuffer(blob, dtype=np.uint32, count=k, offset=6)
+        rho = np.frombuffer(blob, dtype=np.uint8, count=k, offset=6 + 4 * k)
+        out = cls(p=p, sparse=True)
+        out._entries = dict(zip(idx.tolist(), rho.tolist()))
+        return out
 
 
 class ParityHyperLogLog:
@@ -331,6 +445,11 @@ def hll_union(a: HyperLogLog, b: HyperLogLog) -> HyperLogLog:
     neither input is mutated)."""
     if a.p != b.p:
         raise ValueError("cannot union HLLs with different precision")
+    if a.sparse or b.sparse:
+        # wire round-trip copies preserve the family flag and leave
+        # the inputs untouched; merge() is the max combine either way
+        return HyperLogLog.from_bytes(a.to_bytes()).merge(
+            HyperLogLog.from_bytes(b.to_bytes()))
     return HyperLogLog(p=a.p, registers=np.maximum(a.registers, b.registers))
 
 

@@ -546,3 +546,77 @@ class TestHllOverlapMatrix:
         # subset selection: a 2-key matrix has exactly one pair
         assert len(hll_overlap_matrix(
             {k: per_key[k] for k in ("a", "c")})) == 1
+
+
+class TestSparseHLL:
+    """Sparse-mode HLL: identical estimates to dense, canonical wire,
+    bitwise merge order-independence, and the blob-size win that
+    justifies it for per-key grouped sketches."""
+
+    def test_estimate_identical_to_dense_at_every_size(self):
+        rng = np.random.default_rng(9)
+        for n in (0, 1, 50, 1000, 20_000):
+            vals = rng.integers(0, 10**12, size=n)
+            d = HyperLogLog(p=12)
+            s = HyperLogLog(p=12, sparse=True)
+            d.update(vals)
+            s.update(vals)
+            assert s.estimate() == d.estimate()
+
+    def test_promotion_threshold_and_wire_formats(self):
+        s = HyperLogLog(p=10, sparse=True)  # m=1024, threshold=204
+        s.update(np.arange(50))
+        blob_small = s.to_bytes()
+        assert blob_small[0] == 2           # sparse wire
+        assert len(blob_small) < 1024       # far below dense 1 KiB
+        s.update(np.arange(50, 5000))
+        blob_big = s.to_bytes()
+        assert blob_big[0] == 3             # dense-with-flag wire
+        # round trips preserve family + estimate
+        for blob in (blob_small, blob_big):
+            back = HyperLogLog.from_bytes(blob)
+            assert back.sparse is True
+            assert back.to_bytes() == blob
+
+    def test_bitwise_order_independence_across_mixed_reprs(self):
+        rng = np.random.default_rng(4)
+        chunks = [rng.integers(0, 10**9, size=n)
+                  for n in (10, 3000, 7, 900)]  # some promote, some not
+        images = set()
+        import itertools
+        for perm in itertools.permutations(range(4)):
+            acc = HyperLogLog(p=10, sparse=True)
+            for i in perm:
+                part = HyperLogLog(p=10, sparse=True)
+                part.update(chunks[i])
+                acc.merge(HyperLogLog.from_bytes(part.to_bytes()))
+            images.add(acc.to_bytes())
+        assert len(images) == 1
+
+    def test_sparse_vs_dense_blob_sizes(self):
+        # the 10M-host scenario in miniature: tiny key -> tiny blob
+        s = HyperLogLog(p=14, sparse=True)
+        s.update(np.arange(100))
+        d = HyperLogLog(p=14)
+        d.update(np.arange(100))
+        assert len(d.to_bytes()) >= 16384
+        assert len(s.to_bytes()) < 1024
+
+    def test_mixed_family_merge_raises(self):
+        s = HyperLogLog(p=10, sparse=True)
+        d = HyperLogLog(p=10)
+        with pytest.raises(ValueError):
+            s.merge(d)
+        with pytest.raises(ValueError):
+            d.merge(s)
+
+    def test_union_helper_handles_sparse(self):
+        from outrank_spark.sketches.hll import hll_union
+        a = HyperLogLog(p=10, sparse=True)
+        b = HyperLogLog(p=10, sparse=True)
+        a.update(np.arange(100))
+        b.update(np.arange(50, 150))
+        u = hll_union(a, b)
+        ref = HyperLogLog(p=10, sparse=True)
+        ref.update(np.arange(150))
+        assert u.to_bytes() == ref.to_bytes()

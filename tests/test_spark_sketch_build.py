@@ -217,7 +217,7 @@ class TestGroupedQuantiles:
         from outrank_spark.operators.sketch_build import grouped_quantiles
 
         df = spark.createDataFrame([("a", 1.0)], "grp string, x double")
-        with pytest.raises(ValueError, match="kll or tdigest"):
+        with pytest.raises(ValueError, match="kll, tdigest or ddsketch"):
             grouped_quantiles(df, "grp", "x", kind="hll")
 
     def test_tdigest_backend(self, spark):
@@ -232,3 +232,53 @@ class TestGroupedQuantiles:
                                 qs=(0.5,), kind="tdigest").collect()
         assert len(out) == 1
         assert abs(out[0]["value"] - 2499.5) < 100
+
+
+class TestGroupedDDSketch:
+    def test_within_relative_error_bound(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(17)
+        pdf = pd.DataFrame({
+            "grp": np.repeat(["a", "b"], 30_000),
+            "x": np.concatenate([
+                rng.lognormal(5, 2, 30_000),   # heavy right tail
+                rng.lognormal(2, 1, 30_000),
+            ]),
+        })
+        df = spark.createDataFrame(pdf).repartition(8)
+        from outrank_spark.operators.sketch_build import grouped_quantiles
+
+        out = grouped_quantiles(df, "grp", "x", qs=(0.5, 0.9, 0.99),
+                                kind="ddsketch",
+                                params={"alpha": 0.01}).collect()
+        assert len(out) == 6
+        for r in out:
+            grp_x = np.sort(pdf.loc[pdf["grp"] == r["key"], "x"].to_numpy())
+            truth = grp_x[int(np.floor(r["q"] * (len(grp_x) - 1)))]
+            # the published guarantee: VALUE within alpha, relatively
+            assert abs(r["value"] - truth) <= 0.01 * abs(truth) + 1e-9, (
+                r["key"], r["q"], r["value"], truth)
+
+
+class TestSparseGroupedHLL:
+    def test_sparse_estimates_match_dense_and_blobs_shrink(self, pages,
+                                                           spark):
+        feats = with_web_features(pages)
+        dense = build_grouped_sketches(
+            feats, "host", "url", kind="hll", params={"p": 14}, salt=4,
+        ).collect()
+        sparse = build_grouped_sketches(
+            feats, "host", "url", kind="hll",
+            params={"p": 14, "sparse": True}, salt=4,
+        ).collect()
+        d_est = {r["key"]: sketch_from_bytes("hll", bytes(r["blob"]))
+                 .estimate() for r in dense}
+        s_est = {r["key"]: sketch_from_bytes("hll", bytes(r["blob"]))
+                 .estimate() for r in sparse}
+        assert s_est == d_est  # identical logical registers
+        d_bytes = sum(len(bytes(r["blob"])) for r in dense)
+        s_bytes = sum(len(bytes(r["blob"])) for r in sparse)
+        # every test host is tiny vs m=16384 -> order-of-magnitude win
+        assert s_bytes * 10 < d_bytes, (s_bytes, d_bytes)
