@@ -16,8 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["stratified_sample", "weighted_sample", "reservoir_sample",
-           "temperature_rebalance", "dsir_logratio", "mixture_sample",
-           "hash_split", "bootstrap_replicate_stats",
+           "priority_sample", "temperature_rebalance", "dsir_logratio",
+           "mixture_sample", "hash_split", "bootstrap_replicate_stats",
            "bootstrap_mean_ci", "negative_samples", "temporal_split",
            "POISSON1_CDF"]
 
@@ -452,6 +452,72 @@ def reservoir_sample(df: DataFrame, k: int, id_col: str = "doc_id",
             .withColumn("_key", -F.log(u) / w)
         )
     return keyed.orderBy("_key", id_col).limit(k).drop("_key")
+
+
+def priority_sample(df: DataFrame, k: int, weight_col: str,
+                    id_col: str = "doc_id", seed: str = "") -> DataFrame:
+    """Priority sampling (Duffield, Lund, Thorup, JACM 2007): a
+    ``k``-row weighted sample WITHOUT replacement that carries an
+    unbiased, near-variance-optimal SUBSET-SUM estimator — the piece
+    :func:`reservoir_sample`'s A-ES keys don't give you.
+
+    Each row gets priority ``q = w / u`` with ``u`` the row's
+    engine-portable md5-uniform in (0, 1]; the sample is the ``k``
+    highest priorities and ``tau`` is the (k+1)-th.  The returned
+    ``est_w = max(w, tau)`` column satisfies, for ANY row predicate P,
+
+        E[ sum of est_w over sampled rows matching P ]
+            = sum of w over ALL rows matching P
+
+    (DLT Theorem 1), with variance within a factor (1 + o(1)) of the
+    best possible off-line scheme for k-row summaries (Szegedy, STOC
+    2006).  So one global k-row sample answers every later group-by /
+    filter total-weight question unbiasedly — the "sample once, slice
+    forever" corpus-summary primitive (est. total tokens per language
+    from one 10k-row sample of a 10^12-row corpus).
+
+    Determinism + oracle: ``u`` is the md5-prefix uniform shared with
+    q113/q114, both engines compute ``w/u`` and ``max(w, tau)`` on
+    IEEE-754 doubles, ties break on ``id_col`` — DuckDB replays the
+    sample AND the estimator column row-for-row (ORACLE_Q151).
+
+    Scale shape: one ``TakeOrderedAndProject`` keeps k+1 rows (per-task
+    bounded heap, no full sort — asserted in tests); the tau window +
+    broadcast stat join then run over those <= k+1 rows only.  Rows
+    with null/non-positive weight are excluded, as in
+    :func:`reservoir_sample`.  The reference engine has no weighted
+    sampler at all (``core_ranking.py:641-642`` is positional).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    _reject_internal_collisions(
+        df, ("_prio", "_rn", "_tau"), "priority_sample")
+    u = (_md5_key(id_col, seed) + F.lit(1)).cast("double") / F.lit(
+        float(_KEY_SPACE))
+    w = F.col(weight_col).cast("double")
+    top = (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("_prio", w / u)
+        .orderBy(F.desc("_prio"), F.asc(id_col))
+        .limit(k + 1)
+    )
+    # everything below operates on <= k+1 rows: the unpartitioned
+    # window is a deliberate single-task sort of a bounded stat table,
+    # not a corpus window
+    ranked = top.withColumn(
+        "_rn",
+        F.row_number().over(Window.orderBy(F.desc("_prio"),
+                                           F.asc(id_col))),
+    )
+    tau = ranked.agg(F.coalesce(
+        F.max(F.when(F.col("_rn") == k + 1, F.col("_prio"))),
+        F.lit(0.0)).alias("_tau"))
+    return (
+        ranked.filter(F.col("_rn") <= k)
+        .crossJoin(F.broadcast(tau))
+        .withColumn("est_w", F.greatest(w, F.col("_tau")))
+        .drop("_prio", "_rn", "_tau")
+    )
 
 
 # cumulative Poisson(1) CDF, P(X <= k) for k = 0..9, full double

@@ -6554,8 +6554,78 @@ def q150_sparse_grouped_cardinality(spark, sf_dir):
     )
 
 
+def q151_priority_sample(spark, sf_dir):
+    """40-row priority sample of the documents table weighted by
+    n_chars (sampling.priority_sample — Duffield-Lund-Thorup, JACM
+    2007), carrying the unbiased subset-sum estimator column
+    ``est_w = max(w, tau)``: summing est_w over any slice of the
+    sample unbiasedly estimates that slice's total n_chars over the
+    WHOLE corpus, with near-optimal variance (Szegedy 2006).  One
+    TakeOrderedAndProject keeps k+1 rows; tau and the estimator are
+    computed over that bounded stat table only.  Exact row-for-row
+    oracle: DuckDB replays the md5-uniform, the w/u priority, tau,
+    and greatest(w, tau) on identical IEEE-754 doubles."""
+    from outrank_spark.operators.sampling import priority_sample
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    return (
+        priority_sample(docs, 40, "n_chars", id_col="doc_id")
+        .withColumn("est_w", F.round("est_w", 6))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_Q151 = """
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(n_chars AS DOUBLE) /
+           ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) + 1) / 4294967296.0) AS prio
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY prio DESC, doc_id) AS rn
+  FROM keyed
+), tau AS (
+  SELECT coalesce(max(CASE WHEN rn = 41 THEN prio END), 0.0) AS tau
+  FROM ranked WHERE rn <= 41
+)
+SELECT doc_id, lang, n_chars,
+       round(greatest(CAST(n_chars AS DOUBLE), tau), 6) AS est_w
+FROM ranked, tau WHERE rn <= 40 ORDER BY doc_id
+"""
+
+
+def q152_sliding_window_distinct(spark, sf_dir):
+    """Distinct active users for THREE trailing time windows from ONE
+    scan of the events table, via the sliding-window HLL
+    (sketches/slidinghll.py; sketch_build.sliding_distinct_counts).
+    Window starts are data-driven fractions of the observed ts range
+    (full / last half / last decile), so the query is scale-free.
+    Each window's estimate is bitwise what a plain HLL fed only that
+    window's rows would report (skyline reconstruction is exact), so
+    the published 1.04/sqrt(m) bound holds per window — replay-pinned
+    in tests/test_slidinghll.py; rows-only here (estimates)."""
+    from outrank_spark.operators.sketch_build import sliding_distinct_counts
+
+    ev = load(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("double")
+    mn, mx = ev.agg(F.min(sec), F.max(sec)).first()
+    windows = {
+        "w1_full": float(mn),
+        "w2_last_half": float(mn + 0.5 * (mx - mn)),
+        "w3_last_decile": float(mn + 0.9 * (mx - mn)),
+    }
+    return (
+        sliding_distinct_counts(ev, "user_id", "ts", windows, p=12)
+        .withColumn("ts_from", F.round("ts_from", 3))
+        .orderBy("window")
+    )
+
+
 QUERIES = {
-    # --- exact DuckDB oracles (102; the driver's gate window covers
+    # --- exact DuckDB oracles (103; the driver's gate window covers
     # the first 50 — everything after is exact-checked per round by
     # tools/check_oracles.py, artifact in bench_artifacts/) ---
     "q01_pricing_summary": q01_pricing_summary,
@@ -6676,6 +6746,7 @@ QUERIES = {
     "q146_profile_drift": q146_profile_drift,
     "q147_weighted_quantiles": q147_weighted_quantiles,
     "q148_dataset_card": q148_dataset_card,
+    "q151_priority_sample": q151_priority_sample,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -6711,6 +6782,7 @@ QUERIES = {
     "q142_isotonic_calibration": q142_isotonic_calibration,
     "q149_ddsketch_tail_quantiles": q149_ddsketch_tail_quantiles,
     "q150_sparse_grouped_cardinality": q150_sparse_grouped_cardinality,
+    "q152_sliding_window_distinct": q152_sliding_window_distinct,
 }
 
 ORACLES = {
@@ -6834,6 +6906,7 @@ ORACLES = {
     "q146_profile_drift": ORACLE_Q146,
     "q147_weighted_quantiles": ORACLE_Q147,
     "q148_dataset_card": ORACLE_Q148,
+    "q151_priority_sample": ORACLE_Q151,
 }
 
 

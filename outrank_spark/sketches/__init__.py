@@ -31,6 +31,7 @@ from outrank_spark.sketches.theta import ThetaSketch
 from outrank_spark.sketches.countsketch import CountSketch
 from outrank_spark.sketches.fd import FrequentDirections
 from outrank_spark.sketches.ddsketch import DDSketch
+from outrank_spark.sketches.slidinghll import SlidingHyperLogLog
 
 SKETCH_REGISTRY = {
     "hll": HyperLogLog,
@@ -47,6 +48,10 @@ SKETCH_REGISTRY = {
     "countsketch": CountSketch,
     "fd": FrequentDirections,
     "ddsketch": DDSketch,
+    # two-argument update (values, ts) — built via
+    # sketch_build.sliding_distinct_counts, not the generic grouped
+    # builder; registered for wire-format dispatch (_fold_blobs)
+    "shll": SlidingHyperLogLog,
 }
 
 
@@ -57,6 +62,6 @@ __all__ = [
     "HyperLogLog", "ParityHyperLogLog", "CountMinSketch", "BloomFilter",
     "KLLSketch", "TDigest", "BoundedCounter", "CoverageCounter",
     "RareValueCounter", "FrequentItems", "ThetaSketch", "CountSketch",
-    "FrequentDirections", "DDSketch", "SKETCH_REGISTRY",
-    "sketch_from_bytes",
+    "FrequentDirections", "DDSketch", "SlidingHyperLogLog",
+    "SKETCH_REGISTRY", "sketch_from_bytes",
 ]

@@ -908,3 +908,80 @@ class TestTemporalSplit:
             temporal_split(df, "ts", embargo_seconds=-1)
         with pytest.raises(ValueError, match="unknown column"):
             temporal_split(df, "zz")
+
+
+class TestPrioritySample:
+    """priority_sample: DLT semantics — sample, tau, estimator."""
+
+    def _brute(self, rows, k, seed=""):
+        """Reference priorities on the md5-uniform, pure python."""
+        import hashlib
+        pri = {}
+        for i, w in rows:
+            u = (int(hashlib.md5((seed + str(i)).encode())
+                     .hexdigest()[:8], 16) + 1) / 2.0 ** 32
+            pri[i] = w / u
+        order = sorted(rows, key=lambda t: (-pri[t[0]], t[0]))
+        tau = pri[order[k][0]] if len(order) > k else 0.0
+        return {i: max(w, tau) for i, w in order[:k]}, tau
+
+    def test_matches_brute_force_sample_and_estimator(self, spark):
+        from outrank_spark.operators.sampling import priority_sample
+        rows = [(i, float(1 + (i * 11) % 17)) for i in range(400)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        got = {r["doc_id"]: r["est_w"]
+               for r in priority_sample(df, 25, "w").collect()}
+        want, _tau = self._brute(rows, 25)
+        assert got == want  # bit-identical doubles, not approx
+
+    def test_small_input_is_exact_tau_zero(self, spark):
+        from outrank_spark.operators.sampling import priority_sample
+        rows = [(1, 3.0), (2, 7.0), (3, 0.5)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        got = {r["doc_id"]: r["est_w"]
+               for r in priority_sample(df, 10, "w").collect()}
+        # k >= n: every row kept, tau = 0, est_w == w exactly
+        assert got == {1: 3.0, 2: 7.0, 3: 0.5}
+
+    def test_estimator_dominates_weight_and_unbiasedness(self, spark):
+        """est_w >= w always; the subset-sum estimate averaged over a
+        deterministic md5 seed family lands near the true total (all
+        values fixed by md5 — no statistical flake)."""
+        from pyspark.sql import functions as F
+        from outrank_spark.operators.sampling import priority_sample
+        rows = [(i, float(1 + (i * 13) % 29)) for i in range(600)]
+        true_total = sum(w for _, w in rows)
+        df = spark.createDataFrame(rows, "doc_id long, w double").cache()
+        ests = []
+        for s in range(12):
+            out = priority_sample(df, 40, "w", seed=str(s))
+            agg = out.agg(F.sum("est_w").alias("t"),
+                          F.min(F.col("est_w") - F.col("w")).alias("m")
+                          ).first()
+            assert agg["m"] >= 0.0
+            ests.append(agg["t"])
+        mean = sum(ests) / len(ests)
+        assert abs(mean - true_total) / true_total < 0.05
+
+    def test_plan_bounded_topk_and_partition_invariance(self, spark):
+        from outrank_spark.operators.sampling import priority_sample
+        rows = [(i, float(1 + i % 5)) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        out = priority_sample(df, 15, "w")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        base = sorted((r["doc_id"], r["est_w"]) for r in out.collect())
+        for variant in (df.repartition(7), df.coalesce(1)):
+            assert sorted((r["doc_id"], r["est_w"]) for r in
+                          priority_sample(variant, 15, "w").collect()
+                          ) == base
+
+    def test_validation_and_collisions(self, spark):
+        import pytest
+        from outrank_spark.operators.sampling import priority_sample
+        df = spark.createDataFrame([(1, 1.0)], "doc_id long, w double")
+        with pytest.raises(ValueError, match="k must be positive"):
+            priority_sample(df, 0, "w")
+        bad = df.withColumn("_prio", df.w)
+        with pytest.raises(ValueError, match="_prio"):
+            priority_sample(bad, 1, "w")
