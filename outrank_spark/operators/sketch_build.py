@@ -613,3 +613,63 @@ def sliding_distinct_counts(df, value_col: str, ts_col: str,
                 for label, ts0 in sorted(window_starts.items())]
     return df.sparkSession.createDataFrame(
         rows, "window string, ts_from double, est_distinct long")
+
+
+def build_counting_bloom(df, col: str, delta_col: str | None = None,
+                         capacity: int = 1_000_000, fpr: float = 0.01,
+                         salt: int = 64):
+    """Distributed counting-Bloom build over SIGNED membership deltas
+    (sketches/countingbloom.py): each row contributes +1 (insert) or
+    -1 (retraction) on its ``delta_col`` sign; ``delta_col=None``
+    means all inserts.  Returns the merged ``CountingBloomFilter`` —
+    a driver-side, metadata-sized object (m int32 counters), ready
+    for ``contains`` probes or ``to_bloom()`` +
+    :func:`probe_bloom` broadcast probing.
+
+    The partition order of adds vs removes is irrelevant: partials
+    carry signed counters (a partition holding only retractions goes
+    negative), and counter addition is associative/commutative, so
+    ANY merge order is bitwise the single-pass result.  Same
+    two-stage bounded fold as :func:`sliding_distinct_counts`.
+    """
+    from pyspark import TaskContext
+    from pyspark.sql import functions as F
+
+    from outrank_spark.sketches.countingbloom import CountingBloomFilter
+
+    d = (qcol(delta_col).cast("int") if delta_col is not None
+         else F.lit(1))
+    signed = df.select(
+        qcol(col).cast("string").alias("__v"), d.alias("__d"),
+    ).where(qcol(col).isNotNull())
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sk = CountingBloomFilter(capacity=capacity, fpr=fpr)
+        for pdf in batches:
+            vals = pdf["__v"].to_numpy(dtype=object)
+            dd = pdf["__d"].to_numpy()
+            if (dd > 0).any():
+                sk.add(vals[dd > 0])
+            if (dd < 0).any():
+                sk.remove(vals[dd < 0])
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        yield pd.DataFrame({"salt": [pid % salt],
+                            "blob": [sk.to_bytes()]})
+
+    folded = (
+        signed.mapInPandas(partial, schema="salt int, blob binary")
+        .groupBy("salt")
+        .applyInPandas(
+            lambda pdf: pd.DataFrame(
+                {"blob": [_fold_blobs("cbf", pdf["blob"])]}),
+            schema="blob binary")
+        .groupBy(F.lit(0).alias("g"))
+        .applyInPandas(
+            lambda pdf: pd.DataFrame(
+                {"blob": [_fold_blobs("cbf", pdf["blob"])]}),
+            schema="blob binary")
+        .collect()
+    )
+    if not folded:
+        return CountingBloomFilter(capacity=capacity, fpr=fpr)
+    return CountingBloomFilter.from_bytes(bytes(folded[0]["blob"]))

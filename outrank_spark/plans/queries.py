@@ -6624,6 +6624,61 @@ def q152_sliding_window_distinct(spark, sf_dir):
     )
 
 
+def q153_retraction_membership(spark, sf_dir):
+    """Membership index that survives RETRACTIONS: a counting Bloom
+    filter (sketches/countingbloom.py) built distributed over signed
+    deltas — every document's text fingerprint is inserted, and docs
+    with doc_id % 7 == 0 are retracted in the same scan
+    (sketch_build.build_counting_bloom; add/remove partition order
+    irrelevant, merges bitwise).  Probes then come back per set:
+    every kept fingerprint MUST still be found (no false negatives —
+    the plain Bloom can't do this without a rebuild), retracted ones
+    fall back to false-positive noise.  Rows-only (found counts are
+    hash-dependent); the semantics are pinned in
+    tests/test_countingbloom.py + tests/test_spark_sketch_build.py."""
+    from outrank_spark.operators.sketch_build import build_counting_bloom
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.md5("text").alias("fp"),
+        F.when(F.col("doc_id") % 7 == 0, -1).otherwise(1).alias("side"),
+    ).where(F.col("fp").isNotNull())
+    # one scan, signed: retracted docs contribute +1 AND -1
+    deltas = docs.select("fp", F.lit(1).alias("d")).unionAll(
+        docs.where(F.col("side") < 0)
+        .select("fp", F.lit(-1).alias("d")))
+    cbf = build_counting_bloom(deltas, "fp", delta_col="d",
+                               capacity=200_000, fpr=0.01)
+    bc = spark.sparkContext.broadcast(cbf.to_bytes())
+
+    def probe(batches):
+        import pandas as pd
+
+        from outrank_spark.sketches.countingbloom import (
+            CountingBloomFilter,
+        )
+        sk = CountingBloomFilter.from_bytes(bc.value)
+        for pdf in batches:
+            found = sk.contains(pdf["fp"].to_numpy(dtype=object)) \
+                if len(pdf) else []
+            yield pd.DataFrame({
+                "probe_set": pdf["probe_set"],
+                "n": 1, "found": [int(f) for f in found]})
+
+    probes = docs.select(
+        F.when(F.col("side") < 0, "retracted")
+        .otherwise("kept").alias("probe_set"), "fp")
+    out = probes.mapInPandas(
+        probe, schema="probe_set string, n int, found int")
+    return (
+        out.groupBy("probe_set")
+        .agg(F.sum("n").cast("long").alias("n_probed"),
+             F.sum("found").cast("long").alias("n_found"))
+        .withColumn("all_found",
+                    (F.col("n_found") == F.col("n_probed")).cast("int"))
+        .orderBy("probe_set")
+    )
+
+
 QUERIES = {
     # --- exact DuckDB oracles (103; the driver's gate window covers
     # the first 50 — everything after is exact-checked per round by
@@ -6783,6 +6838,7 @@ QUERIES = {
     "q149_ddsketch_tail_quantiles": q149_ddsketch_tail_quantiles,
     "q150_sparse_grouped_cardinality": q150_sparse_grouped_cardinality,
     "q152_sliding_window_distinct": q152_sliding_window_distinct,
+    "q153_retraction_membership": q153_retraction_membership,
 }
 
 ORACLES = {

@@ -32,6 +32,7 @@ from outrank_spark.sketches.countsketch import CountSketch
 from outrank_spark.sketches.fd import FrequentDirections
 from outrank_spark.sketches.ddsketch import DDSketch
 from outrank_spark.sketches.slidinghll import SlidingHyperLogLog
+from outrank_spark.sketches.countingbloom import CountingBloomFilter
 
 SKETCH_REGISTRY = {
     "hll": HyperLogLog,
@@ -52,6 +53,7 @@ SKETCH_REGISTRY = {
     # sketch_build.sliding_distinct_counts, not the generic grouped
     # builder; registered for wire-format dispatch (_fold_blobs)
     "shll": SlidingHyperLogLog,
+    "cbf": CountingBloomFilter,
 }
 
 
@@ -63,5 +65,6 @@ __all__ = [
     "KLLSketch", "TDigest", "BoundedCounter", "CoverageCounter",
     "RareValueCounter", "FrequentItems", "ThetaSketch", "CountSketch",
     "FrequentDirections", "DDSketch", "SlidingHyperLogLog",
+    "CountingBloomFilter",
     "SKETCH_REGISTRY", "sketch_from_bytes",
 ]

@@ -282,3 +282,65 @@ class TestSparseGroupedHLL:
         s_bytes = sum(len(bytes(r["blob"])) for r in sparse)
         # every test host is tiny vs m=16384 -> order-of-magnitude win
         assert s_bytes * 10 < d_bytes, (s_bytes, d_bytes)
+
+
+class TestCountingBloomBuild:
+    def test_spark_build_matches_single_pass_bitwise(self, spark):
+        from pyspark.sql import functions as F
+
+        from outrank_spark.operators.sketch_build import (
+            build_counting_bloom,
+        )
+        from outrank_spark.sketches.countingbloom import (
+            CountingBloomFilter,
+        )
+
+        df = (
+            spark.range(4000)
+            .withColumn("v", F.concat(F.lit("doc"), F.col("id")))
+            .withColumn("d", F.when(F.col("id") % 5 == 0, -1)
+                        .otherwise(1))
+        )
+        # signed stream: every 5th id arrives as a NET retraction of
+        # a value never added -> negative final counters are expected
+        # for those; build must still be partition-order-free
+        got = build_counting_bloom(df, "v", delta_col="d",
+                                   capacity=5000, fpr=0.01)
+        rows = [(f"doc{i}", -1 if i % 5 == 0 else 1)
+                for i in range(4000)]
+        want = CountingBloomFilter(capacity=5000, fpr=0.01)
+        import numpy as np
+        vals = np.array([v for v, _ in rows], dtype=object)
+        ds = np.array([d for _, d in rows])
+        want.add(vals[ds > 0]).remove(vals[ds < 0])
+        assert got.to_bytes() == want.to_bytes()
+        repart = build_counting_bloom(df.repartition(13), "v",
+                                      delta_col="d",
+                                      capacity=5000, fpr=0.01)
+        assert repart.to_bytes() == want.to_bytes()
+
+    def test_add_remove_roundtrip_and_empty(self, spark):
+        from pyspark.sql import functions as F
+
+        from outrank_spark.operators.sketch_build import (
+            build_counting_bloom,
+        )
+
+        adds = spark.range(500).withColumn(
+            "v", F.concat(F.lit("k"), F.col("id")))
+        both = adds.select("v", F.lit(1).alias("d")).unionAll(
+            adds.where(F.col("v").endswith("7"))
+            .select("v", F.lit(-1).alias("d")))
+        cbf = build_counting_bloom(both, "v", delta_col="d",
+                                   capacity=2000, fpr=0.001)
+        import numpy as np
+        kept = np.array([f"k{i}" for i in range(500)
+                         if not str(i).endswith("7")], dtype=object)
+        gone = np.array([f"k{i}" for i in range(500)
+                         if str(i).endswith("7")], dtype=object)
+        assert cbf.contains(kept).all()
+        assert cbf.contains(gone).mean() < 0.05
+        assert cbf.min_negative() == 0
+        empty = build_counting_bloom(
+            adds.where(F.lit(False)), "v", capacity=100)
+        assert empty.counts.sum() == 0
