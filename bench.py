@@ -237,6 +237,38 @@ def sketch_error_probe(spark, sf_dir: str) -> dict:
         "measured_fpr": round(fpr, 5), "target_fpr": bloom.fpr_target,
         "within_bound": bool(fpr <= bloom.fpr_target),
     }
+
+    # Sliding-window HLL: per-window relative error vs the SAME
+    # published 1.04/sqrt(m) bound — the skyline reconstruction is
+    # registers-exact per window, so plain HLL's bound applies to
+    # every trailing window of one build (sketches/slidinghll.py).
+    from outrank_spark.operators.sketch_build import (
+        sliding_distinct_counts,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = F.col("ts").cast("timestamp").cast("double")
+    mn, mx = ev.agg(F.min(sec), F.max(sec)).first()
+    wins = {"full": float(mn),
+            "last_half": float(mn + 0.5 * (mx - mn)),
+            "last_decile": float(mn + 0.9 * (mx - mn))}
+    est_rows = {r["window"]: int(r["est_distinct"]) for r in
+                sliding_distinct_counts(ev, "user_id", "ts", wins,
+                                        p=12).collect()}
+    sigma12 = 1.04 / math.sqrt(2 ** 12)
+    shll_rows, ok = {}, True
+    for label, t0 in wins.items():
+        exact_w = int(ev.filter(sec >= t0)
+                      .agg(F.countDistinct("user_id")).first()[0])
+        rel_w = abs(est_rows[label] - exact_w) / max(exact_w, 1)
+        ok = ok and rel_w <= 3 * sigma12
+        shll_rows[label] = {"estimate": est_rows[label],
+                            "exact": exact_w,
+                            "rel_err": round(rel_w, 6)}
+    out["sliding_hll_p12"] = {
+        **shll_rows, "published_sigma": round(sigma12, 6),
+        "within_3sigma": bool(ok),
+    }
     return out
 
 
@@ -942,6 +974,37 @@ def bloomstage_probe(spark, n_probe: int = 240_000_000,
     return dt
 
 
+def shll_probe(spark, n_rows: int = 30_000_000) -> float:
+    """Sliding-window HLL scale probe: one-scan skyline build over
+    n_rows JVM-synthesized (value, ts) pairs (~4M distinct values
+    spread over a 10^6-second range), two-stage salted fold, then
+    three window estimates sanity-bounded at 4 sigma.  Measures the
+    JVM prehash + two-numeric-column Arrow transfer and the
+    per-partition skyline insert loop.  Returns wall seconds."""
+    from pyspark.sql import functions as F
+
+    from outrank_spark.operators.sketch_build import (
+        sliding_distinct_counts,
+    )
+
+    df = spark.range(n_rows).select(
+        (F.col("id") % 4_000_000).alias("v"),
+        F.timestamp_seconds(
+            ((F.col("id") * 2654435761) % 1_000_000)
+            .cast("double")).alias("ts"),
+    )
+    t0 = time.time()
+    got = {r["window"]: int(r["est_distinct"]) for r in
+           sliding_distinct_counts(
+               df, "v", "ts",
+               {"full": 0.0, "late": 900_000.0}, p=12).collect()}
+    dt = time.time() - t0
+    sigma = 1.04 / (2 ** 6)
+    assert abs(got["full"] - 4_000_000) / 4_000_000 < 4 * sigma, got
+    assert 0 < got["late"] < 4_000_000
+    return dt
+
+
 def fd_probe(spark, n_rows: int = 6_000_000, d: int = 32) -> float:
     """Frequent Directions scale probe: one-scan FD (ell=32) over n_rows
     JVM-synthesized d-dim vectors, log-depth treeAggregate merge.
@@ -1084,6 +1147,7 @@ SCALING_OP_PROBES = {
     "bootstrap": (bootstrap_probe, "8M rows x 32 replicates"),
     "hits": (hits_probe, "8M edges x 5 iters"),
     "editdist": (editdist_probe, "40k shared-prefix keys"),
+    "shll": (shll_probe, "30M (value, ts) pairs"),
 }
 
 

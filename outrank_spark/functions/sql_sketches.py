@@ -36,8 +36,10 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from outrank_spark.sketches import (BloomFilter, CountSketch, HyperLogLog,
-                                    KLLSketch, sketch_from_bytes)
+from outrank_spark.sketches import (BloomFilter, CountingBloomFilter,
+                                    CountSketch, DDSketch, HyperLogLog,
+                                    KLLSketch, SlidingHyperLogLog,
+                                    ThetaSketch, sketch_from_bytes)
 
 __all__ = ["register_sql_sketches"]
 
@@ -45,11 +47,14 @@ __all__ = ["register_sql_sketches"]
 def register_sql_sketches(spark, hll_p: int = 14, kll_k: int = 200,
                           cs_depth: int = 5, cs_width: int = 2 ** 13,
                           bloom_capacity: int = 1_000_000,
-                          bloom_fpr: float = 0.01) -> list[str]:
+                          bloom_fpr: float = 0.01,
+                          dd_alpha: float = 0.01, theta_k: int = 4096,
+                          shll_p: int = 12, prefix: str = "") -> list[str]:
     """Register the sketch UDAF/UDF family on ``spark``; returns the
     registered names.  Sketch parameters are fixed at registration
-    (SQL functions can't take Python kwargs); register twice under
-    your own names for a second configuration."""
+    (SQL functions can't take Python kwargs); register a second
+    configuration under its own ``prefix`` (e.g. ``prefix="small_"``
+    gives ``small_hll_sketch`` etc.) without disturbing the first."""
     from pyspark.sql.functions import pandas_udf
 
     # -- aggregates: raw values -> sketch blob -------------------------
@@ -71,6 +76,36 @@ def register_sql_sketches(spark, hll_p: int = 14, kll_k: int = 200,
     def bloom_sketch(v: pd.Series) -> bytes:
         return (BloomFilter(capacity=bloom_capacity, fpr=bloom_fpr)
                 .update(v.dropna().to_numpy()).to_bytes())
+
+    @pandas_udf("binary")
+    def ddsketch_sketch(v: pd.Series) -> bytes:
+        vals = pd.to_numeric(v, errors="coerce").dropna().to_numpy()
+        return DDSketch(alpha=dd_alpha).update(vals).to_bytes()
+
+    @pandas_udf("binary")
+    def theta_sketch(v: pd.Series) -> bytes:
+        return (ThetaSketch(k=theta_k)
+                .update(v.dropna().to_numpy()).to_bytes())
+
+    @pandas_udf("binary")
+    def shll_sketch(v: pd.Series, ts: pd.Series) -> bytes:
+        ok = v.notna() & ts.notna()
+        return SlidingHyperLogLog(p=shll_p).update(
+            v[ok].to_numpy(),
+            pd.to_numeric(ts[ok], errors="coerce").to_numpy(
+                dtype="float64")).to_bytes()
+
+    @pandas_udf("binary")
+    def cbf_sketch(v: pd.Series, delta: pd.Series) -> bytes:
+        sk = CountingBloomFilter(capacity=bloom_capacity, fpr=bloom_fpr)
+        ok = v.notna()
+        vals = v[ok].to_numpy(dtype=object)
+        d = pd.to_numeric(delta[ok], errors="coerce").to_numpy()
+        if (d > 0).any():
+            sk.add(vals[d > 0])
+        if (d < 0).any():
+            sk.remove(vals[d < 0])
+        return sk.to_bytes()
 
     # -- aggregates: blobs -> merged blob (the SQL rollup algebra) -----
     def _merge_agg(kind: str):
@@ -103,6 +138,40 @@ def register_sql_sketches(spark, hll_p: int = 14, kll_k: int = 200,
             "countsketch", bytes(x)).f2_estimate()
             if x is not None else None)
 
+    @pandas_udf("double")
+    def ddsketch_quantile(b: pd.Series, q: pd.Series) -> pd.Series:
+        return pd.Series([
+            float(sketch_from_bytes(
+                "ddsketch", bytes(x)).quantile(float(qq)))
+            if x is not None else None
+            for x, qq in zip(b, q)])
+
+    @pandas_udf("double")
+    def theta_estimate(b: pd.Series) -> pd.Series:
+        return b.map(lambda x: float(
+            sketch_from_bytes("theta", bytes(x)).estimate())
+            if x is not None else None)
+
+    @pandas_udf("double")
+    def shll_estimate(b: pd.Series, ts_from: pd.Series) -> pd.Series:
+        return pd.Series([
+            float(sketch_from_bytes("shll", bytes(x)).estimate(
+                None if qq is None or pd.isna(qq) else float(qq)))
+            if x is not None else None
+            for x, qq in zip(b, ts_from)])
+
+    @pandas_udf("boolean")
+    def cbf_maybe_contains(b: pd.Series, v: pd.Series) -> pd.Series:
+        out = np.zeros(len(v), dtype=object)
+        keys = b.map(lambda x: bytes(x) if x is not None else None)
+        for blob in keys.dropna().unique():
+            sk = sketch_from_bytes("cbf", blob)
+            idx = np.flatnonzero((keys == blob).to_numpy())
+            if idx.size:
+                out[idx] = sk.contains(v.iloc[idx].to_numpy())
+        out[keys.isna().to_numpy()] = None
+        return pd.Series(out, dtype=object)
+
     @pandas_udf("boolean")
     def bloom_maybe_contains(b: pd.Series, v: pd.Series) -> pd.Series:
         # one filter per DISTINCT blob per batch (typically 1): the
@@ -130,7 +199,19 @@ def register_sql_sketches(spark, hll_p: int = 14, kll_k: int = 200,
         "bloom_sketch": bloom_sketch,
         "bloom_merge": _merge_agg("bloom"),
         "bloom_maybe_contains": bloom_maybe_contains,
+        "ddsketch_sketch": ddsketch_sketch,
+        "ddsketch_merge": _merge_agg("ddsketch"),
+        "ddsketch_quantile": ddsketch_quantile,
+        "theta_sketch": theta_sketch,
+        "theta_merge": _merge_agg("theta"),
+        "theta_estimate": theta_estimate,
+        "shll_sketch": shll_sketch,
+        "shll_merge": _merge_agg("shll"),
+        "shll_estimate": shll_estimate,
+        "cbf_sketch": cbf_sketch,
+        "cbf_merge": _merge_agg("cbf"),
+        "cbf_maybe_contains": cbf_maybe_contains,
     }
     for name, fn in regs.items():
-        spark.udf.register(name, fn)
-    return list(regs)
+        spark.udf.register(prefix + name, fn)
+    return [prefix + n for n in regs]

@@ -562,14 +562,35 @@ def sliding_distinct_counts(df, value_col: str, ts_col: str,
     driver sees exactly one blob.  Merge order is irrelevant bitwise
     (skyline-of-union is associative/commutative/idempotent).
     """
+    from outrank_spark.sketches.slidinghll import SlidingHyperLogLog
+
+    if not window_starts:
+        raise ValueError("window_starts must name at least one window")
+    blob = build_sliding_hll_blob(df, value_col, ts_col, p=p, salt=salt)
+    if blob is None:
+        rows = [(label, float(ts0), 0)
+                for label, ts0 in sorted(window_starts.items())]
+    else:
+        sk = SlidingHyperLogLog.from_bytes(blob)
+        rows = [(label, float(ts0), int(sk.estimate(float(ts0))))
+                for label, ts0 in sorted(window_starts.items())]
+    return df.sparkSession.createDataFrame(
+        rows, "window string, ts_from double, est_distinct long")
+
+
+def build_sliding_hll_blob(df, value_col: str, ts_col: str,
+                           p: int = 12, salt: int = 64) -> bytes | None:
+    """The distributed build underneath
+    :func:`sliding_distinct_counts`, returning the merged sketch BLOB
+    (or None on empty input) so callers that keep their own state —
+    the streaming monitor in streaming/sliding_stream.py — can fold
+    micro-batch blobs into persisted state instead of finalizing."""
     from pyspark import TaskContext
     from pyspark.sql import functions as F
 
     from outrank_spark.sketches.hll import HyperLogLog
     from outrank_spark.sketches.slidinghll import SlidingHyperLogLog
 
-    if not window_starts:
-        raise ValueError("window_starts must name at least one window")
     hashed = df.select(
         F.xxhash64(qcol(value_col).cast("string")).alias("__h"),
         qcol(ts_col).cast("timestamp").cast("double").alias("__t"),
@@ -604,15 +625,7 @@ def sliding_distinct_counts(df, value_col: str, ts_col: str,
             schema="blob binary")
         .collect()
     )
-    if not folded:
-        rows = [(label, float(ts0), 0)
-                for label, ts0 in sorted(window_starts.items())]
-    else:
-        sk = SlidingHyperLogLog.from_bytes(bytes(folded[0]["blob"]))
-        rows = [(label, float(ts0), int(sk.estimate(float(ts0))))
-                for label, ts0 in sorted(window_starts.items())]
-    return df.sparkSession.createDataFrame(
-        rows, "window string, ts_from double, est_distinct long")
+    return bytes(folded[0]["blob"]) if folded else None
 
 
 def build_counting_bloom(df, col: str, delta_col: str | None = None,

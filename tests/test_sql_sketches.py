@@ -97,3 +97,101 @@ def test_bloom_membership_from_sql(sql_env):
     assert got["u0"] and got["u1"]          # no false negatives
     for v in ("nope-1", "nope-2"):
         assert got[v] in (True, False)      # may FP at fpr, never crash
+
+
+def test_ddsketch_quantile_from_sql(sql_env):
+    """SQL ddsketch quantile within alpha of the exact per-host
+    quantile; tld rollup == direct tld sketch BITWISE (counter-add
+    merge is order-independent)."""
+    spark, pdf, _ = sql_env
+    got = {r["host"]: r["p90"] for r in spark.sql(
+        "SELECT host, ddsketch_quantile(ddsketch_sketch(latency), 0.9)"
+        " AS p90 FROM crawl GROUP BY host").collect()}
+    for host, grp in pdf.groupby("host"):
+        lat = np.sort(grp["latency"].to_numpy())
+        truth = lat[min(int(np.ceil(0.9 * len(lat))) - 1,
+                        len(lat) - 1)]
+        assert abs(got[host] - truth) / truth <= 0.011
+    roll = {r["tld"]: bytes(r["b"]) for r in spark.sql(
+        "SELECT tld, ddsketch_merge(b) AS b FROM (SELECT tld, "
+        "ddsketch_sketch(latency) AS b FROM crawl GROUP BY tld, host)"
+        " GROUP BY tld").collect()}
+    direct = {r["tld"]: bytes(r["b"]) for r in spark.sql(
+        "SELECT tld, ddsketch_sketch(latency) AS b FROM crawl "
+        "GROUP BY tld").collect()}
+    assert roll == direct
+
+
+def test_theta_estimate_and_rollup_from_sql(sql_env):
+    spark, pdf, _ = sql_env
+    got = {r["tld"]: r["est"] for r in spark.sql(
+        "SELECT tld, theta_estimate(theta_merge(b)) AS est FROM ("
+        "SELECT tld, host, theta_sketch(url) AS b FROM crawl "
+        "GROUP BY tld, host) GROUP BY tld").collect()}
+    for tld, grp in pdf.groupby("tld"):
+        exact = grp["url"].nunique()
+        # k=4096 >= distinct count here -> KMV is the exact set
+        assert abs(got[tld] - exact) / exact < 0.05
+
+
+def test_shll_windowed_estimate_from_sql(sql_env):
+    """Sliding-HLL from SQL: one sketch per host answers both the
+    full-range and the late-window distinct count; rollup bitwise."""
+    spark, pdf, _ = sql_env
+    spark.sql(
+        "SELECT host, shll_sketch(url, CAST(substr(url, 2) AS DOUBLE))"
+        " AS b FROM crawl GROUP BY host").createOrReplaceTempView("hb")
+    est = spark.sql(
+        "SELECT host, shll_estimate(b, NULL) AS full, "
+        "shll_estimate(b, 4000.0) AS late FROM hb").collect()
+    sigma = 1.04 / np.sqrt(2 ** 12)
+    for r in est:
+        grp = pdf[pdf["host"] == r["host"]]
+        ids = grp["url"].str.slice(1).astype(int)
+        full_exact = grp["url"].nunique()
+        late_exact = grp[ids >= 4000]["url"].nunique()
+        assert abs(r["full"] - full_exact) / full_exact <= 3 * sigma
+        assert abs(r["late"] - late_exact) / max(late_exact, 1) \
+            <= 3 * sigma + 0.02
+    roll = bytes(spark.sql(
+        "SELECT shll_merge(b) AS b FROM hb").first()["b"])
+    direct = bytes(spark.sql(
+        "SELECT shll_sketch(url, CAST(substr(url, 2) AS DOUBLE)) AS b"
+        " FROM crawl").first()["b"])
+    assert roll == direct
+
+
+def test_cbf_retraction_from_sql(sql_env):
+    """Counting-Bloom from SQL text: signed deltas in one aggregate,
+    merged across groups, probed with cbf_maybe_contains.  Registered
+    under a second prefix with a test-sized capacity — the default
+    1M-capacity counter blob is ~38 MB and must not be cross-joined
+    against a probe table (same rule as Bloom: few-literal probes, or
+    the operators/sketch_build.py broadcast path)."""
+    spark, pdf, _ = sql_env
+    names = register_sql_sketches(spark, bloom_capacity=20_000,
+                                  prefix="s_")
+    assert "s_cbf_sketch" in names
+    spark.sql("""
+        SELECT s_cbf_merge(b) AS b FROM (
+          SELECT host, s_cbf_sketch(v, d) AS b FROM (
+            SELECT host, url AS v, 1 AS d FROM crawl
+            UNION ALL
+            SELECT host, url AS v, -1 AS d FROM crawl
+            WHERE substr(url, 2) < '1'
+          ) GROUP BY host)
+    """).createOrReplaceTempView("cbf_blob")
+    # removal predicate substr(url, 2) < '1' drops exactly the urls
+    # whose id starts with '0' (string compare)
+    kept = [u for u in pdf["url"].unique() if u[1] != "0"][:4]
+    gone = [u for u in pdf["url"].unique() if u[1] == "0"][:2]
+    probe = ", ".join(f"'{v}'" for v in kept + gone)
+    out = {r["v"]: r["hit"] for r in spark.sql(f"""
+        SELECT v, s_cbf_maybe_contains(b.b, v) AS hit
+        FROM (SELECT explode(array({probe})) AS v)
+        CROSS JOIN cbf_blob b
+    """).collect()}
+    for v in kept:
+        assert out[v]            # kept urls: no false negatives
+    for v in gone:
+        assert out[v] in (True, False)  # back to FP noise, never crash
