@@ -42,7 +42,9 @@ from outrank_spark.hashing import qcol
 __all__ = ["SketchPlan", "SketchCollection", "build_sketches",
            "build_grouped_sketches", "rollup_grouped_sketches",
            "finalize_cardinalities", "grouped_quantiles", "probe_bloom",
-           "exact_heavy_hitters", "theta_group_overlap"]
+           "exact_heavy_hitters", "theta_group_overlap",
+           "sliding_distinct_counts", "build_sliding_hll_blob",
+           "build_counting_bloom", "decayed_heavy_hitters"]
 
 _NUMERIC_ONLY = {"kll", "tdigest", "ddsketch"}
 _BLOB_SCHEMA = "column string, kind string, blob binary"
@@ -686,3 +688,106 @@ def build_counting_bloom(df, col: str, delta_col: str | None = None,
     if not folded:
         return CountingBloomFilter(capacity=capacity, fpr=fpr)
     return CountingBloomFilter.from_bytes(bytes(folded[0]["blob"]))
+
+
+def decayed_heavy_hitters(df, col: str, ts_col: str,
+                          half_life_secs: float, threshold: float,
+                          k: int = 4096, salt: int = 64,
+                          ref_epoch_us: int | None = None):
+    """EXACT "trending keys": every value whose exponentially decayed
+    activity ``sum(2^(-age/half_life))`` is >= ``threshold``, with
+    its exact decayed count — WITHOUT a full-width groupBy over the
+    key domain.  The decayed sibling of :func:`exact_heavy_hitters`:
+    where :func:`operators.temporal.decayed_aggregate` answers this
+    for a BOUNDED group column (event types), this answers it for the
+    unbounded one (users, hosts, urls) where grouping every key
+    shuffles the whole domain to find the few trending ones.
+
+    Stage 1 anchors the decay at the dataset's max timestamp (one
+    metadata aggregate; override with ``ref_epoch_us``), projects the
+    weight JVM-side (one ``pow``), and builds one mergeable weighted
+    Misra-Gries summary (sketches/frequent.WeightedFrequentItems) in
+    a single mapInPandas pass + the two-stage salted fold.  Since
+    every weight is in (0, 1], total mass W <= N rows, and the MG
+    guarantee bounds the undercount by the EXACTLY-TRACKED ``err``
+    (<= W/(k+1)): for ``threshold > err`` the summary's candidate set
+    provably contains every truly-trending key.  Stage 2 verifies the
+    <= k candidates exactly with a pushed-down ``isin`` filter +
+    decayed aggregate over just their rows.  If ``err`` reaches the
+    threshold (k undersized), falls back to the full exact
+    aggregation with a warning — same result, scale benefit lost.
+
+    Returns ``(key, n_events long, decayed_count double)`` rows for
+    keys meeting the threshold; round the double for cross-engine
+    comparison (reordered float sums differ ~1e-5 absolute at 10^5
+    rows — the q121 convention).
+    """
+    import warnings
+
+    from pyspark import TaskContext
+    from pyspark.sql import functions as F
+
+    from outrank_spark.operators.temporal import epoch_us_expr
+    from outrank_spark.sketches.frequent import WeightedFrequentItems
+
+    if half_life_secs <= 0:
+        raise ValueError(
+            f"half_life_secs must be > 0, got {half_life_secs}")
+    ts_us = epoch_us_expr(df, ts_col)
+    if ref_epoch_us is None:
+        row = df.agg(F.max(ts_us).alias("m")).first()
+        if row["m"] is None:
+            raise ValueError(f"no non-null {ts_col} values to anchor "
+                             "the decay reference")
+        ref_epoch_us = int(row["m"])
+    age_secs = (F.lit(ref_epoch_us) - ts_us) / F.lit(1e6)
+    w = F.pow(F.lit(0.5), age_secs / F.lit(float(half_life_secs)))
+    base = df.where(qcol(col).isNotNull() & F.col(ts_col).isNotNull())
+    weighted = base.select(qcol(col).cast("string").alias("__v"),
+                           w.alias("__w"))
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sk = WeightedFrequentItems(k=k)
+        for pdf in batches:
+            sk.update_weighted(pdf["__v"].to_numpy(dtype=object),
+                               pdf["__w"].to_numpy(dtype=np.float64))
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        yield pd.DataFrame({"salt": [pid % salt],
+                            "blob": [sk.to_bytes()]})
+
+    folded = (
+        weighted.mapInPandas(partial, schema="salt int, blob binary")
+        .groupBy("salt")
+        .applyInPandas(
+            lambda pdf: pd.DataFrame(
+                {"blob": [_fold_blobs("wmg", pdf["blob"])]}),
+            schema="blob binary")
+        .groupBy(F.lit(0).alias("g"))
+        .applyInPandas(
+            lambda pdf: pd.DataFrame(
+                {"blob": [_fold_blobs("wmg", pdf["blob"])]}),
+            schema="blob binary")
+        .collect()
+    )
+    exact = (
+        base.groupBy(qcol(col).cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(w).alias("decayed_count"))
+        .where(F.col("decayed_count") >= threshold)
+    )
+    if not folded:
+        return exact.where(F.lit(False))
+    mg = WeightedFrequentItems.from_bytes(bytes(folded[0]["blob"]))
+    slack = mg._FLOAT_SLACK * max(mg.n, 1.0)
+    if mg.err + slack >= threshold:
+        warnings.warn(
+            f"decayed_heavy_hitters: MG err {mg.err:.3f} >= threshold "
+            f"{threshold}; raise k to >= {int(np.ceil(mg.n / threshold))}"
+            " — falling back to full exact aggregation",
+            stacklevel=2,
+        )
+        return exact
+    cands = mg.candidates(threshold)
+    if not cands:
+        return exact.where(F.lit(False))
+    return exact.where(F.col("key").isin(cands))

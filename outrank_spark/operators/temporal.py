@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_join", "funnel_counts",
+__all__ = ["epoch_us_expr", "asof_join", "range_join", "funnel_counts",
            "cohort_retention", "snapshot_diff",
            "densify_time_series", "merge_intervals",
            "sessionize", "rolling_stats", "decayed_aggregate"]
@@ -624,6 +624,18 @@ def rolling_stats(df: DataFrame, ts_col: str, group_col: str,
     return out.withColumn("z", z).drop("_pm", "_ps")
 
 
+def epoch_us_expr(df: DataFrame, ts_col: str):
+    """Epoch-microseconds Column for a timestamp column — the
+    sessionize() NTZ idiom: ``unix_micros`` rejects TIMESTAMP_NTZ,
+    and casting NTZ->LTZ would bind ages to the session timezone."""
+    if dict(df.dtypes)[ts_col] == "timestamp_ntz":
+        return F.expr(
+            f"timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ'1970-01-01 00:00:00', {ts_col})",
+        )
+    return F.unix_micros(F.col(ts_col))
+
+
 def decayed_aggregate(df: DataFrame, ts_col: str, key_cols: list,
                       half_life_secs: float,
                       value_col: str | None = None,
@@ -650,15 +662,7 @@ def decayed_aggregate(df: DataFrame, ts_col: str, key_cols: list,
     if half_life_secs <= 0:
         raise ValueError(
             f"half_life_secs must be > 0, got {half_life_secs}")
-    # the sessionize() NTZ idiom: unix_micros rejects TIMESTAMP_NTZ,
-    # and casting NTZ->LTZ would bind ages to the session timezone
-    if dict(df.dtypes)[ts_col] == "timestamp_ntz":
-        ts_us = F.expr(
-            f"timestampdiff(MICROSECOND, "
-            f"TIMESTAMP_NTZ'1970-01-01 00:00:00', {ts_col})",
-        )
-    else:
-        ts_us = F.unix_micros(F.col(ts_col))
+    ts_us = epoch_us_expr(df, ts_col)
     if ref_epoch_us is None:
         row = df.agg(F.max(ts_us).alias("m")).first()
         if row["m"] is None:

@@ -6679,8 +6679,49 @@ def q153_retraction_membership(spark, sf_dir):
     )
 
 
+def q154_trending_users(spark, sf_dir):
+    """EXACT trending users via decayed candidate-verify
+    (sketch_build.decayed_heavy_hitters): every user whose
+    exponentially decayed event count (7-day half-life, anchored at
+    max ts) reaches 5.0, with the exact decayed count — the decayed
+    sibling of q71's exact heavy hitters, for the UNBOUNDED key
+    domain where q121's full groupBy would shuffle every user to
+    find the trending few.  One weighted-Misra-Gries scan bounds the
+    candidates (no-false-negative via the exactly-tracked err), one
+    pushed-down isin aggregate verifies them.  Decayed sums round to
+    4 dp (the q121 reordered-float convention)."""
+    from outrank_spark.operators.sketch_build import decayed_heavy_hitters
+
+    ev = load(spark, sf_dir, "events")
+    out = decayed_heavy_hitters(ev, "user_id", "ts",
+                                half_life_secs=7 * 86400.0,
+                                threshold=5.0, k=4096)
+    return (
+        out.select(
+            F.col("key").cast("long").alias("user_id"),
+            "n_events",
+            F.round("decayed_count", 4).alias("decayed_count"))
+        .orderBy("user_id")
+    )
+
+
+ORACLE_Q154 = """
+WITH m AS (SELECT max(epoch_us(ts)) AS ref_us FROM events)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(pow(0.5, ((ref_us - epoch_us(ts)) / 1000000.0)
+                          / 604800.0)), 4) AS decayed_count
+FROM events, m
+WHERE ts IS NOT NULL AND user_id IS NOT NULL
+GROUP BY user_id
+HAVING sum(pow(0.5, ((ref_us - epoch_us(ts)) / 1000000.0)
+                    / 604800.0)) >= 5.0
+ORDER BY user_id
+"""
+
+
 QUERIES = {
-    # --- exact DuckDB oracles (103; the driver's gate window covers
+    # --- exact DuckDB oracles (104; the driver's gate window covers
     # the first 50 — everything after is exact-checked per round by
     # tools/check_oracles.py, artifact in bench_artifacts/) ---
     "q01_pricing_summary": q01_pricing_summary,
@@ -6802,6 +6843,7 @@ QUERIES = {
     "q147_weighted_quantiles": q147_weighted_quantiles,
     "q148_dataset_card": q148_dataset_card,
     "q151_priority_sample": q151_priority_sample,
+    "q154_trending_users": q154_trending_users,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -6963,6 +7005,7 @@ ORACLES = {
     "q147_weighted_quantiles": ORACLE_Q147,
     "q148_dataset_card": ORACLE_Q148,
     "q151_priority_sample": ORACLE_Q151,
+    "q154_trending_users": ORACLE_Q154,
 }
 
 

@@ -26,7 +26,7 @@ from outrank_spark.sketches.tdigest import TDigest
 from outrank_spark.sketches.counters import BoundedCounter
 from outrank_spark.sketches.coverage import CoverageCounter
 from outrank_spark.sketches.rare import RareValueCounter
-from outrank_spark.sketches.frequent import FrequentItems
+from outrank_spark.sketches.frequent import FrequentItems, WeightedFrequentItems
 from outrank_spark.sketches.theta import ThetaSketch
 from outrank_spark.sketches.countsketch import CountSketch
 from outrank_spark.sketches.fd import FrequentDirections
@@ -54,6 +54,7 @@ SKETCH_REGISTRY = {
     # builder; registered for wire-format dispatch (_fold_blobs)
     "shll": SlidingHyperLogLog,
     "cbf": CountingBloomFilter,
+    "wmg": WeightedFrequentItems,
 }
 
 
@@ -65,6 +66,6 @@ __all__ = [
     "KLLSketch", "TDigest", "BoundedCounter", "CoverageCounter",
     "RareValueCounter", "FrequentItems", "ThetaSketch", "CountSketch",
     "FrequentDirections", "DDSketch", "SlidingHyperLogLog",
-    "CountingBloomFilter",
+    "CountingBloomFilter", "WeightedFrequentItems",
     "SKETCH_REGISTRY", "sketch_from_bytes",
 ]

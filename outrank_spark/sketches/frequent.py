@@ -46,7 +46,7 @@ from collections import Counter
 import numpy as np
 import pandas as pd
 
-__all__ = ["FrequentItems"]
+__all__ = ["FrequentItems", "WeightedFrequentItems"]
 
 
 class FrequentItems:
@@ -161,4 +161,129 @@ class FrequentItems:
         out.n = state["n"]
         out.err = state["err"]
         out.counts = Counter(state["counts"])
+        return out
+
+
+class WeightedFrequentItems:
+    """Misra-Gries over NONNEGATIVE REAL weights — the decayed /
+    importance-weighted heavy-hitter summary.
+
+    Same algorithm and PODS'12 merge as :class:`FrequentItems`
+    (integer counts), with float64 mass: the deterministic guarantee
+
+        est(v)  <=  true(v)  <=  est(v) + err,    err <= W / (k + 1)
+
+    holds for any nonnegative reals (the decrement bookkeeping never
+    uses integrality), where ``W`` is the total absorbed weight.  The
+    one float-specific caveat: est/err are reordered float64 sums, so
+    they carry relative rounding noise ~1e-15 per merge depth;
+    ``candidates`` therefore widens its cut by a documented epsilon
+    (``_FLOAT_SLACK`` x W) so the no-false-negative superset property
+    survives rounding — callers verify candidates exactly anyway
+    (operators/sketch_build.decayed_heavy_hitters), so the widening
+    can only add a candidate, never lose one.
+
+    Built for forward/backward exponential decay (Cormode,
+    Shkapenyuk, Srivastava, Xu, ICDE 2009: decayed weights against a
+    fixed anchor keep partial sums associative): weight
+    ``2^(-age/half_life)`` is in (0, 1], so W <= n and the summary is
+    at its tightest exactly when the stream is long.
+    """
+
+    kind = "wmg"
+    _FLOAT_SLACK = 1e-12
+
+    def __init__(self, k: int = 256):
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.k = k
+        self.counts: dict = {}
+        self.n = 0.0      # total absorbed weight W
+        self.err = 0.0    # exact cumulative decrement
+
+    # -- build ---------------------------------------------------------
+    def update_weighted(self, values, weights) -> "WeightedFrequentItems":
+        w = np.asarray(weights, dtype=np.float64)
+        vals = np.asarray(values)
+        if vals.size != w.size:
+            raise ValueError(
+                f"values/weights length mismatch: {vals.size} vs {w.size}")
+        ok = np.isfinite(w) & (w >= 0)
+        vals, w = vals[ok], w[ok]
+        if vals.size == 0:
+            return self
+        # batch pre-sum per value (C-speed), then one combine
+        s = pd.Series(w).groupby(pd.Series(vals)).sum()
+        self.n += float(w.sum())
+        d = self.counts
+        for val, mass in zip(s.index.tolist(), s.to_numpy().tolist()):
+            d[val] = d.get(val, 0.0) + mass
+        self._shrink()
+        return self
+
+    def _shrink(self) -> None:
+        if len(self.counts) <= self.k:
+            return
+        arr = np.fromiter(self.counts.values(), dtype=np.float64,
+                          count=len(self.counts))
+        d = float(np.partition(arr, -(self.k + 1))[-(self.k + 1)])
+        self.counts = {v: c - d for v, c in self.counts.items()
+                       if c > d}
+        self.err += d
+
+    # -- merge ---------------------------------------------------------
+    def merge(self, other: "WeightedFrequentItems") -> "WeightedFrequentItems":
+        if other.k != self.k:
+            raise ValueError("incompatible WeightedFrequentItems k")
+        d = self.counts
+        for v, c in other.counts.items():
+            d[v] = d.get(v, 0.0) + c
+        self.n += other.n
+        self.err += other.err
+        self._shrink()
+        return self
+
+    # -- finalize ------------------------------------------------------
+    def query(self, val) -> float:
+        return self.counts.get(val, 0.0)
+
+    def candidates(self, threshold: float) -> list:
+        """Superset of all values with true weight >= ``threshold``,
+        PROVIDED ``threshold > err`` (with the float slack widening —
+        see class docstring).  Raises otherwise."""
+        slack = self._FLOAT_SLACK * max(self.n, 1.0)
+        if threshold <= self.err + slack:
+            raise ValueError(
+                f"threshold {threshold} <= error bound {self.err} "
+                f"(+float slack): the no-false-negative guarantee "
+                f"does not hold — raise k to >= W/threshold = "
+                f"{int(np.ceil(self.n / max(threshold, 1e-300)))}",
+            )
+        cut = threshold - self.err - slack
+        return sorted(
+            (v for v, c in self.counts.items() if c >= cut), key=str,
+        )
+
+    @property
+    def worst_case_err(self) -> float:
+        return self.n / (self.k + 1)
+
+    def __len__(self) -> int:
+        return len(self.counts)
+
+    # -- wire ----------------------------------------------------------
+    def to_bytes(self) -> bytes:
+        return pickle.dumps(
+            {"k": self.k, "n": self.n, "err": self.err,
+             "counts": dict(sorted(self.counts.items(),
+                                   key=lambda kv: str(kv[0])))},
+            protocol=4)
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "WeightedFrequentItems":
+        state = pickle.loads(blob)
+        out = cls(k=state["k"])
+        out.n = state["n"]
+        out.err = state["err"]
+        out.counts = dict(state["counts"])
         return out

@@ -264,3 +264,78 @@ def test_mg_theta_through_build_sketches_tree_and_grouped(spark):
         assert mg.query(top) <= vc.iloc[0] <= mg.query(top) + mg.err
         summary = skc.summary()
         assert set(summary["kind"]) == {"mg", "theta", "hll"}
+
+
+class TestWeightedFrequentItems:
+    def test_guarantee_and_exact_small(self):
+        import numpy as np
+        from outrank_spark.sketches.frequent import WeightedFrequentItems
+        rng = np.random.default_rng(5)
+        vals = np.array([f"v{int(x)}" for x in
+                         rng.zipf(1.6, 30000) % 2000])
+        w = rng.uniform(0.1, 1.0, 30000)
+        sk = WeightedFrequentItems(k=64).update_weighted(vals, w)
+        import pandas as pd
+        truth = pd.Series(w).groupby(pd.Series(vals)).sum()
+        # deterministic guarantee: est <= true <= est + err, any key
+        assert sk.err <= sk.worst_case_err + 1e-9
+        for v, t in truth.items():
+            est = sk.query(v)
+            assert est <= t + 1e-6
+            assert t <= est + sk.err + 1e-6
+        # distinct <= k -> exact, err 0
+        ex = WeightedFrequentItems(k=4000).update_weighted(vals, w)
+        assert ex.err == 0.0
+        for v, t in truth.items():
+            assert abs(ex.query(v) - t) < 1e-9
+
+    def test_candidates_superset_and_merge_law(self):
+        import numpy as np
+        import pandas as pd
+        from outrank_spark.sketches.frequent import WeightedFrequentItems
+        rng = np.random.default_rng(9)
+        # planted trending keys on a heavy uniform background
+        bg_v = np.array([f"b{int(x)}" for x in
+                         rng.integers(0, 5000, 40000)])
+        bg_w = np.full(40000, 0.05)
+        hot_v = np.repeat([f"hot{i}" for i in range(8)], 300)
+        hot_w = np.full(8 * 300, 0.9)
+        vals = np.concatenate([bg_v, hot_v])
+        w = np.concatenate([bg_w, hot_w])
+        order = rng.permutation(len(vals))
+        vals, w = vals[order], w[order]
+        parts = [WeightedFrequentItems(k=256).update_weighted(
+            vals[i::5], w[i::5]) for i in range(5)]
+        m = parts[2]
+        for p in (parts[0], parts[4], parts[1], parts[3]):
+            m.merge(p)
+        assert m.err < 100.0  # W/(k+1) ~ 16.6 per part bound
+        truth = pd.Series(w).groupby(pd.Series(vals)).sum()
+        thr = 200.0  # hot keys carry 270 each
+        cands = set(m.candidates(thr))
+        for v, t in truth.items():
+            if t >= thr:
+                assert v in cands, v  # no false negatives
+        assert all(c.startswith(("hot", "b")) for c in cands)
+        # wire round-trip preserves everything
+        rt = WeightedFrequentItems.from_bytes(m.to_bytes())
+        assert rt.to_bytes() == m.to_bytes()
+        assert set(rt.candidates(thr)) == cands
+
+    def test_validation(self):
+        import numpy as np
+        import pytest
+        from outrank_spark.sketches.frequent import WeightedFrequentItems
+        with pytest.raises(ValueError, match="k must be"):
+            WeightedFrequentItems(k=0)
+        sk = WeightedFrequentItems(k=4)
+        with pytest.raises(ValueError, match="mismatch"):
+            sk.update_weighted(np.array(["a"]), np.array([1.0, 2.0]))
+        sk.update_weighted(np.array(["a", "b"]),
+                           np.array([np.nan, -1.0]))  # both dropped
+        assert sk.n == 0.0
+        sk.update_weighted(np.array(["a"]), np.array([1.0]))
+        with pytest.raises(ValueError, match="threshold"):
+            sk.candidates(0.0)
+        with pytest.raises(ValueError, match="incompatible"):
+            sk.merge(WeightedFrequentItems(k=5))

@@ -344,3 +344,85 @@ class TestCountingBloomBuild:
         empty = build_counting_bloom(
             adds.where(F.lit(False)), "v", capacity=100)
         assert empty.counts.sum() == 0
+
+
+class TestDecayedHeavyHitters:
+    def test_planted_trend_with_k_below_distinct(self, spark):
+        """80k background users (1 event each, old) + 5 planted
+        trending users (200 recent events each): k=512 << distinct,
+        so the summary genuinely shrinks — candidate-verify must
+        still return exactly the trending set with exact decayed
+        counts (vs a full-groupBy reference)."""
+        from pyspark.sql import functions as F
+
+        from outrank_spark.operators.sketch_build import (
+            decayed_heavy_hitters,
+        )
+
+        bg = spark.range(80_000).select(
+            F.concat(F.lit("u"), F.col("id")).alias("user"),
+            F.timestamp_seconds(F.lit(0.0)
+                                + F.col("id") % 1000).alias("ts"),
+        )
+        hot = spark.range(1000).select(
+            F.concat(F.lit("hot"), F.col("id") % 5).alias("user"),
+            F.timestamp_seconds(F.lit(10_000_000.0)
+                                + F.col("id")).alias("ts"),
+        )
+        ev = bg.unionAll(hot)
+        out = decayed_heavy_hitters(
+            ev, "user", "ts", half_life_secs=7 * 86400.0,
+            threshold=50.0, k=512)
+        got = {r["key"]: (r["n_events"], r["decayed_count"])
+               for r in out.collect()}
+        assert set(got) == {f"hot{i}" for i in range(5)}
+        ref = {r["user"]: (r["n_events"], r["decayed_count"])
+               for r in ev.groupBy("user").agg(
+                   F.count(F.lit(1)).alias("n_events"),
+                   F.sum(F.pow(F.lit(0.5),
+                               ((F.lit(10_000_999.0) * 1e6
+                                 - F.unix_micros("ts")) / 1e6)
+                               / (7 * 86400.0))).alias("decayed_count"))
+               .where(F.col("user").startswith("hot")).collect()}
+        for k_, (n, dc) in got.items():
+            assert n == ref[k_][0] == 200
+            assert abs(dc - ref[k_][1]) < 1e-6
+
+    def test_undersized_k_falls_back_exact(self, spark):
+        import warnings
+
+        from pyspark.sql import functions as F
+
+        from outrank_spark.operators.sketch_build import (
+            decayed_heavy_hitters,
+        )
+
+        ev = spark.range(20_000).select(
+            F.concat(F.lit("u"), F.col("id") % 3000).alias("user"),
+            F.timestamp_seconds(F.col("id") % 100).alias("ts"),
+        )
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            out = decayed_heavy_hitters(
+                ev, "user", "ts", half_life_secs=1e9,
+                threshold=2.0, k=4).collect()
+        assert any("falling back" in str(w.message) for w in rec)
+        # half-life huge -> weights ~1 -> every user (6-7 events) >= 2
+        assert len(out) == 3000
+
+    def test_validation_and_empty(self, spark):
+        import pytest as _pt
+        from pyspark.sql import functions as F
+
+        from outrank_spark.operators.sketch_build import (
+            decayed_heavy_hitters,
+        )
+
+        ev = spark.range(10).select(
+            F.lit("u").alias("user"),
+            F.timestamp_seconds(F.col("id")).alias("ts"))
+        with _pt.raises(ValueError, match="half_life"):
+            decayed_heavy_hitters(ev, "user", "ts", 0.0, 1.0)
+        with _pt.raises(ValueError, match="anchor"):
+            decayed_heavy_hitters(
+                ev.where(F.lit(False)), "user", "ts", 1.0, 1.0)
