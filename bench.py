@@ -974,7 +974,7 @@ def bloomstage_probe(spark, n_probe: int = 240_000_000,
     return dt
 
 
-def shll_probe(spark, n_rows: int = 60_000_000) -> float:
+def shll_probe(spark, n_rows: int = 120_000_000) -> float:
     """Sliding-window HLL scale probe: one-scan skyline build over
     n_rows JVM-synthesized (value, ts) pairs (~4M distinct values
     spread over a 10^6-second range), two-stage salted fold, then
@@ -1147,7 +1147,7 @@ SCALING_OP_PROBES = {
     "bootstrap": (bootstrap_probe, "8M rows x 32 replicates"),
     "hits": (hits_probe, "8M edges x 5 iters"),
     "editdist": (editdist_probe, "40k shared-prefix keys"),
-    "shll": (shll_probe, "60M (value, ts) pairs"),
+    "shll": (shll_probe, "120M (value, ts) pairs"),
 }
 
 
