@@ -974,7 +974,7 @@ def bloomstage_probe(spark, n_probe: int = 240_000_000,
     return dt
 
 
-def shll_probe(spark, n_rows: int = 120_000_000) -> float:
+def shll_probe(spark, n_rows: int | None = None) -> float:
     """Sliding-window HLL scale probe: one-scan skyline build over
     n_rows JVM-synthesized (value, ts) pairs (~4M distinct values
     spread over a 10^6-second range), two-stage salted fold, then
@@ -987,6 +987,12 @@ def shll_probe(spark, n_rows: int = 120_000_000) -> float:
         sliding_distinct_counts,
     )
 
+    if n_rows is None:
+        # size-trend override for the fixed-vs-parallel decomposition
+        # (BENCH.md round-5 final addendum): efficiency at this probe
+        # is input-size-dependent because ~10 s of session/plan/fold
+        # cost is fixed while the scan parallelizes
+        n_rows = int(os.environ.get("BENCH_SHLL_ROWS", "120000000"))
     df = spark.range(n_rows).select(
         (F.col("id") % 4_000_000).alias("v"),
         F.timestamp_seconds(
@@ -1002,6 +1008,38 @@ def shll_probe(spark, n_rows: int = 120_000_000) -> float:
     sigma = 1.04 / (2 ** 6)
     assert abs(got["full"] - 4_000_000) / 4_000_000 < 4 * sigma, got
     assert 0 < got["late"] < 4_000_000
+    return dt
+
+
+def ddsketch_probe(spark, n_rows: int = 60_000_000,
+                   keys: int = 16) -> float:
+    """DDSketch scale probe: per-key relative-error quantiles
+    (grouped_quantiles kind='ddsketch', alpha=0.01) over n_rows
+    JVM-synthesized (key, value) rows — 16 keys, values a Weyl-style
+    residue sequence uniform over [1, 1e6] (per key: 62.5k residues
+    spaced 16 apart, so the analytic quantile of q is ~q*1e6).
+    Measures the two-numeric-column Arrow transfer and the vectorized
+    log-bucket fold (np.unique per batch), then the salted grouped
+    merge.  p50/p99 estimates are bound-asserted at 3x the published
+    alpha (alpha=1% + discrete grain).  Returns wall seconds."""
+    from pyspark.sql import functions as F
+
+    from outrank_spark.operators.sketch_build import grouped_quantiles
+
+    df = spark.range(n_rows).select(
+        (F.col("id") % keys).cast("string").alias("k"),
+        (((F.col("id") * 2654435761) % 1_000_000) + 1)
+        .cast("double").alias("v"),
+    )
+    t0 = time.time()
+    rows = grouped_quantiles(df, "k", "v", qs=(0.5, 0.99),
+                             kind="ddsketch",
+                             params={"alpha": 0.01}).collect()
+    dt = time.time() - t0
+    assert len(rows) == keys * 2, len(rows)
+    for r in rows:
+        true = r["q"] * 1_000_000
+        assert abs(r["value"] - true) / true < 0.03, (r.asDict(), true)
     return dt
 
 
@@ -1148,6 +1186,7 @@ SCALING_OP_PROBES = {
     "hits": (hits_probe, "8M edges x 5 iters"),
     "editdist": (editdist_probe, "40k shared-prefix keys"),
     "shll": (shll_probe, "120M (value, ts) pairs"),
+    "ddsketch": (ddsketch_probe, "60M (key, value) rows x 16 keys"),
 }
 
 
