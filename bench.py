@@ -390,7 +390,7 @@ def asof_probe(spark, n_left: int = 16_000_000,
     return dt
 
 
-def components_probe(spark, n_edges: int = 4_000_000) -> float:
+def components_probe(spark, n_edges: int | None = None) -> float:
     """Graph-operator scale probe: large-star/small-star connected
     components over n_edges edges forming ~n_edges/8 chained clusters
     (chains stress the iteration count more than stars).  Returns
@@ -398,6 +398,13 @@ def components_probe(spark, n_edges: int = 4_000_000) -> float:
     from pyspark.sql import functions as F
 
     from outrank_spark.operators.components import connected_components
+
+    if n_edges is None:
+        # size-trend override (same fixed-vs-parallel decomposition
+        # as the shll probe: per-iteration driver barrier +
+        # localCheckpoint costs are fixed, the star steps scale)
+        n_edges = int(os.environ.get("BENCH_COMPONENTS_EDGES",
+                                     "4000000"))
 
     chain = 8  # nodes per cluster, wired as a path
     edges = spark.range(n_edges).select(
@@ -414,7 +421,7 @@ def components_probe(spark, n_edges: int = 4_000_000) -> float:
 
 
 
-def minhash_probe(spark, n_docs: int = 200_000) -> float:
+def minhash_probe(spark, n_docs: int | None = None) -> float:
     """Dedup-family scale probe: MinHash signatures -> banded LSH ->
     exact-Jaccard verify over n_docs synthetic 20-token documents
     (5k-word vocab, hash-derived — no driver data).  Every 50th doc is
@@ -423,6 +430,10 @@ def minhash_probe(spark, n_docs: int = 200_000) -> float:
     from pyspark.sql import functions as F
 
     from outrank_spark.operators.dedup import minhash_lsh_candidates
+
+    if n_docs is None:
+        # size-trend override (fixed-vs-parallel decomposition)
+        n_docs = int(os.environ.get("BENCH_MINHASH_DOCS", "200000"))
 
     # token i of doc d: near-copies derive all but one token from the
     # predecessor id
@@ -1507,6 +1518,12 @@ def main() -> None:
         }
         for name in sel:
             res[f"{name}_size"] = SCALING_OP_PROBES[name][1]
+        overrides = {k: v for k, v in os.environ.items()
+                     if k.startswith("BENCH_")}
+        if overrides:
+            # size-trend runs override probe inputs via env; record
+            # the actual sizes so the artifact is self-describing
+            res["size_env"] = overrides
         for i, name in enumerate(sel):
             res[f"{name}_t{lo}_sec"] = round(out[lo][i], 2)
             res[f"{name}_t{hi}_sec"] = round(out[hi][i], 2)
