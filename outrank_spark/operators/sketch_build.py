@@ -44,6 +44,7 @@ __all__ = ["SketchPlan", "SketchCollection", "build_sketches",
            "finalize_cardinalities", "grouped_quantiles", "probe_bloom",
            "exact_heavy_hitters", "theta_group_overlap",
            "sliding_distinct_counts", "build_sliding_hll_blob",
+           "trailing_distinct_exact",
            "build_counting_bloom", "decayed_heavy_hitters"]
 
 _NUMERIC_ONLY = {"kll", "tdigest", "ddsketch"}
@@ -628,6 +629,63 @@ def build_sliding_hll_blob(df, value_col: str, ts_col: str,
         .collect()
     )
     return bytes(folded[0]["blob"]) if folded else None
+
+
+def trailing_distinct_exact(df, value_col: str, ts_col: str,
+                            window_starts_us: dict[str, int]):
+    """EXACT distinct counts for many trailing time windows from one
+    scan — the exact companion to :func:`sliding_distinct_counts`
+    (same relationship as q68's two-pass selection to q08's
+    ``percentile()``): a value is distinct-active in the trailing
+    window ``[ts0, end]`` iff its LATEST timestamp is ``>= ts0``, so
+    every window's exact count reads off one per-value ``max(ts)``
+    table.
+
+    ``window_starts_us`` maps a label to an epoch-MICROSECOND window
+    start (integers end to end — no float-epoch boundary ambiguity
+    between engines).  Returns one row per label:
+    ``(window string, ts_from_us long, distinct_count long)``.
+
+    Scale shape: ONE map-side-combinable ``groupBy(value).max(ts)``
+    is the only corpus-sized shuffle (same key distribution as any
+    per-entity rollup); all windows then fold in a single conditional
+    aggregate over the value table — W windows cost W counters per
+    task, not W scans and not a ``count(DISTINCT)`` re-shuffle per
+    window.  Versus the sliding HLL: exact but value-table-sized
+    state per key group; the sketch costs O(m) total and answers
+    ANY ts0 after the fact.  Use this to certify the sketch (the
+    1.04/sqrt(m) bound is asserted against it in tests) or when the
+    value column's cardinality is rollup-sized anyway.
+    """
+    from pyspark.sql import functions as F
+
+    if not window_starts_us:
+        raise ValueError("window_starts_us must name at least one window")
+    labels = sorted(window_starts_us)
+    per_value = (
+        df.select(
+            qcol(value_col).alias("__v"),
+            F.unix_micros(qcol(ts_col).cast("timestamp")).alias("__t"),
+        )
+        .where(F.col("__v").isNotNull() & F.col("__t").isNotNull())
+        .groupBy("__v")
+        .agg(F.max("__t").alias("__mt"))
+    )
+    one = per_value.agg(*[
+        F.coalesce(
+            F.sum((F.col("__mt") >= F.lit(int(window_starts_us[lab])))
+                  .cast("long")),
+            F.lit(0).cast("long"),
+        ).alias(f"__w{i}")
+        for i, lab in enumerate(labels)
+    ])
+    stack = ", ".join(
+        f"'{lab}', {int(window_starts_us[lab])}L, __w{i}"
+        for i, lab in enumerate(labels))
+    return one.selectExpr(
+        f"stack({len(labels)}, {stack}) as "
+        "(window, ts_from_us, distinct_count)"
+    ).orderBy("window")
 
 
 def build_counting_bloom(df, col: str, delta_col: str | None = None,

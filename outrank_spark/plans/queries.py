@@ -6720,6 +6720,57 @@ ORDER BY user_id
 """
 
 
+def q155_exact_sliding_distinct(spark, sf_dir):
+    """EXACT distinct active users for the same three trailing
+    windows q152 estimates with the sliding-window HLL — the exact
+    companion (sketch_build.trailing_distinct_exact): a user is
+    active in the trailing window [ts0, end] iff their LATEST event
+    timestamp is >= ts0, so one map-side-combinable
+    groupBy(user).max(ts) plus one conditional aggregate answers all
+    windows exactly.  Window starts are the q152 fractions of the
+    observed range, computed in INTEGER microseconds end to end so
+    both engines draw bit-identical boundaries.  Exact oracle; the
+    q152 estimates are bound-checked against this operator's counts
+    in tests/test_spark_sketch_build.py."""
+    from outrank_spark.operators.sketch_build import (
+        trailing_distinct_exact,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mn, mx = ev.agg(F.min(us), F.max(us)).first()
+    windows = {
+        "w1_full": int(mn),
+        "w2_last_half": int(mn) + (int(mx) - int(mn)) // 2,
+        "w3_last_decile": int(mn) + (9 * (int(mx) - int(mn))) // 10,
+    }
+    return trailing_distinct_exact(ev, "user_id", "ts", windows)
+
+
+ORACLE_Q155 = """
+WITH b AS (
+  SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events
+), w(win, ts_from_us) AS (
+  SELECT 'w1_full', mn FROM b
+  UNION ALL
+  SELECT 'w2_last_half', mn + (mx - mn) // 2 FROM b
+  UNION ALL
+  SELECT 'w3_last_decile', mn + (9 * (mx - mn)) // 10 FROM b
+), v AS (
+  SELECT user_id, max(epoch_us(ts)) AS mt FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id
+)
+SELECT w.win AS "window",
+       CAST(w.ts_from_us AS BIGINT) AS ts_from_us,
+       CAST(count(v.mt) FILTER (WHERE v.mt >= w.ts_from_us) AS BIGINT)
+         AS distinct_count
+FROM w LEFT JOIN v ON true
+GROUP BY w.win, w.ts_from_us
+ORDER BY w.win
+"""
+
+
 QUERIES = {
     # --- exact DuckDB oracles (104; the driver's gate window covers
     # the first 50 — everything after is exact-checked per round by
@@ -6844,6 +6895,7 @@ QUERIES = {
     "q148_dataset_card": q148_dataset_card,
     "q151_priority_sample": q151_priority_sample,
     "q154_trending_users": q154_trending_users,
+    "q155_exact_sliding_distinct": q155_exact_sliding_distinct,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -7006,6 +7058,7 @@ ORACLES = {
     "q148_dataset_card": ORACLE_Q148,
     "q151_priority_sample": ORACLE_Q151,
     "q154_trending_users": ORACLE_Q154,
+    "q155_exact_sliding_distinct": ORACLE_Q155,
 }
 
 

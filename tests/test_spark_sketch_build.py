@@ -426,3 +426,93 @@ class TestDecayedHeavyHitters:
         with _pt.raises(ValueError, match="anchor"):
             decayed_heavy_hitters(
                 ev.where(F.lit(False)), "user", "ts", 1.0, 1.0)
+
+
+class TestTrailingDistinctExact:
+    """q155's operator: exact trailing-window distinct counts from one
+    per-value max(ts) table — and the certification harness for the
+    sliding HLL's per-window 1.04/sqrt(m) bound."""
+
+    @pytest.fixture(scope="class")
+    def events(self, spark):
+        df = spark.range(60_000).select(
+            F.concat(F.lit("u"), F.pmod(F.xxhash64("id"),
+                                        F.lit(9000))).alias("user"),
+            F.timestamp_seconds(
+                (F.col("id") % 1000).cast("double")).alias("ts"),
+        ).cache()
+        df.count()
+        return df
+
+    def test_matches_brute_force_per_window(self, spark, events):
+        from outrank_spark.operators.sketch_build import (
+            trailing_distinct_exact,
+        )
+
+        windows = {
+            "all": 0,
+            "mid": 500 * 1_000_000,
+            # boundary: ts == ts0 must be IN the window
+            "edge": 999 * 1_000_000,
+            "beyond": 10_000 * 1_000_000,  # after max(ts) -> 0
+        }
+        got = {r["window"]: (r["ts_from_us"], r["distinct_count"])
+               for r in trailing_distinct_exact(
+                   events, "user", "ts", windows).collect()}
+        sec = F.col("ts").cast("double")
+        for label, t0_us in windows.items():
+            exact = (events.filter(sec >= t0_us / 1e6)
+                     .agg(F.countDistinct("user")).first()[0])
+            assert got[label] == (t0_us, exact), label
+        assert got["beyond"][1] == 0
+
+    def test_certifies_sliding_hll_bound(self, events):
+        """The operator's headline purpose: the q152 sketch estimates
+        must sit inside 3 * 1.04/sqrt(m) of THESE exact counts."""
+        from outrank_spark.operators.sketch_build import (
+            sliding_distinct_counts,
+            trailing_distinct_exact,
+        )
+
+        w_us = {"a": 0, "b": 600 * 1_000_000}
+        exact = {r["window"]: r["distinct_count"] for r in
+                 trailing_distinct_exact(
+                     events, "user", "ts", w_us).collect()}
+        est = {r["window"]: r["est_distinct"] for r in
+               sliding_distinct_counts(
+                   events, "user", "ts",
+                   {k: v / 1e6 for k, v in w_us.items()},
+                   p=12).collect()}
+        for k in w_us:
+            assert exact[k] > 0
+            assert abs(est[k] - exact[k]) / exact[k] < 3 * 1.04 / 2**6
+
+    def test_partition_invariance_and_nulls(self, spark, events):
+        from outrank_spark.operators.sketch_build import (
+            trailing_distinct_exact,
+        )
+
+        w = {"m": 250 * 1_000_000}
+        base = trailing_distinct_exact(events, "user", "ts", w).collect()
+        noisy = events.unionByName(spark.createDataFrame(
+            [(None, None)], "user string, ts timestamp"))
+        for variant in (events.repartition(13), events.coalesce(1), noisy):
+            assert trailing_distinct_exact(
+                variant, "user", "ts", w).collect() == base
+
+    def test_validation_and_empty(self, spark):
+        import pytest as _pt
+
+        from outrank_spark.operators.sketch_build import (
+            trailing_distinct_exact,
+        )
+
+        df = spark.range(5).select(
+            F.col("id").cast("string").alias("u"),
+            F.timestamp_seconds(F.col("id")).alias("ts"))
+        with _pt.raises(ValueError, match="at least one window"):
+            trailing_distinct_exact(df, "u", "ts", {})
+        got = trailing_distinct_exact(
+            df.where(F.lit(False)), "u", "ts", {"w": 0}).collect()
+        assert [(r["window"], r["distinct_count"]) for r in got] == \
+            [("w", 0)]
