@@ -43,6 +43,7 @@ __all__ = ["SketchPlan", "SketchCollection", "build_sketches",
            "build_grouped_sketches", "rollup_grouped_sketches",
            "finalize_cardinalities", "grouped_quantiles", "probe_bloom",
            "exact_heavy_hitters", "theta_group_overlap",
+           "exact_group_overlap",
            "sliding_distinct_counts", "build_sliding_hll_blob",
            "trailing_distinct_exact",
            "build_counting_bloom", "decayed_heavy_hitters"]
@@ -537,6 +538,69 @@ def theta_group_overlap(df, group_col: str, value_col: str,
     return pd.DataFrame(
         rows, columns=["group_a", "group_b", "est_a", "est_b",
                        "est_union", "est_intersection", "jaccard"],
+    )
+
+
+def exact_group_overlap(df, group_col: str, value_col: str):
+    """EXACT pairwise distinct-value overlap between groups — the
+    exact companion to :func:`theta_group_overlap` (same relationship
+    as q155's trailing_distinct_exact to the sliding HLL): for every
+    unordered group pair, |A|, |B|, |A ∪ B|, |A ∩ B| and Jaccard,
+    computed distributed with no per-pair re-scan.
+
+    Shape: ONE ``distinct()`` shuffle over (group, value) is the only
+    corpus-sized stage; the intersection then comes from a value-keyed
+    self-join of that distinct table (both sides the SAME exchange —
+    Catalyst reuses it), where a value present in g groups emits
+    C(g, 2) ≤ C(G, 2) rows, so the join output is bounded by
+    |distinct values| × C(G, 2).  Per-group sizes and the complete
+    pair grid are G-row metadata joined broadcast.  This is the right
+    tool when the GROUP domain is bounded (event types, languages,
+    crawl snapshots); for unbounded group domains the sketch path
+    (:func:`theta_group_overlap`, one k·8-byte blob per group) is the
+    scale path, and its union/Jaccard estimates are bound-certified
+    against THIS operator in
+    tests/test_spark_sketch_build.py::TestExactGroupOverlap.
+
+    Returns ``(group_a, group_b, n_a, n_b, n_union, n_intersection,
+    jaccard)`` for every unordered pair (zero-intersection pairs
+    included), Jaccard rounded to 6 dp — the q14/q111 cross-engine
+    float convention.
+    """
+    from pyspark.sql import functions as F
+
+    d = (
+        df.select(qcol(group_col).cast("string").alias("__g"),
+                  qcol(value_col).cast("string").alias("__v"))
+        .where(F.col("__g").isNotNull() & F.col("__v").isNotNull())
+        .distinct()
+    )
+    pg = d.groupBy("__g").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        d.withColumnRenamed("__g", "group_a")
+        .join(d.withColumnRenamed("__g", "group_b"), "__v")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("__ni"))
+    )
+    pa = pg.select(F.col("__g").alias("group_a"),
+                   F.col("n").alias("n_a"))
+    pb = pg.select(F.col("__g").alias("group_b"),
+                   F.col("n").alias("n_b"))
+    grid = pa.join(F.broadcast(pb), F.col("group_a") < F.col("group_b"))
+    ni = F.coalesce(F.col("__ni"), F.lit(0)).cast("long")
+    union = (F.col("n_a") + F.col("n_b")).cast("long") - ni
+    return (
+        grid.join(F.broadcast(inter), ["group_a", "group_b"], "left")
+        .select(
+            "group_a", "group_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            union.alias("n_union"),
+            ni.alias("n_intersection"),
+            F.round(ni.cast("double") / union, 6).alias("jaccard"),
+        )
+        .orderBy("group_a", "group_b")
     )
 
 

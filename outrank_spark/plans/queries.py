@@ -2666,8 +2666,10 @@ def q72_theta_event_overlap(spark, sf_dir):
     per group — the exact INTERSECT equivalent re-reads the data per
     pair.  Rows-only in the driver gate (estimates); accuracy is
     bound-tested against exact set arithmetic in
-    tests/test_frequent_theta.py and measured in bench.py's
-    sketch_error block."""
+    tests/test_frequent_theta.py, bound-certified against the exact
+    in-registry companion q156 (sketch_build.exact_group_overlap) in
+    tests/test_spark_sketch_build.py::TestExactGroupOverlap, and
+    measured in bench.py's sketch_error block."""
     from outrank_spark.operators.sketch_build import theta_group_overlap
 
     ev = load(spark, sf_dir, "events")
@@ -6771,8 +6773,51 @@ ORDER BY w.win
 """
 
 
+def q156_exact_group_overlap(spark, sf_dir):
+    """EXACT pairwise distinct-user overlap between event types —
+    the exact companion to q72's theta-sketch estimates
+    (sketch_build.exact_group_overlap): |A|, |B|, |A ∪ B|, |A ∩ B|
+    and Jaccard for every unordered pair, zero-intersection pairs
+    included.  One distinct() shuffle is the only corpus-sized stage;
+    the intersection is a value-keyed self-join of the distinct table
+    (bounded by C(G,2) rows per value), sizes/grid are broadcast
+    G-row metadata.  Exact oracle; q72's theta estimates are
+    bound-certified against this operator's counts in
+    tests/test_spark_sketch_build.py::TestExactGroupOverlap."""
+    from outrank_spark.operators.sketch_build import exact_group_overlap
+
+    ev = load(spark, sf_dir, "events")
+    return exact_group_overlap(ev, "event_type", "user_id")
+
+
+ORACLE_Q156 = """
+WITH d AS (
+  SELECT DISTINCT CAST(event_type AS VARCHAR) AS g,
+                  CAST(user_id AS VARCHAR) AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+), pg AS (
+  SELECT g, count(*) AS n FROM d GROUP BY g
+), inter AS (
+  SELECT a.g AS ga, b.g AS gb, count(*) AS ni
+  FROM d a JOIN d b ON a.v = b.v AND a.g < b.g
+  GROUP BY a.g, b.g
+)
+SELECT pa.g AS group_a, pb.g AS group_b,
+       CAST(pa.n AS BIGINT) AS n_a, CAST(pb.n AS BIGINT) AS n_b,
+       CAST(pa.n + pb.n - COALESCE(i.ni, 0) AS BIGINT) AS n_union,
+       CAST(COALESCE(i.ni, 0) AS BIGINT) AS n_intersection,
+       round(CAST(COALESCE(i.ni, 0) AS DOUBLE)
+             / (pa.n + pb.n - COALESCE(i.ni, 0)), 6) AS jaccard
+FROM pg pa
+JOIN pg pb ON pa.g < pb.g
+LEFT JOIN inter i ON i.ga = pa.g AND i.gb = pb.g
+ORDER BY group_a, group_b
+"""
+
+
 QUERIES = {
-    # --- exact DuckDB oracles (104; the driver's gate window covers
+    # --- exact DuckDB oracles (122; the driver's gate window covers
     # the first 50 — everything after is exact-checked per round by
     # tools/check_oracles.py, artifact in bench_artifacts/) ---
     "q01_pricing_summary": q01_pricing_summary,
@@ -6896,6 +6941,7 @@ QUERIES = {
     "q151_priority_sample": q151_priority_sample,
     "q154_trending_users": q154_trending_users,
     "q155_exact_sliding_distinct": q155_exact_sliding_distinct,
+    "q156_exact_group_overlap": q156_exact_group_overlap,
     # --- rows-only (sketch/heuristic, accuracy bound-tested in
     # tests/); flagship is smoke-run by entry() each round and, like
     # q70, exact-checked by tools/check_oracles.py outside the window
@@ -7059,6 +7105,7 @@ ORACLES = {
     "q151_priority_sample": ORACLE_Q151,
     "q154_trending_users": ORACLE_Q154,
     "q155_exact_sliding_distinct": ORACLE_Q155,
+    "q156_exact_group_overlap": ORACLE_Q156,
 }
 
 

@@ -516,3 +516,98 @@ class TestTrailingDistinctExact:
             df.where(F.lit(False)), "u", "ts", {"w": 0}).collect()
         assert [(r["window"], r["distinct_count"]) for r in got] == \
             [("w", 0)]
+
+
+class TestExactGroupOverlap:
+    """q156's operator: exact pairwise group overlap — and the
+    certification harness for theta_group_overlap's union/Jaccard
+    estimates."""
+
+    @pytest.fixture(scope="class")
+    def grouped(self, spark):
+        # 4 groups with controlled overlap: g0 = 0..5999,
+        # g1 = 3000..8999 (overlap 3000), g2 = 0..999 (subset of g0),
+        # g3 = 100000..100099 (disjoint from all)
+        df = spark.range(6000).select(
+            F.lit("g0").alias("g"), F.col("id").alias("v"))
+        df = df.unionByName(spark.range(3000, 9000).select(
+            F.lit("g1").alias("g"), F.col("id").alias("v")))
+        df = df.unionByName(spark.range(1000).select(
+            F.lit("g2").alias("g"), F.col("id").alias("v")))
+        df = df.unionByName(spark.range(100000, 100100).select(
+            F.lit("g3").alias("g"), F.col("id").alias("v")))
+        # duplicates must not change distinct-set semantics
+        df = df.unionByName(df.limit(500)).cache()
+        df.count()
+        return df
+
+    def test_matches_set_arithmetic(self, grouped):
+        from outrank_spark.operators.sketch_build import (
+            exact_group_overlap,
+        )
+
+        rows = {(r["group_a"], r["group_b"]): r for r in
+                exact_group_overlap(grouped, "g", "v").collect()}
+        sets = {"g0": set(range(6000)), "g1": set(range(3000, 9000)),
+                "g2": set(range(1000)),
+                "g3": set(range(100000, 100100))}
+        assert set(rows) == {("g0", "g1"), ("g0", "g2"), ("g0", "g3"),
+                             ("g1", "g2"), ("g1", "g3"), ("g2", "g3")}
+        for (ga, gb), r in rows.items():
+            a, b = sets[ga], sets[gb]
+            assert r["n_a"] == len(a) and r["n_b"] == len(b)
+            assert r["n_intersection"] == len(a & b)
+            assert r["n_union"] == len(a | b)
+            assert r["jaccard"] == pytest.approx(
+                round(len(a & b) / len(a | b), 6), abs=1e-9)
+        # zero-intersection pairs are present, not dropped
+        assert rows[("g0", "g3")]["n_intersection"] == 0
+        assert rows[("g0", "g3")]["jaccard"] == 0.0
+
+    def test_certifies_theta_estimates(self, grouped):
+        """q72's sketch path must sit inside its published bounds of
+        THESE exact counts: union RSE 1/sqrt(k-2), Jaccard binomial
+        sqrt(J(1-J)/k) (3-sigma, plus the union-error cross term for
+        the intersection product)."""
+        import math
+
+        from outrank_spark.operators.sketch_build import (
+            exact_group_overlap,
+            theta_group_overlap,
+        )
+
+        k = 2048
+        exact = {(r["group_a"], r["group_b"]): r for r in
+                 exact_group_overlap(grouped, "g", "v").collect()}
+        est = theta_group_overlap(grouped, "g", "v", k=k)
+        for r in est.itertuples():
+            e = exact[(r.group_a, r.group_b)]
+            rse = 1.0 / math.sqrt(k - 2)
+            assert abs(r.est_union - e["n_union"]) \
+                <= 3 * rse * e["n_union"]
+            j = e["n_intersection"] / e["n_union"]
+            j_tol = 3 * math.sqrt(max(j * (1 - j), 1e-12) / k)
+            assert abs(r.jaccard - j) <= j_tol + 1e-9
+
+    def test_partition_invariance_and_nulls(self, spark, grouped):
+        from outrank_spark.operators.sketch_build import (
+            exact_group_overlap,
+        )
+
+        base = exact_group_overlap(grouped, "g", "v").collect()
+        noisy = grouped.unionByName(spark.createDataFrame(
+            [(None, 1), ("g0", None)], "g string, v long"))
+        for variant in (grouped.repartition(17), noisy):
+            assert exact_group_overlap(variant, "g", "v").collect() \
+                == base
+
+    def test_single_group_and_empty(self, spark):
+        from outrank_spark.operators.sketch_build import (
+            exact_group_overlap,
+        )
+
+        one = spark.range(10).select(
+            F.lit("only").alias("g"), F.col("id").alias("v"))
+        assert exact_group_overlap(one, "g", "v").collect() == []
+        assert exact_group_overlap(
+            one.where(F.lit(False)), "g", "v").collect() == []
