@@ -611,3 +611,29 @@ class TestExactGroupOverlap:
         assert exact_group_overlap(one, "g", "v").collect() == []
         assert exact_group_overlap(
             one.where(F.lit(False)), "g", "v").collect() == []
+
+    def test_plan_reuses_distinct_exchange(self, grouped):
+        """The docstring's scale claim: one distinct() shuffle feeds
+        every consumer — the self-join sides and the size aggregate
+        come back as ReusedExchange in the final adaptive plan, so the
+        corpus is shuffled once, never per pair."""
+        from outrank_spark.operators.sketch_build import (
+            exact_group_overlap,
+        )
+
+        spark = grouped.sparkSession
+        prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        # static planner: AQE re-derives the same reuse per stage at
+        # runtime but hides it from canonical plan text on cached
+        # inputs — the static plan is the deterministic witness
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            out = exact_group_overlap(grouped, "g", "v")
+            plan = out._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                           prev_bc)
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        assert plan.count("ReusedExchange") >= 1, plan[:2000]
