@@ -743,13 +743,22 @@ def trailing_distinct_exact(df, value_col: str, ts_col: str,
         ).alias(f"__w{i}")
         for i, lab in enumerate(labels)
     ])
-    stack = ", ".join(
-        f"'{lab}', {int(window_starts_us[lab])}L, __w{i}"
-        for i, lab in enumerate(labels))
-    return one.selectExpr(
-        f"stack({len(labels)}, {stack}) as "
-        "(window, ts_from_us, distinct_count)"
-    ).orderBy("window")
+    # typed unpivot — labels are caller strings, never spliced into
+    # SQL text (the validation.py identifier-escaping lesson)
+    rows = F.array(*[
+        F.struct(
+            F.lit(lab).alias("window"),
+            F.lit(int(window_starts_us[lab])).cast("long")
+             .alias("ts_from_us"),
+            F.col(f"__w{i}").alias("distinct_count"),
+        )
+        for i, lab in enumerate(labels)
+    ])
+    return (
+        one.select(F.explode(rows).alias("__r"))
+        .select("__r.window", "__r.ts_from_us", "__r.distinct_count")
+        .orderBy("window")
+    )
 
 
 def build_counting_bloom(df, col: str, delta_col: str | None = None,

@@ -518,6 +518,22 @@ class TestTrailingDistinctExact:
             [("w", 0)]
 
 
+    def test_quoted_label_survives(self, spark):
+        """Window labels are data, not SQL text — a label with quotes
+        and backticks must pass through unharmed."""
+        from outrank_spark.operators.sketch_build import (
+            trailing_distinct_exact,
+        )
+
+        df = spark.range(8).select(
+            F.col("id").cast("string").alias("u"),
+            F.timestamp_seconds(F.col("id")).alias("ts"))
+        evil = "w'1; drop `x`"
+        got = trailing_distinct_exact(df, "u", "ts", {evil: 0}).collect()
+        assert [(r["window"], r["distinct_count"]) for r in got] == \
+            [(evil, 8)]
+
+
 class TestExactGroupOverlap:
     """q156's operator: exact pairwise group overlap — and the
     certification harness for theta_group_overlap's union/Jaccard
