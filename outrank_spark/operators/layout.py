@@ -120,8 +120,11 @@ def zorder_layout_audit(df: DataFrame, cols: list[str],
                 / float(1 << bits)
             aggs += [F.round(F.avg(frac), round_to).alias(f"af{j}"),
                      F.round(F.max(frac), round_to).alias(f"mf{j}")]
+        from outrank_spark.hashing import sql_str
+
         cells = ", ".join(
-            f"'{c}', n_files, af{j}, mf{j}" for j, c in enumerate(cols))
+            f"{sql_str(c)}, n_files, af{j}, mf{j}"
+            for j, c in enumerate(cols))
         row = spans.agg(*aggs).selectExpr(
             f"'{layout}' AS layout",
             f"stack({k}, {cells}) AS "

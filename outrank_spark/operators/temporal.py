@@ -242,12 +242,22 @@ def funnel_counts(df: DataFrame, steps: list, user_col: str = "user_id",
         F.sum((F.col("_stage") >= i + 1).cast("long"))
         .alias(f"_s{i}") for i in range(k)
     ])
-    stack = ", ".join(
-        f"{i + 1}, '{steps[i]}', coalesce(_s{i}, 0L)" for i in range(k)
+    # typed unpivot — step names are caller data, never spliced into
+    # SQL text (a step containing a quote must survive)
+    rows = F.array(*[
+        F.struct(
+            F.lit(i + 1).alias("step"),
+            F.lit(steps[i]).alias("event_type"),
+            F.coalesce(F.col(f"_s{i}"), F.lit(0).cast("long"))
+             .alias("n_users"),
+        )
+        for i in range(k)
+    ])
+    return (
+        counts.select(F.explode(rows).alias("__r"))
+        .select("__r.step", "__r.event_type", "__r.n_users")
+        .orderBy("step")
     )
-    return counts.selectExpr(
-        f"stack({k}, {stack}) as (step, event_type, n_users)",
-    ).orderBy("step")
 
 
 def cohort_retention(df: DataFrame, user_col: str = "user_id",
@@ -628,12 +638,14 @@ def epoch_us_expr(df: DataFrame, ts_col: str):
     """Epoch-microseconds Column for a timestamp column — the
     sessionize() NTZ idiom: ``unix_micros`` rejects TIMESTAMP_NTZ,
     and casting NTZ->LTZ would bind ages to the session timezone."""
+    from outrank_spark.hashing import qcol, sql_ident
+
     if dict(df.dtypes)[ts_col] == "timestamp_ntz":
         return F.expr(
             f"timestampdiff(MICROSECOND, "
-            f"TIMESTAMP_NTZ'1970-01-01 00:00:00', {ts_col})",
+            f"TIMESTAMP_NTZ'1970-01-01 00:00:00', {sql_ident(ts_col)})",
         )
-    return F.unix_micros(F.col(ts_col))
+    return F.unix_micros(qcol(ts_col))
 
 
 def decayed_aggregate(df: DataFrame, ts_col: str, key_cols: list,

@@ -406,3 +406,34 @@ class TestDecayedAggregate:
                                 3600.0, value_col="v")
         plan = out._jdf.queryExecution().optimizedPlan().toString()
         assert "Window" not in plan and "Join" not in plan
+
+
+class TestIdentifierSafety:
+    """Step names and column names are data, not SQL text."""
+
+    def test_funnel_step_with_quote(self, spark):
+        from pyspark.sql import functions as F
+
+        from outrank_spark.operators.temporal import funnel_counts
+
+        steps = ["sign'up", 'pur"chase']
+        df = spark.createDataFrame(
+            [("u1", "sign'up", 1.0), ("u1", 'pur"chase', 2.0),
+             ("u2", "sign'up", 5.0)],
+            "user_id string, event_type string, t double",
+        ).withColumn("ts", F.timestamp_seconds("t"))
+        got = {r["step"]: (r["event_type"], r["n_users"]) for r in
+               funnel_counts(df, steps).collect()}
+        assert got == {1: ("sign'up", 2), 2: ('pur"chase', 1)}
+
+    def test_epoch_us_expr_backtick_ntz_column(self, spark):
+        from pyspark.sql import functions as F
+
+        from outrank_spark.operators.temporal import epoch_us_expr
+
+        df = spark.sql(
+            "SELECT TIMESTAMP_NTZ'1970-01-01 00:00:01' AS `t``s`"
+        )
+        got = df.select(
+            epoch_us_expr(df, "t`s").alias("us")).first()["us"]
+        assert got == 1_000_000
