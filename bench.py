@@ -1054,6 +1054,78 @@ def ddsketch_probe(spark, n_rows: int = 60_000_000,
     return dt
 
 
+def trailing_probe(spark, n_rows: int | None = None) -> float:
+    """Exact trailing-window distinct probe (q155's operator): one
+    map-side-combinable groupBy(value).max(ts) over n_rows
+    JVM-synthesized (value, ts) pairs (~4M distinct values over a
+    10^6-second range) + one conditional aggregate for three windows.
+    The exact companion of the shll probe on the SAME input shape —
+    the pair measures sketch-vs-exact wall directly.  The full-range
+    window must read EXACTLY the distinct count (operator is exact).
+    Returns wall seconds."""
+    from pyspark.sql import functions as F
+
+    from outrank_spark.operators.sketch_build import (
+        trailing_distinct_exact,
+    )
+
+    if n_rows is None:
+        n_rows = int(os.environ.get("BENCH_TRAILING_ROWS", "120000000"))
+    df = spark.range(n_rows).select(
+        (F.col("id") % 4_000_000).alias("v"),
+        F.timestamp_seconds(
+            ((F.col("id") * 2654435761) % 1_000_000)
+            .cast("double")).alias("ts"),
+    )
+    t0 = time.time()
+    got = {r["window"]: int(r["distinct_count"]) for r in
+           trailing_distinct_exact(
+               df, "v", "ts",
+               {"full": 0, "late": 900_000 * 1_000_000}).collect()}
+    dt = time.time() - t0
+    n_distinct = min(n_rows, 4_000_000)
+    assert got["full"] == n_distinct, got
+    assert 0 < got["late"] <= n_distinct, got
+    return dt
+
+
+def overlap_probe(spark, n_rows: int | None = None,
+                  groups: int = 6) -> float:
+    """Exact pairwise group-overlap probe (q156's operator): one
+    distinct() shuffle over n_rows JVM-synthesized (group, value)
+    rows, value-keyed self-join (reused exchange), broadcast pair
+    grid — C(6,2)=15 result rows.  Values are drawn so consecutive
+    groups overlap: v = id % 5M, g = (id * 7) % 6 gives every group
+    every residue class over time; sanity-asserts set-algebra
+    invariants (intersection <= min, union >= max, symmetry count).
+    Returns wall seconds."""
+    from pyspark.sql import functions as F
+
+    from outrank_spark.operators.sketch_build import exact_group_overlap
+
+    if n_rows is None:
+        n_rows = int(os.environ.get("BENCH_OVERLAP_ROWS", "60000000"))
+    df = spark.range(n_rows).select(
+        F.concat(F.lit("g"), (F.col("id") % groups)).alias("g"),
+        # group g sees values g, g+stride, g+2*stride, ... — adjacent
+        # groups share nothing, but every group overlaps the shared
+        # low range [0, 1M) injected for ids below 6M
+        F.when(F.col("id") < 6_000_000,
+               (F.col("id") * 2654435761) % 1_000_000)
+        .otherwise((F.col("id") * 2654435761) % 5_000_000)
+        .alias("v"),
+    )
+    t0 = time.time()
+    rows = exact_group_overlap(df, "g", "v").collect()
+    dt = time.time() - t0
+    assert len(rows) == groups * (groups - 1) // 2, len(rows)
+    for r in rows:
+        assert r["n_intersection"] <= min(r["n_a"], r["n_b"]), r
+        assert r["n_union"] >= max(r["n_a"], r["n_b"]), r
+        assert r["n_union"] == r["n_a"] + r["n_b"] - r["n_intersection"]
+    return dt
+
+
 def fd_probe(spark, n_rows: int = 6_000_000, d: int = 32) -> float:
     """Frequent Directions scale probe: one-scan FD (ell=32) over n_rows
     JVM-synthesized d-dim vectors, log-depth treeAggregate merge.
@@ -1198,6 +1270,8 @@ SCALING_OP_PROBES = {
     "editdist": (editdist_probe, "40k shared-prefix keys"),
     "shll": (shll_probe, "120M (value, ts) pairs"),
     "ddsketch": (ddsketch_probe, "60M (key, value) rows x 16 keys"),
+    "trailing": (trailing_probe, "120M (value, ts) pairs"),
+    "overlap": (overlap_probe, "60M (group, value) rows x 6 groups"),
 }
 
 
