@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from outrank_spark.hashing import sql_ident as _qu
+
 __all__ = [
     "with_web_features",
     "extract_text_from_html",
@@ -111,8 +113,8 @@ def canonicalize_url(df: DataFrame, url_col: str = "url",
     path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
     path = F.when(
         (F.length(path) > 1) & path.endswith("/"),
-        F.expr(f"substring(parse_url({url_col}, 'PATH'), 1, "
-               f"length(parse_url({url_col}, 'PATH')) - 1)"),
+        F.expr(f"substring(parse_url({_qu(url_col)}, 'PATH'), 1, "
+               f"length(parse_url({_qu(url_col)}, 'PATH')) - 1)"),
     ).otherwise(path)
     # RFC 3986 §6.2.3: empty path normalizes to "/" so bare-host and
     # root-slash forms compare equal

@@ -398,6 +398,13 @@ def densify_time_series(df: DataFrame, ts_col: str, group_col: str,
     clash = _reject & set(df.columns)
     if clash:
         raise ValueError(f"column names collide with internals: {clash}")
+    # bucket is spliced into an INTERVAL literal — whitelist it so a
+    # bad unit fails here with a clear message, not inside the parser
+    _units = {"year", "quarter", "month", "week", "day",
+              "hour", "minute", "second"}
+    if bucket.lower() not in _units:
+        raise ValueError(
+            f"bucket must be one of {sorted(_units)}, got {bucket!r}")
     b = F.date_trunc(bucket, F.col(ts_col))
     aggs = [F.count(F.lit(1)).alias("n_events")]
     if agg_col is not None:

@@ -734,13 +734,16 @@ def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
     regexes are Java/RE2-portable so a SQL oracle replays them
     byte-identically.
     """
+    from outrank_spark.hashing import sql_ident as _qu
+
     words = F.size(F.expr(
-        f"regexp_extract_all({text_col}, '\\\\S+', 0)"))
+        f"regexp_extract_all({_qu(text_col)}, '\\\\S+', 0)"))
     sents = F.greatest(
-        F.size(F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)")),
+        F.size(F.expr(
+            f"regexp_extract_all({_qu(text_col)}, '[.!?]+', 0)")),
         F.lit(1))
     syll = F.size(F.expr(
-        f"regexp_extract_all(lower({text_col}), '[aeiouy]+', 0)"))
+        f"regexp_extract_all(lower({_qu(text_col)}), '[aeiouy]+', 0)"))
     out = (
         df.withColumn("n_words", words)
         .withColumn("n_sentences", sents)
