@@ -548,18 +548,22 @@ def exact_group_overlap(df, group_col: str, value_col: str):
     unordered group pair, |A|, |B|, |A ∪ B|, |A ∩ B| and Jaccard,
     computed distributed with no per-pair re-scan.
 
-    Shape: ONE ``distinct()`` shuffle over (group, value) is the only
-    corpus-sized stage; the intersection then comes from a value-keyed
-    self-join of that distinct table (both sides the SAME exchange —
-    Catalyst reuses it), where a value present in g groups emits
-    C(g, 2) ≤ C(G, 2) rows, so the join output is bounded by
-    |distinct values| × C(G, 2).  Per-group sizes and the complete
-    pair grid are G-row metadata joined broadcast.  This is the right
-    tool when the GROUP domain is bounded (event types, languages,
-    crawl snapshots); for unbounded group domains the sketch path
-    (:func:`theta_group_overlap`, one k·8-byte blob per group) is the
-    scale path, and its union/Jaccard estimates are bound-certified
-    against THIS operator in
+    Shape: ONE corpus shuffle total — ``groupBy(value)`` with a
+    ``collect_set(group)`` whose per-value state is the ≤ G group
+    set (partials combine map-side), replacing the naive
+    distinct-then-self-join plan (two corpus shuffles plus a join
+    sort; measured 0.48 scaling efficiency vs this plan's single
+    aggregate — bench_artifacts/r5/scaling_ops_trailing_overlap*).
+    Each value then emits its C(m, 2) ≤ C(G, 2) ordered group pairs
+    JVM-side (sorted array → nested ``transform``), and one
+    value-table-sized count per pair plus two broadcast G-row
+    metadata joins finish the report.  The SAME exchange feeds the
+    sizes and the pair counts (ReusedExchange, plan-asserted).  This
+    is the right tool when the GROUP domain is bounded (event types,
+    languages, crawl snapshots); for unbounded group domains the
+    sketch path (:func:`theta_group_overlap`, one k·8-byte blob per
+    group) is the scale path, and its union/Jaccard estimates are
+    bound-certified against THIS operator in
     tests/test_spark_sketch_build.py::TestExactGroupOverlap.
 
     Returns ``(group_a, group_b, n_a, n_b, n_union, n_intersection,
@@ -569,18 +573,35 @@ def exact_group_overlap(df, group_col: str, value_col: str):
     """
     from pyspark.sql import functions as F
 
-    d = (
+    # ONE corpus shuffle: per value, its sorted group SET (state <= G
+    # strings per value, collect_set partials combine map-side) — no
+    # distinct() pre-pass and no value-keyed self-join re-shuffle.
+    # Everything after operates on the value table and G-row metadata.
+    gs = (
         df.select(qcol(group_col).cast("string").alias("__g"),
                   qcol(value_col).cast("string").alias("__v"))
         .where(F.col("__g").isNotNull() & F.col("__v").isNotNull())
-        .distinct()
+        .groupBy("__v")
+        .agg(F.array_sort(F.collect_set("__g")).alias("__gs"))
     )
-    pg = d.groupBy("__g").agg(F.count(F.lit(1)).alias("n"))
+    # per-group sizes: explode the group sets — a second map-side
+    # combinable aggregate over the value table, G result rows
+    pg = (
+        gs.select(F.explode("__gs").alias("__g"))
+        .groupBy("__g").agg(F.count(F.lit(1)).alias("n"))
+    )
+    # pairwise intersections: each value emits its C(m, 2) <= C(G, 2)
+    # ordered group pairs JVM-side (sorted array -> nested transform),
+    # then one count per pair — never a join over the corpus
+    pair_expr = F.flatten(F.expr(
+        "transform(__gs, (x, i) -> "
+        "transform(slice(__gs, i + 2, size(__gs)), y -> "
+        "struct(x AS group_a, y AS group_b)))"
+    ))
     inter = (
-        d.withColumnRenamed("__g", "group_a")
-        .join(d.withColumnRenamed("__g", "group_b"), "__v")
-        .where(F.col("group_a") < F.col("group_b"))
-        .groupBy("group_a", "group_b")
+        gs.select(F.explode(pair_expr).alias("__p"))
+        .groupBy(F.col("__p.group_a").alias("group_a"),
+                 F.col("__p.group_b").alias("group_b"))
         .agg(F.count(F.lit(1)).alias("__ni"))
     )
     pa = pg.select(F.col("__g").alias("group_a"),

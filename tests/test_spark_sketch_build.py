@@ -629,10 +629,11 @@ class TestExactGroupOverlap:
             one.where(F.lit(False)), "g", "v").collect() == []
 
     def test_plan_reuses_distinct_exchange(self, grouped):
-        """The docstring's scale claim: one distinct() shuffle feeds
-        every consumer — the self-join sides and the size aggregate
-        come back as ReusedExchange in the final adaptive plan, so the
-        corpus is shuffled once, never per pair."""
+        """The docstring's scale claim: ONE corpus shuffle — the
+        pair-count and per-group-size aggregates both read the same
+        groupBy(value) exchange (ReusedExchange in the static plan),
+        so the corpus is shuffled once, never joined or re-shuffled
+        per consumer."""
         from outrank_spark.operators.sketch_build import (
             exact_group_overlap,
         )
