@@ -548,17 +548,20 @@ def exact_group_overlap(df, group_col: str, value_col: str):
     unordered group pair, |A|, |B|, |A ∪ B|, |A ∩ B| and Jaccard,
     computed distributed with no per-pair re-scan.
 
-    Shape: ONE corpus shuffle total — ``groupBy(value)`` with a
-    ``collect_set(group)`` whose per-value state is the ≤ G group
-    set (partials combine map-side), replacing the naive
-    distinct-then-self-join plan (two corpus shuffles plus a join
-    sort; measured 0.48 scaling efficiency vs this plan's single
-    aggregate — bench_artifacts/r5/scaling_ops_trailing_overlap*).
-    Each value then emits its C(m, 2) ≤ C(G, 2) ordered group pairs
-    JVM-side (sorted array → nested ``transform``), and one
-    value-table-sized count per pair plus two broadcast G-row
-    metadata joins finish the report.  The SAME exchange feeds the
-    sizes and the pair counts (ReusedExchange, plan-asserted).  This
+    Shape: ONE corpus-sized shuffle — ``groupBy(value)`` folding each
+    value's group memberships into bounded per-value state, replacing
+    the naive distinct-then-self-join plan (two corpus shuffles plus
+    a join sort; measured 0.48 scaling efficiency vs this shape —
+    bench_artifacts/r5/scaling_ops_trailing_overlap*).  When G ≤ 64
+    the state is a single LONG bitmask (``bit_or`` of
+    ``1 << group_index`` — whole-stage-codegen integer aggregation
+    end to end), and sizes/pair counts decode from the tiny
+    (mask, count) rollup; otherwise the state is the sorted group
+    set (``collect_set``, ≤ G strings) and each value emits its
+    C(m, 2) ≤ C(G, 2) ordered pairs JVM-side (nested ``transform``).
+    Two broadcast G-row metadata joins finish the report; the SAME
+    exchange feeds the sizes and the pair counts (ReusedExchange,
+    plan-asserted).  This
     is the right tool when the GROUP domain is bounded (event types,
     languages, crawl snapshots); for unbounded group domains the
     sketch path (:func:`theta_group_overlap`, one k·8-byte blob per
@@ -573,17 +576,26 @@ def exact_group_overlap(df, group_col: str, value_col: str):
     """
     from pyspark.sql import functions as F
 
-    # ONE corpus shuffle: per value, its sorted group SET (state <= G
-    # strings per value, collect_set partials combine map-side) — no
-    # distinct() pre-pass and no value-keyed self-join re-shuffle.
-    # Everything after operates on the value table and G-row metadata.
-    gs = (
+    sel = (
         df.select(qcol(group_col).cast("string").alias("__g"),
                   qcol(value_col).cast("string").alias("__v"))
         .where(F.col("__g").isNotNull() & F.col("__v").isNotNull())
-        .groupBy("__v")
-        .agg(F.array_sort(F.collect_set("__g")).alias("__gs"))
     )
+    # the group DOMAIN is bounded metadata (sorted for deterministic
+    # bit/pair order) — one map-side-combinable aggregate, G rows
+    groups = sorted(r["__g"] for r in sel.select("__g").distinct()
+                    .collect())
+    if len(groups) < 2:
+        return df.sparkSession.createDataFrame(
+            [], "group_a string, group_b string, n_a long, n_b long, "
+                "n_union long, n_intersection long, jaccard double")
+    if len(groups) <= 64:
+        return _overlap_bitmask(sel, groups)
+    # > 64 groups: per-value sorted group SET (state <= G strings,
+    # collect_set partials combine map-side) — still ONE corpus
+    # shuffle, no distinct() pre-pass, no value-keyed self-join
+    gs = sel.groupBy("__v").agg(
+        F.array_sort(F.collect_set("__g")).alias("__gs"))
     # per-group sizes: explode the group sets — a second map-side
     # combinable aggregate over the value table, G result rows
     pg = (
@@ -604,6 +616,66 @@ def exact_group_overlap(df, group_col: str, value_col: str):
                  F.col("__p.group_b").alias("group_b"))
         .agg(F.count(F.lit(1)).alias("__ni"))
     )
+    return _overlap_report(pg, inter)
+
+
+def _overlap_bitmask(sel, groups):
+    """``exact_group_overlap`` fast path for G ≤ 64: each value's
+    membership folds to ONE long via ``bit_or(1 << group_index)`` —
+    pure integer whole-stage-codegen aggregation, no object state —
+    and every later stage reads the (mask, count) rollup, whose size
+    is min(|values|, 2^G) but in practice the handful of co-occurrence
+    patterns the data actually contains."""
+    from pyspark.sql import functions as F
+
+    G = len(groups)
+    idx = None
+    for i, g in enumerate(groups):
+        cond = F.col("__g") == F.lit(g)
+        idx = F.when(cond, i) if idx is None else idx.when(cond, i)
+    per_value = (
+        sel.withColumn("__i", idx)
+        .groupBy("__v")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), __i))")
+             .alias("__m"))
+    )
+    masks = (per_value.groupBy("__m")
+             .agg(F.count(F.lit(1)).alias("__c")))
+    withidx = masks.withColumn("__idx", F.expr(
+        f"filter(sequence(0, {G - 1}), "
+        "i -> (shiftright(__m, i) & 1) = 1)"))
+    names = F.array(*[F.lit(g) for g in groups])
+    pg = (
+        withidx.select(F.explode("__idx").alias("__i"), "__c")
+        .groupBy("__i").agg(F.sum("__c").alias("n"))
+        .select(F.element_at(names, F.col("__i") + 1).alias("__g"),
+                "n")
+    )
+    pair_expr = F.flatten(F.expr(
+        "transform(__idx, (x, i) -> "
+        "transform(slice(__idx, i + 2, size(__idx)), y -> "
+        "struct(x AS ai, y AS bi)))"
+    ))
+    inter = (
+        withidx.select(F.explode(pair_expr).alias("__p"), "__c")
+        .groupBy(F.col("__p.ai").alias("__ai"),
+                 F.col("__p.bi").alias("__bi"))
+        .agg(F.sum("__c").alias("__ni"))
+        .select(F.element_at(names, F.col("__ai") + 1)
+                .alias("group_a"),
+                F.element_at(names, F.col("__bi") + 1)
+                .alias("group_b"),
+                "__ni")
+    )
+    return _overlap_report(pg, inter)
+
+
+def _overlap_report(pg, inter):
+    """Shared ``exact_group_overlap`` tail: complete unordered pair
+    grid (zero-intersection pairs included) from the G-row size table
+    + pair-count table, all broadcast metadata joins."""
+    from pyspark.sql import functions as F
+
     pa = pg.select(F.col("__g").alias("group_a"),
                    F.col("n").alias("n_a"))
     pb = pg.select(F.col("__g").alias("group_b"),

@@ -617,6 +617,33 @@ class TestExactGroupOverlap:
             assert exact_group_overlap(variant, "g", "v").collect() \
                 == base
 
+    def test_collect_set_path_beyond_64_groups(self, spark):
+        """G > 64 falls back from the long-bitmask state to the
+        sorted-group-set state — same results, verified against
+        driver-side set arithmetic on a 70-group dataset."""
+        from collections import defaultdict
+
+        from outrank_spark.operators.sketch_build import (
+            exact_group_overlap,
+        )
+
+        rows = [(f"g{(i * 3) % 70:02d}", i % 40) for i in range(2000)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        got = {(r["group_a"], r["group_b"]):
+               (r["n_a"], r["n_b"], r["n_union"], r["n_intersection"])
+               for r in exact_group_overlap(df, "g", "v").collect()}
+        sets = defaultdict(set)
+        for g, v in rows:
+            sets[g].add(v)
+        names = sorted(sets)
+        assert len(names) == 70
+        assert len(got) == 70 * 69 // 2
+        for i, ga in enumerate(names):
+            for gb in names[i + 1:]:
+                a, b = sets[ga], sets[gb]
+                assert got[(ga, gb)] == (
+                    len(a), len(b), len(a | b), len(a & b)), (ga, gb)
+
     def test_single_group_and_empty(self, spark):
         from outrank_spark.operators.sketch_build import (
             exact_group_overlap,
