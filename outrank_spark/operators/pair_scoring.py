@@ -91,10 +91,26 @@ _RELABEL_INVARIANT = {
 }
 
 
+# Heuristics whose first step is densify() on both inputs — for these
+# the per-column code vector can be densified ONCE per batch instead
+# of once per pair membership (a column appears in ~|columns| pairs,
+# and densify is idempotent: unique+searchsorted of an already-dense
+# vector short-circuits), with bitwise-identical scores.
+_DENSIFY_FIRST = {"MI", "MI-numba", "MI-numba-randomized",
+                  "MI-numba-3mr", "AMI"}
+
+
 def _score_block(codes: dict[str, np.ndarray],
                  pairs: Sequence[tuple[str, str]], heuristic: str,
                  label_column: str, ratio: float,
                  model_features: Sequence[str] = ()) -> list[tuple[str, str, float]]:
+    if heuristic in _DENSIFY_FIRST and not model_features:
+        from outrank_spark.functions.mi import densify
+
+        codes = {
+            c: densify(v) if v.dtype.kind in ("i", "u") else v
+            for c, v in codes.items()
+        }
     model_matrix = None
     if model_features:
         model_matrix = np.column_stack(

@@ -48,25 +48,23 @@ __all__ = ["exact_grouped_quantiles", "winsorize",
 
 
 def _partition_group_counts(df: DataFrame, group_col: str) -> pd.DataFrame:
-    """Pass 1: (pid, group, cnt) rows, one per partition x group."""
+    """Pass 1: (pid, group, cnt) rows, one per partition x group.
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        counts: dict[object, int] = {}
-        for pdf in batches:
-            for g, c in pdf[group_col].value_counts(dropna=False).items():
-                counts[g] = counts.get(g, 0) + int(c)
-        if counts:
-            yield pd.DataFrame({
-                "pid": pid,
-                group_col: list(counts.keys()),
-                "cnt": list(counts.values()),
-            })
-
-    schema = f"pid int, {group_col} string, cnt long"
-    return df.mapInPandas(fn, schema=schema).toPandas()
+    Pure JVM aggregate keyed on ``spark_partition_id()`` — the
+    metadata pass needs only counts, so shipping every row through
+    Arrow to a Python counter (the previous shape) paid a full
+    serialization pass for nothing; ``spark_partition_id()`` matches
+    the ``TaskContext.partitionId()`` pass 2 reads (guide §4: keep
+    work that built-ins can do out of Python)."""
+    out = (
+        df.groupBy(
+            F.spark_partition_id().alias("pid"), F.col(group_col))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .toPandas()
+    )
+    out["pid"] = out["pid"].astype("int32")
+    out["cnt"] = out["cnt"].astype("int64")
+    return out
 
 
 def exact_grouped_quantiles(

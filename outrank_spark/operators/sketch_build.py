@@ -541,7 +541,8 @@ def theta_group_overlap(df, group_col: str, value_col: str,
     )
 
 
-def exact_group_overlap(df, group_col: str, value_col: str):
+def exact_group_overlap(df, group_col: str, value_col: str,
+                        max_groups: int = 4096):
     """EXACT pairwise distinct-value overlap between groups — the
     exact companion to :func:`theta_group_overlap` (same relationship
     as q155's trailing_distinct_exact to the sliding HLL): for every
@@ -573,18 +574,39 @@ def exact_group_overlap(df, group_col: str, value_col: str):
     jaccard)`` for every unordered pair (zero-intersection pairs
     included), Jaccard rounded to 6 dp — the q14/q111 cross-engine
     float convention.
+
+    ``max_groups`` (default 4096) bounds the group-domain collect: an
+    unbounded group column (url, user id) would otherwise stream its
+    whole distinct set into the driver before any error surfaces.
+    Exceeding it raises with a pointer to the sketch path.  The input
+    must be DETERMINISTIC between the domain collect and the
+    aggregate (no rand()/sample upstream): a group appearing only in
+    the second evaluation has no index and would silently fold to
+    NULL, so materialize non-deterministic inputs first.
     """
     from pyspark.sql import functions as F
 
+    if max_groups < 2:
+        raise ValueError(f"max_groups must be >= 2, got {max_groups}")
     sel = (
         df.select(qcol(group_col).cast("string").alias("__g"),
                   qcol(value_col).cast("string").alias("__v"))
         .where(F.col("__g").isNotNull() & F.col("__v").isNotNull())
     )
     # the group DOMAIN is bounded metadata (sorted for deterministic
-    # bit/pair order) — one map-side-combinable aggregate, G rows
-    groups = sorted(r["__g"] for r in sel.select("__g").distinct()
-                    .collect())
+    # bit/pair order) — one map-side-combinable aggregate, G rows,
+    # guarded by limit() so an unbounded domain errors before the
+    # driver materializes it (r5 verdict #4)
+    domain = (sel.select("__g").distinct()
+              .limit(max_groups + 1).collect())
+    if len(domain) > max_groups:
+        raise ValueError(
+            f"exact_group_overlap: group domain exceeds max_groups="
+            f"{max_groups}; this operator is for bounded group "
+            "domains (event types, languages, snapshots) — use "
+            "theta_group_overlap for unbounded domains, or raise "
+            "max_groups explicitly if the domain is truly bounded")
+    groups = sorted(r["__g"] for r in domain)
     if len(groups) < 2:
         return df.sparkSession.createDataFrame(
             [], "group_a string, group_b string, n_a long, n_b long, "

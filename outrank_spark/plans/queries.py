@@ -263,12 +263,25 @@ def q08_grouped_quantiles(spark, sf_dir):
     with no group ever held in one task.
     """
     li = load(spark, sf_dir, "lineitem")
+    # ONE percentile buffer per column (array of probs), not one per
+    # (column, prob): partial_percentile's per-group value->count
+    # OpenHashMap is the dominant cost of this query, and
+    # percentile(c, array(p1, p2)) builds/merges/sorts it once for
+    # both probs via the identical Percentile.scala interpolation —
+    # bitwise-equal values, ~40% less aggregate state (r6: measured
+    # 2.13 s -> ~1.0 s at sf0.1, see OPTIMIZATION_r06.md)
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
-            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
-            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+            F.expr("percentile(l_extendedprice, array(0.5, 0.95))")
+            .alias("_pp"),
+            F.expr("percentile(l_quantity, 0.5)").alias("_pq"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("_pp", 1), 4).alias("p50_price"),
+            F.round(F.element_at("_pp", 2), 4).alias("p95_price"),
+            F.round("_pq", 4).alias("p50_qty"),
         )
         .orderBy("l_returnflag")
     )
@@ -4122,8 +4135,16 @@ def q107_bloom_semijoin(spark, sf_dir):
                           build_key="c_custkey", how="semi", exact=True)
     return (
         kept.where(F.col("o_orderkey") % 7 == 0)
+        # decimal canonicalization (r5 verdict #1): emit DOUBLE, not
+        # DECIMAL(18,2) — the oracle's DECIMAL lands as float64 at
+        # fetch time, while a Spark decimal surfaces as decimal.Decimal
+        # whose rendering ("177488.20" vs 177488.2) breaks a
+        # rendered-value hash even though every value is numerically
+        # equal.  decimal->double is the same exact-to-nearest
+        # conversion both engines perform, so values stay bitwise
+        # identical.
         .select("o_orderkey", "o_custkey",
-                _dec("o_totalprice").alias("total_price"))
+                _dec("o_totalprice").cast("double").alias("total_price"))
         .orderBy("o_orderkey")
     )
 
@@ -6778,10 +6799,13 @@ def q156_exact_group_overlap(spark, sf_dir):
     the exact companion to q72's theta-sketch estimates
     (sketch_build.exact_group_overlap): |A|, |B|, |A ∪ B|, |A ∩ B|
     and Jaccard for every unordered pair, zero-intersection pairs
-    included.  One distinct() shuffle is the only corpus-sized stage;
-    the intersection is a value-keyed self-join of the distinct table
-    (bounded by C(G,2) rows per value), sizes/grid are broadcast
-    G-row metadata.  Exact oracle; q72's theta estimates are
+    included.  ONE corpus-sized ``groupBy(value)`` aggregate folds
+    each value's group memberships into bounded per-value state (a
+    single long bitmask when G <= 64, else the sorted group set);
+    sizes and pair counts decode from that rollup over the SAME
+    exchange (ReusedExchange), and the G-row metadata joins are
+    broadcast.  No distinct() pre-pass, no value-keyed self-join.
+    Exact oracle; q72's theta estimates are
     bound-certified against this operator's counts in
     tests/test_spark_sketch_build.py::TestExactGroupOverlap."""
     from outrank_spark.operators.sketch_build import exact_group_overlap
@@ -7128,7 +7152,10 @@ def _rotate_registry(queries: dict, oracles: dict,
     return {k: queries[k] for k in exact[i:] + exact[:i] + rows_only}
 
 
-# round-5 window: q70_pmi_collocations .. q130_table_profile — the 50
-# exact queries that have never appeared in a CORRECTNESS_r* artifact
-WINDOW_ROTATION_START = "q70_pmi_collocations"
+# round-6 window: q130_table_profile onward — the exact queries that
+# have never appeared in a CORRECTNESS_r* artifact (q130-q148, q151,
+# q154-q156), backfilled by wrap-around from the q01 block (witnessed
+# green in rounds 1-4).  Rounds 1-4 witnessed q01-q69, round 5
+# witnessed q70-q129.
+WINDOW_ROTATION_START = "q130_table_profile"
 QUERIES = _rotate_registry(QUERIES, ORACLES, WINDOW_ROTATION_START)

@@ -133,65 +133,88 @@ def run_ranking(spark, df: DataFrame, cfg: RankingConfig,
 
     # two lazy passes over the (possibly upstream-cached) input —
     # a cache write of wide string columns costs more than the scans,
-    # and the coverage sketch doubles as the row counter
+    # and the sketch scan and the scoring scan are INDEPENDENT jobs
+    # (cardinality/coverage only feed the post-hoc feature renaming),
+    # so they run concurrently on one scheduler (guide §2.6 overlap:
+    # the sketch job's tail back-fills executor slots while the
+    # scoring stages run, and vice versa) — measured 4.5 s -> ~3.3 s
+    # on the 300k-page bench job (OPTIMIZATION_r06.md)
     sub = deterministic_subsample(df.select(*[qcol(c).alias(c) for c in columns]), cfg.subsampling,
                                   key_cols=columns)
 
-    # --- ONE sketch scan: cardinality + value counts + coverage ------
+    # --- sketch scan (background): cardinality + counts + coverage --
     plan = sketch_plan_for(cfg, columns)
-    sketches = build_sketches(sub, plan)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    sketch_future = pool.submit(
+        inheritable_thread_target(lambda: build_sketches(sub, plan)))
+
+    try:
+        # one cheap metadata job (count of the subsample — row-count
+        # pruned to the scan, no sketch state) unblocks the batch
+        # planning that used to wait on the coverage sketch's total
+        n_rows = sub.count()
+
+        # enough minibatch groups to saturate the cluster, without
+        # dropping below the reference's remainder floor (2^10 rows)
+        parallelism = spark.sparkContext.defaultParallelism
+        n_batches = max(1, math.ceil(n_rows / cfg.minibatch_size))
+        n_batches = max(n_batches, cfg.batches_per_core * parallelism)
+        n_batches = min(n_batches, max(1, n_rows // cfg.min_batch_rows))
+
+        # --- pair scoring --------------------------------------------
+        pairs = planner.plan(columns, cfg.label_column, cfg.heuristic,
+                             cfg.target_ranking_only,
+                             cfg.combination_number_upper_bound)
+        model_features: list[str] = []
+        if cfg.reference_model_json:
+            from outrank_spark.plans.reference_model import (
+                filter_pairs,
+                model_feature_names,
+            )
+
+            model_features = [
+                m for m in model_feature_names(cfg.reference_model_json)
+                if m in columns
+            ]
+            pairs = filter_pairs(pairs, model_features)
+        if cfg.heuristic == "MI-table-exact":
+            # fully-distributed exact plug-in MI over the WHOLE
+            # (sampled) table — no minibatching, no per-batch median;
+            # one grouping-sets scan per pair chunk
+            # (operators/mi_distributed.py).  Engine addition beyond
+            # the reference (whose MI heuristics are always
+            # minibatch-sampled).
+            from outrank_spark.operators.mi_distributed import (
+                mi_table_scores,
+            )
+
+            triplets = mi_table_scores(sub, pairs).withColumn(
+                "batch_id", F.lit(0),
+            )
+        else:
+            triplets = score_batches(
+                sub, columns, pairs, cfg.heuristic, cfg.label_column,
+                n_batches, cfg.mi_stratified_sampling_ratio,
+                model_features=model_features,
+            )
+        grouped = (
+            symmetrize(triplets)
+            .groupBy("feature_a", "feature_b")
+            .agg(F.median("score").alias("score"))
+            .toPandas()
+        )
+        # join the concurrent sketch job (raises here if it failed)
+        sketches = sketch_future.result()
+    finally:
+        pool.shutdown(wait=True)
     cards = {c: sketches[(c, "parity_hll")].estimate() for c in columns}
     coverage = {
         c: sketches[(c, "coverage")].coverage() for c in columns
     }
-    n_rows = sketches[(columns[0], "coverage")].total
-
-    # enough minibatch groups to saturate the cluster, without
-    # dropping below the reference's remainder floor (2^10 rows)
-    parallelism = spark.sparkContext.defaultParallelism
-    n_batches = max(1, math.ceil(n_rows / cfg.minibatch_size))
-    n_batches = max(n_batches, cfg.batches_per_core * parallelism)
-    n_batches = min(n_batches, max(1, n_rows // cfg.min_batch_rows))
-
-    # --- pair scoring ------------------------------------------------
-    pairs = planner.plan(columns, cfg.label_column, cfg.heuristic,
-                         cfg.target_ranking_only,
-                         cfg.combination_number_upper_bound)
-    model_features: list[str] = []
-    if cfg.reference_model_json:
-        from outrank_spark.plans.reference_model import (
-            filter_pairs,
-            model_feature_names,
-        )
-
-        model_features = [
-            m for m in model_feature_names(cfg.reference_model_json)
-            if m in columns
-        ]
-        pairs = filter_pairs(pairs, model_features)
-    if cfg.heuristic == "MI-table-exact":
-        # fully-distributed exact plug-in MI over the WHOLE (sampled)
-        # table — no minibatching, no per-batch median; one grouping-
-        # sets scan per pair chunk (operators/mi_distributed.py).
-        # Engine addition beyond the reference (whose MI heuristics
-        # are always minibatch-sampled).
-        from outrank_spark.operators.mi_distributed import mi_table_scores
-
-        triplets = mi_table_scores(sub, pairs).withColumn(
-            "batch_id", F.lit(0),
-        )
-    else:
-        triplets = score_batches(
-            sub, columns, pairs, cfg.heuristic, cfg.label_column, n_batches,
-            cfg.mi_stratified_sampling_ratio,
-            model_features=model_features,
-        )
-    grouped = (
-        symmetrize(triplets)
-        .groupBy("feature_a", "feature_b")
-        .agg(F.median("score").alias("score"))
-        .toPandas()
-    )
 
     # --- finalize (driver-side, small) -------------------------------
     grouped.columns = ["FeatureA", "FeatureB", "Score"]

@@ -68,3 +68,31 @@ class TestDriverWindowInvariant:
 
         window = list(QUERIES)[:50]
         assert all(k in ORACLES for k in window)
+
+
+class TestDecimalHygiene:
+    """No queries() entry may emit a DecimalType column (r5 verdict
+    #1/#2): a Spark decimal surfaces in pandas as decimal.Decimal
+    whose rendering ("177488.20") differs from the float64 a DuckDB
+    decimal fetch produces ("177488.2"), so a rendered-value hash
+    goes red even when every value is numerically equal.  Decimals
+    are fine INSIDE a query (exact, order-independent money sums) —
+    the contract is on the output boundary: cast to double (and
+    round) before returning."""
+
+    @pytest.mark.slow
+    def test_no_decimal_output_columns(self, spark):
+        from pyspark.sql.types import DecimalType
+
+        from outrank_spark.plans.queries import QUERIES
+
+        offenders = []
+        for name, fn in QUERIES.items():
+            df = fn(spark, SF)
+            decs = [f.name for f in df.schema.fields
+                    if isinstance(f.dataType, DecimalType)]
+            if decs:
+                offenders.append((name, decs))
+        assert not offenders, (
+            f"queries emitting DecimalType at the output boundary: "
+            f"{offenders} — cast to double (see q107)")

@@ -644,6 +644,25 @@ class TestExactGroupOverlap:
                 assert got[(ga, gb)] == (
                     len(a), len(b), len(a | b), len(a & b)), (ga, gb)
 
+    def test_unbounded_group_domain_raises(self, spark):
+        """Misuse guard (r5 verdict #4): an unbounded group column
+        must raise BEFORE the driver materializes its distinct set,
+        with a pointer to the sketch path."""
+        import pytest as _pytest
+
+        from outrank_spark.operators.sketch_build import (
+            exact_group_overlap,
+        )
+
+        # 10^5-distinct group column (a url/user-id shape)
+        df = spark.range(100_000).select(
+            F.concat(F.lit("u"), F.col("id")).alias("g"),
+            (F.col("id") % 40).alias("v"))
+        with _pytest.raises(ValueError, match="theta_group_overlap"):
+            exact_group_overlap(df, "g", "v", max_groups=1000)
+        with _pytest.raises(ValueError, match="max_groups"):
+            exact_group_overlap(df, "g", "v", max_groups=1)
+
     def test_single_group_and_empty(self, spark):
         from outrank_spark.operators.sketch_build import (
             exact_group_overlap,
