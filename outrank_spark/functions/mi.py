@@ -111,7 +111,15 @@ def _conditional_entropy_sum(
         contrib[~keep] = 0.0
         return float(contrib.sum())
 
-    key = x_code.astype(np.int64) * n_cls + y_code
+    # int32 keys when the cell domain fits: the sort inside
+    # np.unique is ~2x faster on half-width keys, and the cell ids /
+    # counts it returns are value-identical, so every downstream
+    # float term is bit-for-bit unchanged
+    if n_x * n_cls <= np.iinfo(np.int32).max:
+        key = x_code.astype(np.int32) * np.int32(n_cls) \
+            + y_code.astype(np.int32)
+    else:
+        key = x_code.astype(np.int64) * n_cls + y_code
     cells, counts = np.unique(key, return_counts=True)
     cell_x = (cells // n_cls).astype(np.int64)
     denom = pre_counts[cell_x].astype(np.float64)

@@ -142,11 +142,50 @@ def exact_grouped_quantiles(
             wanted.setdefault(int(row["pid"]), []).append(
                 (g, gi - int(row["start"])))
 
-        picked = _pick_order_statistics(data, "__g", "__v", wanted)
-        idx_of = {
-            (r[0], start_of[(r[0], int(r[3]))] + int(r[1])): float(r[2])
-            for r in picked.itertuples(index=False)
-        }
+        # partition-local start offset of each group's run within its
+        # partition (groups are sorted ascending within the sorted
+        # partition): enables the JVM pick path below
+        counts = counts.sort_values(["pid", "__g"], kind="stable")
+        counts["pstart"] = (
+            counts.groupby("pid", sort=False)["cnt"].cumsum()
+            - counts["cnt"]
+        )
+        pstart_of = {(int(r[0]), r[1]): int(r[2]) for r in
+                     counts[["pid", "__g", "pstart"]].itertuples(
+                         index=False)}
+        max_rows_per_pid = int(
+            counts.groupby("pid")["cnt"].sum().max())
+
+        if max_rows_per_pid < (1 << 33):
+            # JVM fast path: on the sorted, cached partitions
+            # monotonically_increasing_id() is exactly
+            # pid * 2^33 + row-offset, so every requested order
+            # statistic is ONE id in a small isin() filter — a pure
+            # codegen scan of the cache, no Arrow, no Python workers
+            # (guide §4: keep built-in-expressible work in the JVM).
+            # The id->(group, global index) mapping is driver-side
+            # metadata; >= 2^33-row partitions (never at sane
+            # partition sizing) fall back to the Arrow walk.
+            id_meta: dict[int, tuple[str, int]] = {}
+            for pid, picks in wanted.items():
+                for g, local in picks:
+                    rid = (pid << 33) + pstart_of[(pid, g)] + local
+                    id_meta[rid] = (g, start_of[(g, pid)] + local)
+            picked_rows = (
+                data.withColumn("__mid", F.monotonically_increasing_id())
+                .where(F.col("__mid").isin(*id_meta.keys()))
+                .select("__mid", "__v").collect()
+            )
+            idx_of = {
+                id_meta[int(r["__mid"])]: float(r["__v"])
+                for r in picked_rows
+            }
+        else:
+            picked = _pick_order_statistics(data, "__g", "__v", wanted)
+            idx_of = {
+                (r[0], start_of[(r[0], int(r[3]))] + int(r[1])): float(r[2])
+                for r in picked.itertuples(index=False)
+            }
         if len(idx_of) != len(need):
             raise RuntimeError(
                 f"order-statistic pick mismatch: wanted {len(need)}, "

@@ -453,14 +453,21 @@ def q14_ngram_jaccard_pairs(spark, sf_dir, hot_shingle_cap=None):
       the query bitwise-exact vs the DuckDB oracle.
     """
     docs = load(spark, sf_dir, "documents")
+    # split(text) is HOISTED into its own projection: inside the
+    # shingling lambda, `slice(split(text,' '), i, 3)` would otherwise
+    # re-run the split PER SHINGLE (no common-subexpression
+    # elimination into higher-order-function lambdas), making the
+    # explode O(tokens^2) splits per doc — measured 1.28 s -> 0.41 s
+    # for the explode stage at sf0.1 (r6, OPTIMIZATION_r06.md)
+    tok = docs.select("doc_id", F.split("text", " ").alias("t"))
     sh_expr = (
-        "CASE WHEN size(split(text, ' ')) >= 3 THEN "
+        "CASE WHEN size(t) >= 3 THEN "
         "array_distinct(transform("
-        "sequence(1, size(split(text, ' ')) - 2), "
-        "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))) "
+        "sequence(1, size(t) - 2), "
+        "i -> concat_ws(' ', slice(t, i, 3)))) "
         "ELSE array() END"
     )
-    shingles = docs.select(
+    shingles = tok.select(
         "doc_id", F.explode(F.expr(sh_expr)).alias("sh_str"),
     ).select(
         "doc_id",
@@ -476,7 +483,7 @@ def q14_ngram_jaccard_pairs(spark, sf_dir, hot_shingle_cap=None):
     # pay a second wide shuffle.  Docs shorter than n tokens get
     # sz = 0 and can never appear in `inter`, so the inner join
     # drops them exactly as the exploded groupBy did.
-    sizes = docs.select(
+    sizes = tok.select(
         "doc_id", F.size(F.expr(sh_expr)).alias("sz"),
     )
     # prefilter: document frequency per shingle from one window over
