@@ -200,11 +200,28 @@ def _scan_inputs(df, plan: SketchPlan, jvm_prehash: bool):
              if c in raw_needed]
     for c in hash_cols:
         exprs.append(F.xxhash64(qcol(c)).alias(f"__h_{_chan(c)}"))
+    from pyspark.sql.types import NumericType, StringType
+
+    types = {f.name: f.dataType for f in df.schema.fields}
     for c, params in flag_specs:
         missing = tuple(params.get("missing_symbols", ("", "{}")))
         cond = qcol(c).isNull()
         if missing:
-            cond = cond | qcol(c).cast("string").isin(*missing)
+            dt = types.get(c)
+            if isinstance(dt, StringType):
+                # already a string — drop the no-op cast
+                cond = cond | qcol(c).isin(*missing)
+            elif isinstance(dt, NumericType):
+                # a numeric's string form can never equal a missing
+                # symbol like "" / "{}" — the per-row cast only
+                # allocated UTF8Strings (28 per row on the ranking
+                # job's interaction longs) to compare against the
+                # impossible; missing iff NULL.  Non-numeric
+                # non-string types (maps render "{}", etc.) keep the
+                # cast-based semantics below.
+                pass
+            else:
+                cond = cond | qcol(c).cast("string").isin(*missing)
         exprs.append(
             F.when(cond, F.lit(1)).otherwise(F.lit(0))
             .cast("tinyint").alias(f"__m_{_chan(c)}"),
