@@ -99,6 +99,81 @@ _RELABEL_INVARIANT = {
 _DENSIFY_FIRST = {"MI", "MI-numba", "MI-numba-randomized",
                   "MI-numba-3mr", "AMI"}
 
+# MI-numba family: estimator internals (value counts, LUT codes,
+# spoof permutation, column sums) depend on ONE column each, so a
+# batch scoring ~|columns|^2 pairs recomputes each column's stats
+# ~|columns| times.  _mi_col_stats hoists them; the pair loop then
+# replays mutual_info_estimator's exact arithmetic on the cached
+# pieces — same arrays, same op order, bit-identical scores (pinned
+# by the differential test in tests/test_mi.py).
+_MI_NUMBA = {"MI-numba", "MI-numba-randomized", "MI-numba-3mr"}
+
+
+def _mi_col_stats(arr: np.ndarray) -> dict:
+    """Per-column pieces of mutual_info_estimator for a DENSIFIED
+    int32 code vector: exactly what the estimator derives from each
+    argument before the per-pair entropy sums."""
+    from outrank_spark.functions.mi import _unique_counts
+
+    n = len(arr)
+    vals, counts = _unique_counts(arr)
+    lut = np.zeros(int(vals[-1]) + 1, dtype=np.int64)
+    lut[vals] = np.arange(len(vals))
+    code = lut[arr]
+    pre_rows = counts[code]
+    spoof = (np.arange(n, dtype=np.int64) + pre_rows) % n
+    return {
+        "n_vals": len(vals), "counts": counts, "code": code,
+        "spoof": spoof, "keep": counts > 1,
+        "sum": int(np.sum(arr.astype(np.int64))),
+    }
+
+
+def _score_block_mi_cached(codes: dict[str, np.ndarray],
+                           pairs: Sequence[tuple[str, str]],
+                           heuristic: str, label_column: str,
+                           ratio: float) -> list[tuple[str, str, float]]:
+    """MI-numba family fast path: identical scores to score_pair ->
+    mutual_info_estimator, with the per-column stats computed once.
+
+    Mirrors the estimator line by line (functions/mi.py): first
+    argument is Y (the candidate), second is X (the conditioning);
+    approximation_factor is 1.0 / float32(ratio>=1) so the subsample
+    branch never fires; the diagonal check disables the correction.
+    """
+    from outrank_spark.functions.mi import _conditional_entropy_sum
+
+    stats = {c: _mi_col_stats(v) for c, v in codes.items()}
+    n = len(next(iter(codes.values())))
+    randomized = heuristic == "MI-numba-randomized"
+    # factor as the estimator receives it: np.float32(ratio) for the
+    # randomized heuristic, plain 1.0 otherwise (score_pair)
+    factor = np.float32(ratio) if randomized else 1.0
+    out = []
+    for a, b in pairs:
+        f1, f2 = (b, label_column) if a == label_column else (a, b)
+        sy, sx = stats[f1], stats[f2]   # estimator: Y=first, X=second
+        correction = randomized
+        if sx["sum"] - sy["sum"] == 0:
+            correction = False
+        cond = _conditional_entropy_sum(
+            sx["code"], sy["code"], sx["n_vals"], sy["n_vals"],
+            sx["counts"], n, sx["keep"],
+        )
+        if not correction:
+            p = sy["counts"] / n
+            full_entropy = float(-(p * np.log(p)).sum())
+            score = np.float32(factor * (full_entropy - cond))
+        else:
+            y_spoof = sy["code"][sx["spoof"]]
+            background = _conditional_entropy_sum(
+                sx["code"], y_spoof, sx["n_vals"], sy["n_vals"],
+                sx["counts"], n, sx["keep"],
+            )
+            score = np.float32(factor * (-cond + background))
+        out.append((a, b, float(score)))
+    return out
+
 
 def _score_block(codes: dict[str, np.ndarray],
                  pairs: Sequence[tuple[str, str]], heuristic: str,
@@ -111,6 +186,12 @@ def _score_block(codes: dict[str, np.ndarray],
             c: densify(v) if v.dtype.kind in ("i", "u") else v
             for c, v in codes.items()
         }
+        if (heuristic in _MI_NUMBA
+                and (heuristic != "MI-numba-randomized"
+                     or np.float32(ratio) >= 1.0)
+                and codes and len(next(iter(codes.values())))):
+            return _score_block_mi_cached(codes, pairs, heuristic,
+                                          label_column, ratio)
     model_matrix = None
     if model_features:
         model_matrix = np.column_stack(

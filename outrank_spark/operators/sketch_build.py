@@ -335,10 +335,22 @@ def build_grouped_sketches(df, key_col: str, value_col: str,
     Returns a Spark DataFrame ``(key, blob)`` — stays distributed; the
     caller finalizes only the keys it needs.  Exact despite salting
     because sketch merge is associative.
+
+    HLL sketches default to the SPARSE representation (r5 verdict #5):
+    per-key sketches over Zipf key domains (hosts, users) are the
+    advertised use case, and a dense p=14 register blob is 16 KiB per
+    key while tail keys hold a handful of values — sparse blobs
+    shuffle ~5 bytes per distinct value and promote to dense
+    automatically at m/5 entries.  Estimates are bitwise-identical to
+    dense at every size (tests/test_sketches.py::test_estimate_
+    identical_to_dense_at_every_size); pass ``{"sparse": False}`` for
+    the dense wire format explicitly.
     """
     from pyspark.sql import functions as F
 
-    params = params or {}
+    params = dict(params or {})
+    if kind == "hll":
+        params.setdefault("sparse", True)
     salted = df.select(
         F.col(key_col).alias("key"), F.col(value_col).alias("val"),
     ).withColumn("salt", F.pmod(F.xxhash64(F.col("val")), F.lit(salt)))

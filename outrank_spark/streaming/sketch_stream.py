@@ -136,7 +136,12 @@ def keyed_sketch_stream(stream, key_col: str, value_col: str,
 
     from outrank_spark.sketches import SKETCH_REGISTRY
 
-    params = params or {}
+    params = dict(params or {})
+    if kind == "hll":
+        # match build_grouped_sketches' sparse default so streaming
+        # per-key blobs stay bitwise-comparable/mergeable with the
+        # batch build (sparse and dense HLL families do not merge)
+        params.setdefault("sparse", True)
     if not hasattr(SKETCH_REGISTRY[kind](**params), "estimate"):
         raise ValueError(f"kind {kind!r} has no estimate(); "
                          "keyed_sketch_stream is for cardinality sketches")

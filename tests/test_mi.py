@@ -220,3 +220,56 @@ class TestMaxPairCoverage:
         a = np.random.randint(0, 50, 1000)
         b = np.random.randint(0, 50, 1000)
         assert max_pair_coverage(a, b) == max_pair_coverage(a, b)
+
+
+class TestCachedMIBlockParity:
+    """The pair-scoring fast path (_score_block_mi_cached) hoists
+    per-column estimator stats out of the pair loop — scores must be
+    BITWISE equal to score_pair -> mutual_info_estimator on the same
+    codes, including NaN category codes, diagonal (duplicate-column)
+    pairs, and both the corrected and uncorrected heuristics."""
+
+    def test_bitwise_equal_to_score_pair(self):
+        import pandas as pd
+
+        from outrank_spark.functions.heuristics import score_pair
+        from outrank_spark.operators.pair_scoring import (
+            _encode_codes,
+            _score_block,
+        )
+
+        rng = np.random.default_rng(3)
+        for trial in range(40):
+            n = int(rng.integers(2, 3000))
+            cols = [f"c{i}" for i in range(5)]
+            data = {}
+            for i, c in enumerate(cols):
+                card = int(rng.integers(1, max(2, n)))
+                if i % 3 == 0:
+                    vals = np.array([f"v{j}" for j in range(card)],
+                                    dtype=object)
+                    col = pd.Series(vals[rng.integers(0, card, n)])
+                    if trial % 4 == 0:
+                        col[rng.integers(0, n, size=max(1, n // 10))] \
+                            = None      # NaN -> category code -1
+                    data[c] = col
+                else:
+                    data[c] = pd.Series(
+                        rng.integers(-2**62, 2**62, card)[
+                            rng.integers(0, card, n)])
+            pdf = pd.DataFrame(data)
+            pdf["cdup"] = pdf[cols[1]].copy()   # diagonal pair shape
+            cols2 = cols + ["cdup"]
+            pairs = [(cols2[i], cols2[j]) for i in range(len(cols2))
+                     for j in range(i + 1, len(cols2))]
+            label = cols2[0]
+            for heur in ("MI-numba-randomized", "MI-numba"):
+                got = _score_block(_encode_codes(pdf, cols2), pairs,
+                                   heur, label, 1.0)
+                codes = _encode_codes(pdf, cols2)
+                for (a, b, s) in got:
+                    f1, f2 = (b, label) if a == label else (a, b)
+                    ref = float(score_pair(codes[f1], codes[f2],
+                                           heur, 1.0))
+                    assert np.float32(s).tobytes() \
+                        == np.float32(ref).tobytes(), (trial, heur, a, b)

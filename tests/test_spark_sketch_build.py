@@ -267,11 +267,14 @@ class TestSparseGroupedHLL:
                                                            spark):
         feats = with_web_features(pages)
         dense = build_grouped_sketches(
-            feats, "host", "url", kind="hll", params={"p": 14}, salt=4,
-        ).collect()
-        sparse = build_grouped_sketches(
             feats, "host", "url", kind="hll",
-            params={"p": 14, "sparse": True}, salt=4,
+            params={"p": 14, "sparse": False}, salt=4,
+        ).collect()
+        # sparse is the DEFAULT for grouped hll since r6 (Zipf key
+        # domains are the advertised use case) — build one arm with
+        # no explicit flag to pin the default itself
+        sparse = build_grouped_sketches(
+            feats, "host", "url", kind="hll", params={"p": 14}, salt=4,
         ).collect()
         d_est = {r["key"]: sketch_from_bytes("hll", bytes(r["blob"]))
                  .estimate() for r in dense}
