@@ -46,10 +46,24 @@ def test_sql_blob_rollup_bitwise_vs_applyinpandas(sql_env):
     sql_blobs = {r["host"]: bytes(r["blob"]) for r in spark.sql(
         "SELECT host, hll_sketch(url) AS blob FROM crawl GROUP BY host"
     ).collect()}
+    # the SQL surface emits the DENSE wire; the API path defaults to
+    # sparse since r6, so the bitwise contract is pinned against the
+    # representation-matched build ({"sparse": False}) and the sparse
+    # default is pinned to identical ESTIMATES (same logical
+    # registers, different wire)
     api_blobs = {r["key"]: bytes(r["blob"]) for r in build_grouped_sketches(
-        spark.table("crawl"), "host", "url", kind="hll", params={"p": 14},
+        spark.table("crawl"), "host", "url", kind="hll",
+        params={"p": 14, "sparse": False},
     ).collect()}
     assert sql_blobs == api_blobs
+    sparse_est = {r["key"]: sketch_from_bytes("hll", bytes(r["blob"]))
+                  .estimate()
+                  for r in build_grouped_sketches(
+                      spark.table("crawl"), "host", "url", kind="hll",
+                      params={"p": 14}).collect()}
+    assert sparse_est == {
+        h: sketch_from_bytes("hll", b).estimate()
+        for h, b in sql_blobs.items()}
 
     rolled = {r["tld"]: r["est"] for r in spark.sql(
         "SELECT tld, hll_estimate(hll_merge(blob)) AS est FROM ("
