@@ -26,8 +26,23 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 __all__ = ["QUERIES", "ORACLES", "load"]
 
 
+# (session, dir, table) -> lazy reader DataFrame.  This memoizes the
+# UNEXECUTED scan plan only — `spark.read.parquet` re-reads the footer
+# for schema inference on every call (measured 90-280 ms per table),
+# which a suite that constructs ~24 query plans per run pays over and
+# over for frozen, read-only inputs.  No data or results are cached:
+# every action on a derived plan re-scans the parquet.  Keyed on the
+# live session object so a new session never sees a stale plan.
+_READER_MEMO: dict = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (spark, sf_dir, name)
+    df = _READER_MEMO.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _READER_MEMO[key] = df
+    return df
 
 
 def _dec(col, scale=2):
